@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from payroll_etl_fastapi_spark.plans import suite  # noqa: E402
+from payroll_etl_fastapi_spark.plans import suite_dedup  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

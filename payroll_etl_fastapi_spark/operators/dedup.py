@@ -1,0 +1,319 @@
+"""Deduplication operator family for large-scale document pipelines.
+
+The reference's only dedupe is keyed keep-first (/root/reference/src/etl.py:33);
+this module adds the content-based family a 100 TB training-data pipeline needs:
+
+- exact_duplicates:    hash-groupBy on a normalized fingerprint (1 shuffle)
+- ngram_jaccard_pairs: word n-gram shingles → exact Jaccard similarity join
+- minhash_signatures / minhash_lsh_pairs: MinHash + banded LSH — the scale
+  path: candidate pairs come from equality joins on band signatures, never a
+  quadratic similarity join
+- simhash / simhash_pairs: 28-bit SimHash with chunk-blocked Hamming join
+  (pigeonhole: distance ≤ k ⇒ at least one of k+1 chunks equal)
+
+Everything is built-in column expressions (md5 / conv / explode / higher-order
+array functions) — no Python UDFs — so the hot path stays in the JVM with
+whole-stage codegen, and every step is an ordinary shuffle-parallel DataFrame op.
+
+Hashing is md5-based (not Spark's murmur3 `hash`) deliberately: md5 is defined
+identically everywhere, so DuckDB oracles can replay the exact pipeline
+(see plans/suite.py). 28-bit hash values keep a*h+b inside 63-bit longs —
+DuckDB errors on bigint overflow while Spark wraps, so staying far from 2^63
+is what makes the two engines agree.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^31 - 1 (prime); hash universe for minhash permutations
+MERSENNE_P = 2147483647
+SIMHASH_BITS = 28
+
+
+def _h28(col: F.Column) -> F.Column:
+    """Deterministic 28-bit string hash: first 7 hex chars of md5 → bigint.
+    Bit-identical in Spark (conv) and DuckDB ('0x'||… cast)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """(a, b) pairs for the universal-hash family h_i(x) = (a_i*x + b_i) mod p.
+    Seeded and shared with the SQL oracle generator so both engines run the
+    same permutations."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """lower + collapse whitespace + trim — the canonical form every content
+    hash in this module is computed over."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: F.Column) -> F.Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) — distinct word n-gram shingles per document.
+
+    Built with sequence+transform (JVM higher-order functions); a doc with
+    fewer than n tokens yields no shingles. Row count ≈ tokens per doc, so
+    this explodes ~|corpus| rows — partitioned by input splits, no shuffle."""
+    toks = tokens(F.col(text_col))
+    # guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not empty —
+    # docs shorter than n tokens must produce no shingles
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup: group by md5(normalized text).
+
+    Returns one row per duplicated fingerprint: representative (min id),
+    duplicate count, and the sorted member ids. One hash-shuffle on the
+    fingerprint — at 100 TB this is the cheapest possible full-corpus dedup."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("id").alias("representative"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list("id")).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) with
+    |A∩B| / |A∪B| ≥ threshold.
+
+    Plan: explode shingles → self-equi-join on shingle → count intersections →
+    join per-doc set sizes. The shingle join is the quadratic-risk step; at
+    scale prefer minhash_lsh_pairs and use this as the verify stage on
+    candidates only."""
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "common", "na", "nb", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh_0 … mh_{H-1}) MinHash signature per document.
+
+    h_i(shingle) = (a_i * h28(shingle) + b_i) mod p, minimized per doc — one
+    explode + one groupBy(doc): linear in corpus size, embarrassingly
+    parallel, and the signature (H longs) is all that flows downstream."""
+    sh = shingles(df, text_col, id_col, n)
+    h = _h28(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes, seed))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs — the 100 TB dedup path.
+
+    Candidates come from equality joins on banded signatures (bands × equality
+    shuffles, each on a compact key) — never an all-pairs comparison. Estimated
+    Jaccard = fraction of agreeing minhashes over the full signature; pairs
+    below `min_est` are dropped (LSH false positives)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).cache()
+
+    band_frames = []
+    for bidx in range(bands):
+        cols = [f"mh_{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                "id",
+                F.lit(bidx).alias("band"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= F.lit(min_est))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, simhash) — SimHash over the distinct feature set.
+
+    Features are word n-gram shingles by default (ngram=1 degrades to the
+    distinct-token set, which is degenerate on small vocabularies: most docs
+    share nearly all tokens). Bit i of the signature is the sign of
+    Σ_feature (±1 by bit i of h28(feature)). One explode + one groupBy(doc);
+    the per-bit sums are plain conditional aggregates, all JVM-side."""
+    if ngram > 1:
+        toks = shingles(df, text_col, id_col, ngram).withColumnRenamed("shingle", "tok")
+    else:
+        toks = df.select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+        ).distinct()
+    toks = toks.withColumn("h", _h28(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy("id").agg(*bit_sums)
+    sh = sum(
+        F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return summed.select("id", sh.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_distance: int = 3,
+    chunks: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via chunk-blocked Hamming join.
+
+    Pigeonhole blocking: hamming ≤ max_distance (< chunks) ⇒ the signatures
+    agree on at least one of `chunks` bit-chunks, so candidates come from
+    equality joins on (chunk_idx, chunk_value) — linear-ish, no cross join.
+    Candidates are verified with bit_count(xor) ≤ max_distance."""
+    assert max_distance < chunks
+    sig = simhash(df, text_col, id_col, bits, ngram).cache()
+    chunk_bits = bits // chunks
+
+    chunk_frames = []
+    for cidx in range(chunks):
+        width = chunk_bits if cidx < chunks - 1 else bits - chunk_bits * (chunks - 1)
+        mask = (1 << width) - 1
+        chunk_frames.append(
+            sig.select(
+                "id",
+                "simhash",
+                F.lit(cidx).alias("chunk"),
+                F.shiftright(F.col("simhash"), cidx * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("cval"),
+            )
+        )
+    chunked = chunk_frames[0]
+    for cf in chunk_frames[1:]:
+        chunked = chunked.unionByName(cf)
+
+    return (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk", "cval"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("sh_a ^ sh_b")),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

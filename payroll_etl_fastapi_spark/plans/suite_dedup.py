@@ -1,0 +1,233 @@
+"""Dedup queries for the driver gate: exact, n-gram Jaccard, MinHash-LSH and
+SimHash near-duplicate detection over the documents table (TESTDATA.md), each
+with a DuckDB oracle that replays the identical md5-based pipeline.
+
+The synthetic corpus has no organic duplicates, so each query constructs them:
+the corpus is documents ∪ a copy (id + 1_000_000) — verbatim for exact dedup,
+with 3 appended tokens for the near-dup families — making every operator's
+positive path observable and the expected pair structure obvious.
+
+SQL strings are generated from the same Python constants
+(dedup.minhash_coefficients, chunk layout) the Spark operators use, so both
+engines run the same permutations — the only way hash-level pipelines can
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import dedup
+from payroll_etl_fastapi_spark.plans.suite import _r6, _t, query
+
+_COPY_OFFSET = 1_000_000
+_MUTATION = " qq ww ee"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+def _sql_corpus(mutated: bool) -> str:
+    extra = f" || '{_MUTATION}'" if mutated else ""
+    return f"""
+    corpus AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id, text{extra} AS text FROM documents
+    )"""
+
+
+_SQL_SHINGLES = f"""
+    toks AS (
+        SELECT id, string_split({_SQL_NORM}, ' ') AS t FROM corpus
+    ),
+    sh AS (
+        SELECT DISTINCT id, s
+        FROM toks, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(generate_series(0, len(t) - 3),
+                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                 ELSE [] END) AS u(s)
+    )"""
+
+_SQL_H28 = "CAST(('0x' || substr(md5({col}), 1, 7)) AS BIGINT)"
+
+
+def _spark_corpus(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        (F.concat(F.col("text"), F.lit(_MUTATION)) if mutated else F.col("text")).alias(
+            "text"
+        ),
+    )
+    return docs.unionByName(copy)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_sql_corpus(mutated=False)},
+    fp AS (
+        SELECT id, md5({_SQL_NORM}) AS fingerprint FROM corpus
+    )
+    SELECT fingerprint,
+           min(id)                                        AS representative,
+           count(*)                                       AS n_dups,
+           array_to_string(list_sort(list(id)), ',')      AS members
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    ORDER BY representative
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (operators.dedup.exact_duplicates): every doc has a
+    verbatim copy by construction, so each group is exactly {id, id+offset}."""
+    corpus = _spark_corpus(spark, sf_dir, mutated=False)
+    out = dedup.exact_duplicates(corpus, "text", "doc_id")
+    return out.select(
+        "fingerprint",
+        "representative",
+        "n_dups",
+        F.array_join(F.transform("members", lambda x: x.cast("string")), ",").alias(
+            "members"
+        ),
+    ).orderBy("representative")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_sql_corpus(mutated=True)},
+    {_SQL_SHINGLES},
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           floor((common * 1.0 / (sa.n_shingles + sb.n_shingles - common)) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.id
+    JOIN sizes sb ON common.id_b = sb.id
+    WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (operators.dedup.ngram_jaccard_pairs):
+    each doc pairs with its 3-token-appended copy at jaccard ≈ n/(n+3)."""
+    corpus = _spark_corpus(spark, sf_dir, mutated=True)
+    out = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, min_est: float = 0.5) -> str:
+    coeffs = dedup.minhash_coefficients(num_hashes)
+    p = dedup.MERSENNE_P
+    h = _SQL_H28.format(col="s")
+    mins = ",\n               ".join(
+        f"min(({a} * {h} + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_sql_corpus(mutated=True)},
+    {_SQL_SHINGLES},
+    mh AS (
+        SELECT id, {mins}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+    )
+    SELECT id_a, id_b, ({agree}) / {float(num_hashes)} AS est_jaccard
+    FROM cand
+    JOIN mh a ON cand.id_a = a.id
+    JOIN mh b ON cand.id_b = b.id
+    WHERE ({agree}) / {float(num_hashes)} >= {min_est}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs (operators.dedup.minhash_lsh_pairs)
+    — the 100 TB dedup path: equality joins on band signatures, no quadratic
+    similarity join. Oracle replays the identical 16-permutation family."""
+    corpus = _spark_corpus(spark, sf_dir, mutated=True)
+    out = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=16, bands=4, min_est=0.5
+    )
+    return out.select("id_a", "id_b", "est_jaccard").orderBy("id_a", "id_b")
+
+
+def _simhash_oracle(bits: int = dedup.SIMHASH_BITS, max_distance: int = 3) -> str:
+    # features are the same 3-gram shingles as the jaccard/minhash queries
+    # (distinct unigram tokens are degenerate on this small-vocabulary corpus)
+    h = _SQL_H28.format(col="s")
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH {_sql_corpus(mutated=True)},
+    {_SQL_SHINGLES},
+    th AS (
+        SELECT id, {h} AS h FROM sh
+    ),
+    ss AS (
+        SELECT id, {bit_sums}
+        FROM th GROUP BY id
+    ),
+    sg AS (
+        SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM ss
+    )
+    SELECT x.id AS id_a, y.id AS id_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM sg x JOIN sg y ON x.id < y.id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_distance}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators.dedup.simhash_pairs) via chunk-blocked
+    Hamming join. The oracle verifies with a direct all-pairs comparison —
+    pigeonhole blocking (4 chunks, distance ≤ 3) guarantees identical results,
+    which is exactly what this query proves."""
+    corpus = _spark_corpus(spark, sf_dir, mutated=True)
+    out = dedup.simhash_pairs(
+        corpus, "text", "doc_id", bits=dedup.SIMHASH_BITS, max_distance=3, chunks=4
+    )
+    return out.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")

@@ -1,0 +1,112 @@
+"""Unit tests for operators.dedup on tiny hand-built corpora.
+
+Semantics locked here (suite_dedup.py re-checks them against DuckDB at scale):
+- exact_duplicates groups by normalized content (case/whitespace-insensitive)
+- shingles: docs shorter than n tokens yield no shingles (not a desc sequence)
+- ngram_jaccard_pairs computes exact |A∩B|/|A∪B| over distinct shingles
+- minhash_lsh_pairs finds the near-identical pair and never pairs disjoint docs
+- simhash_pairs(chunks=4, max_distance=3) == brute-force hamming filter
+  (pigeonhole guarantee)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import dedup
+
+
+def corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalizes(spark):
+    df = corpus(
+        spark,
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),
+            (3, " HELLO\tWORLD "),
+            (4, "something else"),
+        ],
+    )
+    out = dedup.exact_duplicates(df, "text", "doc_id").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.representative == 1
+    assert row.n_dups == 3
+    assert row.members == [1, 2, 3]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = corpus(spark, [(1, "one two"), (2, "a b c d")])
+    sh = dedup.shingles(df, "text", "doc_id", n=3).collect()
+    ids = {r.id for r in sh}
+    assert ids == {2}
+    assert sorted(r.shingle for r in sh) == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc2 = doc1 + one extra token: 5-token vs 6-token text, 3 vs 4 shingles,
+    # intersection 3, union 4 → jaccard 0.75
+    df = corpus(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e f"),
+            (3, "x y z w q"),
+        ],
+    )
+    out = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.jaccard == pytest.approx(0.75)
+
+
+def test_minhash_lsh_finds_near_dup_not_disjoint(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base + " extra1 extra2"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = corpus(spark, [(1, base), (2, near), (3, other)])
+    out = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, num_hashes=16, bands=4, min_est=0.5
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in out}[(1, 2)]
+    assert 0.5 <= est <= 1.0
+
+
+def test_simhash_blocking_equals_bruteforce(spark):
+    # 12 docs: 4 clusters of near-identical texts → blocked join must find
+    # exactly the same pairs as an all-pairs hamming check
+    rows = []
+    doc_id = 0
+    for c in range(4):
+        base = " ".join(f"w{c}_{i}" for i in range(30))
+        for v in range(3):
+            text = base + (" tail%d" % v if v else "")
+            rows.append((doc_id, text))
+            doc_id += 1
+    df = corpus(spark, rows)
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(
+            df, "text", "doc_id", max_distance=3, chunks=4
+        ).collect()
+    }
+    sig = dedup.simhash(df, "text", "doc_id")
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert blocked == brute
