@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Per-query time is wall-clock to build the plan AND materialize the result
+(collect), i.e. the full user-visible latency of each operator. The session is
+created once, outside the timed region, and a trivial job is run first to warm
+the JVM / codegen paths — the reference's baseline is a long-lived Postgres
+server, so steady-state latency is the honest comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from payroll_etl_fastapi_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).collect()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # a broken query must not hide the others
+            dt = time.perf_counter() - t0
+            print(f"bench: query {name} FAILED after {dt:.2f}s: {exc}", file=sys.stderr)
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
