@@ -1,0 +1,247 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+No reference counterpart (/root/reference has no vector data); this is the
+training-data-pipeline extension family over the driver's `embeddings` table:
+
+- exact brute-force cosine top-k — the correctness baseline;
+- random-hyperplane (sign) LSH bucketing — the 100 TB path: candidate
+  generation is an equality join on band signatures, so the quadratic
+  similarity join never materializes;
+- embedding-cosine near-duplicate pairs — dedup via the same LSH blocking.
+
+Determinism contract (same discipline as operators/dedup.py): every floating
+step is an identical IEEE-double op sequence in Spark and in the DuckDB oracle.
+Dot products are sequential left folds (`F.aggregate` ≡ DuckDB `list_reduce`),
+never `numpy.dot` (pairwise/SIMD summation reorders additions). Hyperplanes are
+±1.0 constants from a seeded LCG shared between both engines, so multiplying by
+them is exact.
+
+Scale notes (100 TB):
+- brute-force top-k is a broadcast nested loop: the query set is tiny and
+  broadcast; the corpus streams through one projection + TakeOrdered per query
+  — no shuffle of the corpus, no driver collect.
+- LSH bucketing shuffles only (id, band, sig) triples — a few dozen bytes/row
+  — then joins candidates back to vectors by id. Banding keeps bucket sizes
+  bounded; skewed buckets are handled by AQE skew-join splitting.
+- the built-in sequential fold keeps everything in whole-stage codegen; a
+  numpy-batched `mapInPandas` variant would win raw FLOPs but leaves codegen,
+  loses the oracle's bit-exactness, and only pays off above ~10^3 dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_SEED = 0x5EED
+DEFAULT_PLANES = 16
+DEFAULT_BANDS = 4
+
+
+# ---------------------------------------------------------------------------
+# deterministic hyperplane family (shared with the SQL oracle)
+# ---------------------------------------------------------------------------
+
+def hyperplane_signs(num_planes: int, dim: int, seed: int = LSH_SEED) -> list[list[float]]:
+    """±1.0 hyperplane matrix from a glibc-constant LCG — reproducible anywhere."""
+    x = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(num_planes):
+        row: list[float] = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) & 0x7FFFFFFF
+            row.append(1.0 if (x >> 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# column-level building blocks (exact, fold-ordered)
+# ---------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double: (((0+x1)+x2)+...).
+
+    Element products are float32*float32 computed in double — exact (48-bit
+    mantissa); the fold order is the determinism contract with the oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_const(a: Column, plane: list[float]) -> Column:
+    """Dot with a constant ±1 hyperplane (exact: multiplying by ±1.0)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            F.array(*[F.lit(v) for v in plane]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null (not NaN) for a zero vector."""
+    return dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0))
+
+
+def band_signatures(
+    vec: Column, planes: list[list[float]], bands: int
+) -> list[Column]:
+    """One small-int signature per band: `bands` groups of sign bits packed
+    little-endian (bit r of band b = sign of plane b*rpb+r)."""
+    num_planes = len(planes)
+    rpb = num_planes // bands
+    bits = [F.when(dot_const(vec, p) >= 0, 1).otherwise(0) for p in planes]
+    sigs = []
+    for b in range(bands):
+        sig = F.lit(0)
+        for r in range(rpb):
+            sig = sig + bits[b * rpb + r] * (1 << r)
+        sigs.append(sig)
+    return sigs
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k most
+    similar corpus vectors (self excluded). Output: (query_id, neighbor_id,
+    cosine, rank).
+
+    The query side is broadcast — the corpus is scanned once with no shuffle;
+    the per-query ranking shuffles only (query_id, neighbor_id, cosine)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = DEFAULT_PLANES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: candidates are corpus rows
+    sharing ≥1 sign-bit band with the query; exact cosine re-ranks candidates.
+
+    The scale path: the corpus is hashed once (narrow projection), candidate
+    generation is an equality join on (band, sig) against the broadcast query
+    signatures, and the exact cosine runs only on the candidate set."""
+    planes = hyperplane_signs(num_planes, dim)
+
+    def with_bands(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        # signatures are built from the ORIGINAL column: referencing the alias
+        # minted in the same select is a lateral-column-alias ref, which Spark
+        # rejects under generators (explode)
+        sigs = band_signatures(F.col(vec_col), planes, bands)
+        pairs = F.array(
+            *[F.struct(F.lit(b).alias("band"), s.alias("sig")) for b, s in enumerate(sigs)]
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).alias(vec_alias),
+                F.explode(pairs).alias("bs"),
+            )
+            .select(id_alias, vec_alias, "bs.band", "bs.sig")
+        )
+
+    qb = F.broadcast(with_bands(queries, "query_id", "q_vec"))
+    cb = with_bands(corpus, "neighbor_id", "c_vec")
+    cand = (
+        cb.join(qb, ["band", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = DEFAULT_PLANES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-blocked candidate pairs
+    (sharing ≥1 band), exact cosine ≥ threshold. Output (id_a, id_b, cosine),
+    id_a < id_b.
+
+    Same blocking trade-off as MinHash-LSH in operators/dedup.py: recall is
+    bounded by the band structure, which is exactly what the paired oracle
+    replays — the quadratic all-pairs join never runs."""
+    planes = hyperplane_signs(num_planes, dim)
+    sigs = band_signatures(F.col(vec_col), planes, bands)
+    pairs = F.array(
+        *[F.struct(F.lit(b).alias("band"), s.alias("sig")) for b, s in enumerate(sigs)]
+    )
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(pairs).alias("bs")
+    ).select("id", "vec", "bs.band", "bs.sig")
+    left = hashed.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band", "sig"
+    )
+    right = hashed.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band", "sig"
+    )
+    cand = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,214 @@
+"""Similarity-search queries for the driver gate: exact cosine top-k,
+hyperplane-LSH approximate top-k, and embedding-cosine near-dup pairs over the
+`embeddings` table, each with a DuckDB oracle replaying the identical pipeline.
+
+Float determinism (see operators/similarity.py): dot products are sequential
+left folds in double — Spark `F.aggregate(F.zip_with(...))` vs DuckDB
+`list_reduce(list_transform(generate_series(...)))` execute the same IEEE op
+sequence, so cosines are bit-identical and ranking ties cannot diverge. The
+LSH hyperplanes are ±1.0 constants from the shared seeded LCG
+(similarity.hyperplane_signs) inlined into the SQL, exactly as
+suite_dedup does for MinHash permutations.
+
+The synthetic corpus has no near-duplicate pairs (max off-diagonal cosine
+≈ 0.51 at sf0.01), so the near-dup query constructs them: corpus ∪ a copy
+(vec_id + 1_000_000) with every 7th element zeroed — zeroing is exact in any
+float width, and cosine(v, v') = sqrt(kept_energy/total) ≈ 0.92."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import similarity as sim
+from payroll_etl_fastapi_spark.plans.suite import _r6, _sql_r6, _t, query
+
+DIM = 64
+K = 10
+N_QUERIES = 5
+_COPY_OFFSET = 1_000_000
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB dialect) of operators/similarity.py building blocks
+# ---------------------------------------------------------------------------
+
+def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"{_sql_dot(a, b, dim)} / nullif("
+        f"sqrt({_sql_dot(a, a, dim)}) * sqrt({_sql_dot(b, b, dim)}), 0)"
+    )
+
+
+def _sql_plane_dot(v: str, plane: list[float], dim: int = DIM) -> str:
+    arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(({v})[i] AS DOUBLE) * ({arr})[i]), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_band_sigs(v: str, dim: int = DIM) -> list[str]:
+    planes = sim.hyperplane_signs(sim.DEFAULT_PLANES, dim)
+    rpb = sim.DEFAULT_PLANES // sim.DEFAULT_BANDS
+    sigs = []
+    for b in range(sim.DEFAULT_BANDS):
+        terms = [
+            f"(CASE WHEN {_sql_plane_dot(v, planes[b * rpb + r], dim)} >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(rpb)
+        ]
+        sigs.append(" + ".join(terms))
+    return sigs
+
+
+def _sql_bands_cte(src: str, dim: int = DIM) -> str:
+    """CTE body: (vec_id, band, sig) — one row per band per vector."""
+    sigs = _sql_band_sigs("embedding", dim)
+    selects = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {b} AS band, {s} AS sig FROM {src}"
+        for b, s in enumerate(sigs)
+    )
+    return selects
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, {_sql_r6('cosine')} AS cosine, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (operators.similarity.cosine_topk) —
+    the ANN correctness baseline: broadcast query set, one corpus scan,
+    per-query ranking on bit-exact cosines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = sim.cosine_topk(emb, queries, K)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH bands AS (
+{_sql_bands_cte('embeddings')}
+    ),
+    qb AS (SELECT * FROM bands WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands c
+        JOIN qb ON c.band = qb.band AND c.sig = qb.sig AND c.vec_id != qb.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_sql_cosine('qe.embedding', 'ce.embedding')} AS cosine
+        FROM cand
+        JOIN embeddings qe ON cand.query_id = qe.vec_id
+        JOIN embeddings ce ON cand.neighbor_id = ce.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, {_sql_r6('cosine')} AS cosine, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (operators.similarity.lsh_topk) — the
+    100 TB path: equality join on band signatures generates candidates, exact
+    cosine re-ranks. The oracle replays the identical 16-plane/4-band family,
+    so results match bit-for-bit (including recall losses)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = sim.lsh_topk(emb, queries, K, dim=DIM)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CASE WHEN (i - 1) % 7 = 0 THEN CAST(0.0 AS FLOAT)
+                             ELSE embedding[i] END) AS embedding
+        FROM embeddings
+    ),
+    bands AS (
+{_sql_bands_cte('corpus')}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT cand.id_a, cand.id_b,
+               {_sql_cosine('ea.embedding', 'eb.embedding')} AS cosine
+        FROM cand
+        JOIN corpus ea ON cand.id_a = ea.vec_id
+        JOIN corpus eb ON cand.id_b = eb.vec_id
+    )
+    SELECT id_a, id_b, {_sql_r6('cosine')} AS cosine
+    FROM scored WHERE cosine >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators.similarity.
+    embedding_near_dup_pairs): LSH-blocked candidates, exact cosine ≥ 0.8.
+    Positive path by construction: each vector pairs with its 7th-element-
+    zeroed copy at cosine ≈ 0.92 when their band signatures collide."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i % 7 == 0, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copy)
+    out = sim.embedding_near_dup_pairs(corpus, threshold=0.8, dim=DIM)
+    return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )

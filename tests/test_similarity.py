@@ -1,0 +1,96 @@
+"""Unit tests for operators/similarity.py: exact top-k against a numpy
+brute-force oracle, LSH candidate semantics, and near-dup pair recovery."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from payroll_etl_fastapi_spark.operators import similarity as sim
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    return spark.createDataFrame(rows, SCHEMA), vecs
+
+
+def _numpy_topk(vecs: np.ndarray, qids: list[int], k: int) -> dict[int, list[int]]:
+    V = vecs.astype(np.float64)
+    norms = np.sqrt((V * V).sum(axis=1))
+    out = {}
+    for q in qids:
+        cos = (V @ V[q]) / (norms * norms[q])
+        order = sorted(
+            (i for i in range(len(V)) if i != q), key=lambda i: (-cos[i], i)
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_hyperplanes_deterministic():
+    a = sim.hyperplane_signs(16, 64)
+    b = sim.hyperplane_signs(16, 64)
+    assert a == b
+    assert all(v in (1.0, -1.0) for row in a for v in row)
+    # not degenerate: both signs appear in every plane
+    assert all(1.0 in row and -1.0 in row for row in a)
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 3)
+    got = sim.cosine_topk(df, queries, k=5).collect()
+    expected = _numpy_topk(vecs, [0, 1, 2], k=5)
+    by_query: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_query.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by_query == expected
+
+
+def test_cosine_topk_excludes_self_and_caps_k(emb_df):
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") == 0)
+    rows = sim.cosine_topk(df, queries, k=1000).collect()
+    assert all(r.neighbor_id != 0 for r in rows)
+    assert len(rows) == 39  # corpus minus self
+
+
+def test_lsh_topk_subset_of_exact_ranking(emb_df):
+    """LSH results re-rank a candidate subset with the same exact cosine, so
+    every returned (query, neighbor) must rank consistently with brute force
+    and similarity values must agree bit-for-bit."""
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim.cosine_topk(df, queries, k=1000).collect()
+    }
+    got = sim.lsh_topk(df, queries, k=5, dim=8).collect()
+    assert got, "LSH produced no candidates at all"
+    for r in got:
+        assert r.cosine == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_near_dup_pairs_find_planted_duplicates(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    # plant copies: id+100 is a verbatim duplicate (cosine exactly 1.0)
+    rows += [(i + 100, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    pairs = sim.embedding_near_dup_pairs(df, threshold=0.99, dim=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # verbatim copies share every band signature → all 20 planted pairs found
+    assert {(i, i + 100) for i in range(20)} <= got
