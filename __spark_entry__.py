@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from payroll_etl_fastapi_spark.plans import suite  # noqa: E402
 from payroll_etl_fastapi_spark.plans import suite_dedup  # noqa: E402,F401  (registers queries)
 from payroll_etl_fastapi_spark.plans import suite_similarity  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_text  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

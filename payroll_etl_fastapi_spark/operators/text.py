@@ -1,0 +1,152 @@
+"""Text-analysis operators over document tables — the training-data-pipeline
+extension family (no reference counterpart; /root/reference has no text data).
+
+Everything is built-in column expressions (split / filter / aggregate /
+regexp_count): the hot path stays inside whole-stage codegen, no Python UDFs.
+Each operator has a bit-exact SQL twin in plans/suite_text.py:
+
+- language-ID: marker-token counting against per-language profiles, argmax
+  with a fixed comparison chain — integer counts, so engines cannot diverge;
+- quality scoring: length / punctuation / stopword / token-shape components
+  combined with fixed double arithmetic from integer inputs;
+- token counting: whitespace tokens and a BPE-ish regex family (word pieces,
+  digit runs, punctuation singletons);
+- document fingerprinting: rolling polynomial hash over tokens (Karp-Rabin
+  style) — a sequential integer fold, exact in any engine.
+
+Scale notes (100 TB): all operators are embarrassingly parallel per-row
+projections — no shuffle at all until the caller aggregates. Marker profiles
+are literal arrays (a few dozen strings), far below any broadcast concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# fixed public stopword-marker profiles; keys sorted = argmax tiebreak order
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ein"],
+    "en": ["the", "and", "of", "to", "was"],
+    "es": ["el", "que", "los", "una", "por"],
+    "fr": ["le", "et", "les", "des", "dans"],
+    "zh": ["的", "是", "了", "我", "不"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# rolling-hash constants (Karp-Rabin): small enough that B * h + t stays
+# far under 2^63 (P*31 + 2^28 << 2^63) — no overflow in either engine
+FP_BASE = 31
+FP_MOD = (1 << 44) - 17  # prime
+
+
+def normalize_text(c: Column) -> Column:
+    """lower + collapse whitespace + trim — the dedup family's normalizer."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of normalized text ('' → empty array, not [''])."""
+    norm = normalize_text(c)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def marker_count(toks: Column, markers: list[str]) -> Column:
+    """How many tokens are in the marker list (integer; duplicates count)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {lang: marker_count(toks, m) for lang, m in LANG_PROFILES.items()}
+
+
+def predicted_language(text: Column) -> Column:
+    """Argmax over profile scores; ties resolved by the fixed lang order; all
+    scores 0 → 'und'. The CASE chain is the determinism contract — the SQL
+    twin spells out the identical chain."""
+    scores = language_scores(text)
+    langs = sorted(scores)
+    pred: Column = F.lit("und")
+    # build the chain back-to-front so earlier langs win ties
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang and langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def quality_components(text: Column) -> dict[str, Column]:
+    """Integer components of the quality score (exact in both engines)."""
+    norm = normalize_text(text)
+    toks = tokens(text)
+    return {
+        "n_chars": F.length(norm),
+        "n_tokens": F.size(toks),
+        "n_stopwords": marker_count(toks, STOPWORDS),
+        "n_punct": F.regexp_count(norm, F.lit(r"[^\w\s]")),
+        "n_digits": F.regexp_count(norm, F.lit(r"[0-9]")),
+        "n_long_tokens": F.size(F.filter(toks, lambda t: F.length(t) >= 4)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: stopword presence, token-shape and
+    low-symbol-noise signals — fixed double arithmetic from the integer
+    components, identical op order in the SQL twin."""
+    c = quality_components(text)
+    nt = F.greatest(c["n_tokens"], F.lit(1)).cast("double")
+    nc = F.greatest(c["n_chars"], F.lit(1)).cast("double")
+    stop_ratio = c["n_stopwords"].cast("double") / nt
+    long_ratio = c["n_long_tokens"].cast("double") / nt
+    punct_ratio = c["n_punct"].cast("double") / nc
+    digit_ratio = c["n_digits"].cast("double") / nc
+    length_ok = F.when(
+        (c["n_tokens"] >= 10) & (c["n_tokens"] <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.3) * length_ok
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.2) * long_ratio
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio * 10.0, F.lit(1.0)))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish sub-token count: word pieces of ≤4 chars count 1, longer words
+    count ceil(len/4); digit runs and punctuation marks count 1 each. A cheap
+    deterministic proxy for a real tokenizer's token count."""
+    norm = normalize_text(text)
+    word_pieces = F.aggregate(
+        F.regexp_extract_all(norm, F.lit("[a-z]+"), 0),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    digit_runs = F.regexp_count(norm, F.lit("[0-9]+")).cast("long")
+    punct = F.regexp_count(norm, F.lit(r"[^\w\s]")).cast("long")
+    return word_pieces + digit_runs + punct
+
+
+def token_hash(tok: Column) -> Column:
+    """28-bit token hash from md5 — the dedup family's shared hash (DuckDB
+    twin: CAST(('0x' || substr(md5(t),1,7)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Rolling polynomial (Karp-Rabin) fingerprint over tokens:
+    h ← (h * B + hash(tok)) mod P, sequential left fold. Order-sensitive —
+    permuted documents get different fingerprints, unlike bag-of-shingles."""
+    return F.aggregate(
+        F.transform(tokens(text), token_hash),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + t) % FP_MOD,
+    )

@@ -1,0 +1,270 @@
+"""Text-analysis queries for the driver gate: language-ID, quality scoring,
+token counting, and rolling-hash fingerprinting over the documents table.
+
+The synthetic corpus is label-shuffled same-vocabulary text, so raw language
+prediction is uninformative; the language-ID query injects each row's labeled
+markers (repeated, so they dominate the natural token counts) and shows the
+heuristic recovering the label — the positive path, same philosophy as
+suite_dedup's constructed duplicates.
+
+Determinism: all per-row signals are integers (token/marker/regex counts) or
+fixed-op-order doubles derived from them; row-level doubles are snapped to
+integers (floor(x*1e6+0.5)) BEFORE any cross-row sum, so aggregation order
+cannot matter. The language argmax CASE chain and all SQL expressions are
+generated from the same Python constants the Spark operators use."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import text as T
+from payroll_etl_fastapi_spark.plans.suite import _t, query
+
+_COPY_OFFSET = 1_000_000
+
+_MARKER_PREFIX = {lang: " ".join(m[:3]) for lang, m in sorted(T.LANG_PROFILES.items())}
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB dialect) of operators/text.py building blocks
+# ---------------------------------------------------------------------------
+
+_SQL_NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+
+
+def _sql_marker_count(toks: str, markers: list[str]) -> str:
+    lst = ", ".join("'" + m + "'" for m in markers)
+    return f"len(list_filter({toks}, t -> t IN ({lst})))"
+
+
+def _sql_lang_case(prefix: str = "c_") -> str:
+    """The identical argmax chain predicted_language() builds: first lang in
+    sorted order wins ties; all-zero → 'und'."""
+    langs = sorted(T.LANG_PROFILES)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{prefix}{lang} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"{prefix}{lang} > {prefix}{other}")
+            elif j > i:
+                conds.append(f"{prefix}{lang} >= {prefix}{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+_SQL_BPE = (
+    "coalesce(list_sum(list_transform("
+    "regexp_extract_all({norm}, '[a-z]+'), "
+    "w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) "
+    "+ len(regexp_extract_all({norm}, '[0-9]+')) "
+    "+ len(regexp_extract_all({norm}, '[^\\w\\s]'))"
+)
+
+_SQL_TOKHASH = "CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)"
+_SQL_FP = (
+    f"list_reduce(list_transform({{toks}}, t -> {_SQL_TOKHASH}), "
+    f"(acc, t) -> (acc * {T.FP_BASE} + t) % {T.FP_MOD})"
+)
+
+
+def _sql_quality(norm: str, toks: str) -> str:
+    """Same op order as operators.text.quality_score (left-assoc additions)."""
+    n_tokens = f"len({toks})"
+    n_chars = f"length({norm})"
+    nt = f"CAST(greatest({n_tokens}, 1) AS DOUBLE)"
+    nc = f"CAST(greatest({n_chars}, 1) AS DOUBLE)"
+    stop = f"CAST({_sql_marker_count(toks, T.STOPWORDS)} AS DOUBLE) / {nt}"
+    long_r = f"CAST(len(list_filter({toks}, t -> length(t) >= 4)) AS DOUBLE) / {nt}"
+    punct = f"CAST(len(regexp_extract_all({norm}, '[^\\w\\s]')) AS DOUBLE) / {nc}"
+    digit = f"CAST(len(regexp_extract_all({norm}, '[0-9]')) AS DOUBLE) / {nc}"
+    length_ok = f"(CASE WHEN {n_tokens} >= 10 AND {n_tokens} <= 100000 THEN 1.0 ELSE 0.0 END)"
+    return (
+        f"0.3 * {length_ok} "
+        f"+ 0.3 * least(({stop}) * 5.0, 1.0) "
+        f"+ 0.2 * ({long_r}) "
+        f"+ 0.1 * (1.0 - least(({punct}) * 10.0, 1.0)) "
+        f"+ 0.1 * (1.0 - least(({digit}) * 10.0, 1.0))"
+    )
+
+
+def _sql_prefix_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN repeat('{p} ', 20) || text"
+        for lang, p in _MARKER_PREFIX.items()
+    )
+    return f"CASE {whens} ELSE text END"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id, lang, {_sql_prefix_case()} AS text FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               {', '.join(_sql_marker_count(_SQL_TOKS.format(col='text'), m) + f' AS c_{lang}' for lang, m in sorted(T.LANG_PROFILES.items()))}
+        FROM injected
+    )
+    SELECT lang, {_sql_lang_case()} AS predicted, count(*) AS n
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY lang, predicted
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker language-ID (operators.text.predicted_language): each
+    row's labeled markers are injected ×20 so the heuristic must recover the
+    label; output is the (label, prediction) confusion table."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    prefix: F.Column = F.col("text")
+    for lang, p in _MARKER_PREFIX.items():
+        prefix = F.when(
+            F.col("lang") == lang, F.concat(F.repeat(F.lit(p + " "), 20), F.col("text"))
+        ).otherwise(prefix)
+    injected = docs.withColumn("text", prefix)
+    return (
+        injected.withColumn("predicted", T.predicted_language(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT source,
+               CAST(floor(({_sql_quality(_SQL_NORM.format(col='text'), _SQL_TOKS.format(col='text'))}) * 1000000 + 0.5) AS BIGINT) AS q6,
+               len({_SQL_TOKS.format(col='text')}) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           count(*)                        AS n_docs,
+           sum(q6)                         AS quality_total_micro,
+           floor(sum(q6) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_quality,
+           sum(n_tokens)                   AS total_tokens
+    FROM q
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (operators.text.quality_score) rolled up per source.
+    Row scores are snapped to integer micro-units before the cross-row sum,
+    so aggregation order cannot perturb the result."""
+    docs = _t(spark, sf_dir, "documents")
+    q6 = F.floor(T.quality_score(F.col("text")) * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        docs.select("source", q6.alias("q6"), F.size(T.tokens(F.col("text"))).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q6").alias("quality_total_micro"),
+            (F.floor(F.sum("q6") * 1.0 / F.count(F.lit(1)) + F.lit(0.5)) / 1000000.0).alias(
+                "avg_quality"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               len({_SQL_TOKS.format(col='text')}) AS n_ws,
+               {_SQL_BPE.format(norm=_SQL_NORM.format(col='text'))} AS n_bpe,
+               length({_SQL_NORM.format(col='text')}) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           count(*)        AS n_docs,
+           sum(n_ws)       AS ws_tokens,
+           sum(n_bpe)      AS bpe_tokens,
+           sum(n_chars)    AS chars,
+           max(n_ws)       AS max_ws_tokens
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish sub-tokens, operators.text.
+    bpe_token_count) rolled up per language — pure integer sums."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = T.normalize_text(F.col("text"))
+    return (
+        docs.select(
+            "lang",
+            F.size(T.tokens(F.col("text"))).alias("n_ws"),
+            T.bpe_token_count(F.col("text")).alias("n_bpe"),
+            F.length(norm).alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.max("n_ws").alias("max_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id, text FROM documents
+    ),
+    fp AS (
+        SELECT id, {_SQL_FP.format(toks=_SQL_TOKS.format(col='text'))} AS fingerprint
+        FROM corpus
+    )
+    SELECT fingerprint,
+           min(id)                                   AS representative,
+           count(*)                                  AS n_dups,
+           array_to_string(list_sort(list(id)), ',') AS members
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    ORDER BY representative
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (operators.text.doc_fingerprint)
+    grouping verbatim copies: order-sensitive Karp-Rabin fold, exact integer
+    math in both engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
+    )
+    fp = corpus.select(
+        F.col("doc_id").alias("id"), T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("id").alias("representative"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("representative")
+    )

@@ -1,0 +1,57 @@
+"""Unit tests for operators/text.py on hand-computed fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import text as T
+
+
+def _one(spark, s: str, col):
+    return spark.createDataFrame([(s,)], "text string").select(col.alias("v")).first().v
+
+
+def test_tokens_normalizes_and_handles_empty(spark):
+    assert _one(spark, "  Foo\t BAR  baz ", T.tokens(F.col("text"))) == [
+        "foo",
+        "bar",
+        "baz",
+    ]
+    assert _one(spark, "", T.tokens(F.col("text"))) == []
+
+
+def test_predicted_language_markers(spark):
+    assert _one(spark, "the cat and the dog of it", T.predicted_language(F.col("text"))) == "en"
+    assert _one(spark, "der hund und die katze", T.predicted_language(F.col("text"))) == "de"
+    assert _one(spark, "xyzzy plugh", T.predicted_language(F.col("text"))) == "und"
+    # tie between de and en → first lang in sorted order (de) wins
+    assert _one(spark, "der the", T.predicted_language(F.col("text"))) == "de"
+
+
+def test_quality_score_bounds_and_signal(spark):
+    rich = "the quick brown foxes jumped over the lazy dogs in the warm field " * 3
+    poor = "!!! ??? 123 456 789 000 111 222 333 444"
+    q_rich = _one(spark, rich, T.quality_score(F.col("text")))
+    q_poor = _one(spark, poor, T.quality_score(F.col("text")))
+    assert 0.0 <= q_poor < q_rich <= 1.0
+
+
+def test_bpe_token_count(spark):
+    # "hello" → ceil(5/4)=2, "hi" → 1, "12" digit run → 1, "!" → 1
+    assert _one(spark, "hello hi 12 !", T.bpe_token_count(F.col("text"))) == 5
+
+
+def test_fingerprint_is_order_sensitive_and_stable(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c",), ("c b a",)], "text string"
+    ).select(T.doc_fingerprint(F.col("text")).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1]          # identical docs → identical fingerprint
+    assert fps[0] != fps[2]          # permutation → different fingerprint
+    assert all(0 <= f < T.FP_MOD for f in fps)
+
+
+def test_marker_count_counts_duplicates(spark):
+    n = _one(spark, "the the the und", T.marker_count(T.tokens(F.col("text")), ["the"]))
+    assert n == 3
