@@ -23,6 +23,7 @@ from payroll_etl_fastapi_spark.plans import suite  # noqa: E402
 from payroll_etl_fastapi_spark.plans import suite_dedup  # noqa: E402,F401  (registers queries)
 from payroll_etl_fastapi_spark.plans import suite_similarity  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_text  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_windows  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,144 @@
+"""Windowed event analytics for the driver gate: sessionization (gap-based
+session windows via lag + running sum) and sliding time windows — the batch
+twins of the Structured Streaming operators in streaming/events.py, each with
+a DuckDB oracle.
+
+Determinism: all time arithmetic is integer epoch-microseconds (Spark
+unix_micros ≡ DuckDB epoch_us); per-user ordering carries event_id as a
+tiebreak; every aggregate is an integer sum/count or a value-cents sum."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.plans.suite import _msum, _sql_msum, _t, query
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, us,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_idx
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_idx,
+               count(*) AS n_events,
+               max(us) - min(us) AS duration_us
+        FROM sessions GROUP BY user_id, session_idx
+    )
+    SELECT user_id,
+           count(*)                AS n_sessions,
+           sum(n_events)           AS n_events,
+           sum(duration_us)        AS total_duration_us,
+           max(n_events)           AS longest_session_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    running sum = session index — the batch expression of session windows;
+    the streaming twin is streaming/events.py session_window path.
+
+    Scale: one shuffle on user_id serves both window functions AND the final
+    per-user aggregate (same partitioning reused across stages)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("duration_us").alias("total_duration_us"),
+            F.max("n_events").alias("longest_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, value, epoch_us(ts) AS us FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    ),
+    exploded AS (
+        SELECT event_type, value,
+               (us // 1800000000 - k) * 1800000000 AS ws_us
+        FROM e, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)            AS n_events,
+           {_sql_msum('value')} AS total_value
+    FROM exploded
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-min windows via the built-in F.window — each event
+    lands in exactly two windows. The oracle replays the same epoch-aligned
+    bucket arithmetic (Spark aligns window starts to the epoch).
+
+    This is the batch twin of the streaming sliding rollup; in streaming the
+    identical expression runs incrementally under a watermark."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _msum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,196 @@
+"""Structured Streaming over the events table.
+
+No reference counterpart (/root/reference ingest is one-shot batch,
+scripts/load_once.py); this is the streaming extension of the engine: the same
+logical rollups the batch suite runs (plans/suite.py events_hourly_rollup,
+plans/suite_windows.py sliding/session) expressed as incremental streams with
+watermarked state, plus a custom stateful operator via applyInPandasWithState.
+
+Design (100 TB / always-on):
+- the source is a file stream (schema-pinned parquet directory) — swap for
+  Kafka by replacing read_events_stream only; every downstream operator is
+  source-agnostic.
+- every aggregation carries a watermark so state is bounded: late events
+  beyond the watermark are dropped and completed windows are evicted.
+- outputs are append-mode-safe (watermark + window aggs), the shape a
+  distributed sink (parquet/Delta partitioned by window start) wants.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# raw parquet schema: ts is int64 nanoseconds (see sources/registry.py — the
+# vectorized reader rejects TIMESTAMP(NANOS), so we read the long and convert)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source over the events parquet directory with the
+    same nanos→micros truncation as the batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # the events file(s) specifically — the sf dir holds every table, and
+        # a schema-pinned source would silently null-fill foreign files' rows
+        .option("pathGlobFilter", "events.parquet*")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour rollup — the incremental twin of the batch
+    events_hourly_rollup query (plans/suite.py): same grouping keys, same
+    measures, watermark bounds the window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_rollup(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding 1-hour/30-min rollup — incremental twin of
+    events_sliding_window (plans/suite_windows.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-merged) — incremental twin of the batch
+    events_sessionization query. Built-in session_window state merges
+    overlapping [ts, ts+gap) intervals; the watermark closes sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-user running totals across micro-batches
+# ---------------------------------------------------------------------------
+
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+RUNNING_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _update_running(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState update fn: fold each micro-batch's rows for the
+    user into (count, sum, last-seen) state, emit the updated row."""
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: exact per-user running totals via
+    applyInPandasWithState (Arrow-batched — the fast Python path). Unlike the
+    windowed aggs, state here is keyed only by user and never expires; at
+    100 TB scale the key space (users) must be bounded or given a TTL timeout."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str) -> None:
+    """Drain the stream's currently-available input into the in-memory sink
+    table `query_name` (test/debug harness; production sinks are files)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,74 @@
+"""Structured Streaming tests: each streaming operator drained with an
+availableNow trigger must agree with its batch twin on the same input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.sources.registry import load_table
+from payroll_etl_fastapi_spark.streaming import events as SE
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return SE.read_events_stream(spark, SF_SMALL)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_SMALL, "events")
+
+
+def _drain(spark, df, name, mode):
+    SE.run_available_now(df, name, mode)
+    return spark.table(name)
+
+
+def test_stream_is_streaming(events_stream):
+    assert events_stream.isStreaming
+
+
+def test_hourly_rollup_matches_batch(spark, events_stream, events_batch):
+    got = _drain(spark, SE.hourly_rollup(events_stream), "t_hourly", "complete")
+    expected = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    g = {(r.window_start, r.event_type): (r.n_events, round(r.total_value, 6)) for r in got.collect()}
+    e = {(r.window_start, r.event_type): (r.n_events, round(r.total_value, 6)) for r in expected.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_sliding_rollup_window_multiplicity(spark, events_stream, events_batch):
+    got = _drain(spark, SE.sliding_rollup(events_stream), "t_sliding", "complete")
+    # every event lands in exactly 2 sliding windows
+    assert got.agg(F.sum("n_events")).first()[0] == 2 * events_batch.count()
+
+
+def test_session_rollup_matches_batch_session_window(spark, events_stream, events_batch):
+    got = _drain(spark, SE.session_rollup(events_stream), "t_sessions", "complete")
+    expected = (
+        events_batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.count() == expected.count() > 0
+    # session event counts must cover every event exactly once
+    assert got.agg(F.sum("n_events")).first()[0] == events_batch.count()
+
+
+def test_running_user_totals_stateful(spark, events_stream, events_batch):
+    got = _drain(spark, SE.running_user_totals(events_stream), "t_running", "update")
+    # in-memory sink accumulates one row per update; keep the last per user
+    final = (
+        spark.table("t_running")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = events_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    g = {r.user_id: r.n_events for r in final.collect()}
+    e = {r.user_id: r.n_events for r in expected.collect()}
+    assert g == e and len(g) > 0
