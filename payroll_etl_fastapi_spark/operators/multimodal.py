@@ -1,0 +1,186 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+No reference counterpart (/root/reference is payroll CSV only); this is the
+training-data-pipeline extension: media travel as opaque `binary` payload
+columns with a typed metadata struct, and decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas iterators over `mapInPandas`.
+
+The decode step itself is STUBBED — the real codec libraries (Pillow,
+torchaudio, pyav) are not in this container. Stubs are deterministic fakes
+over the payload bytes, clearly marked, so the Spark-side contract — schemas,
+UDF signatures, Arrow batch shapes, partition behavior — is real and tested
+end-to-end while the codec remains swappable.
+
+Scale notes (100 TB of media):
+- payloads stay OFF the shuffle path: every operator here is a per-partition
+  map (mapInPandas) — no shuffle touches a binary column; group/join steps
+  downstream should operate on the extracted metadata/features only, carrying
+  a (media_id) key and re-joining payloads only if re-materialization is
+  genuinely needed.
+- Arrow moves the bytes executor→Python zero-copy per batch;
+  spark.sql.execution.arrow.maxRecordsPerBatch bounds peak Python memory
+  (payloads are large — batches should be sized by bytes, so the iterator
+  re-chunks internally by _MAX_BATCH_BYTES).
+- on a real cluster the payload column would live in its own parquet column
+  chunk; column pruning means metadata-only queries never read the bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha16", StringType()),  # first 16 hex of sha256
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+_MAX_BATCH_BYTES = 64 << 20  # re-chunk threshold inside the iterator
+
+_FEATURE_DIM = 8
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """DETERMINISTIC FAKE of a decode→embed step: 8 doubles from the sha256
+    digest, scaled to [0, 1). Swap for a real codec + model when available."""
+    digest = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+        for i in range(_FEATURE_DIM)
+    ]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """payload → fixed-dim feature vector + content hash, via mapInPandas.
+
+    The iterator contract is the real thing: consume input batches lazily,
+    re-chunk output so huge payload batches can't balloon Python memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, acc_bytes = [], 0
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_bytes": len(payload),
+                        "sha16": hashlib.sha256(payload).hexdigest()[:16],
+                        "features": _fake_decode_features(payload),
+                    }
+                )
+                acc_bytes += len(payload)
+                if acc_bytes >= _MAX_BATCH_BYTES:
+                    yield pd.DataFrame(out)
+                    out, acc_bytes = [], 0
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB of an image resize: real pixel work needs a codec library that is
+    not in this container. The Spark contract (signature, schema: payload
+    replaced, meta.width/height updated) is exercised by tests; the pixel
+    transform raises so nobody mistakes the fake for a real resize."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires a codec library (e.g. Pillow) not present "
+            "in this environment; plug one in here"
+        )
+        yield  # pragma: no cover — keeps this a generator
+
+    return media.mapInPandas(run, media.schema)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 3) -> DataFrame:
+    """Frame sampling over video payloads via a DETERMINISTIC FAKE splitter:
+    the payload is treated as fixed 16-byte frames, every `every_n`-th taken,
+    capped at `max_frames`. One input row fans out to ≤ max_frames rows —
+    the real exploding-cardinality shape of a frame sampler."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                frames = [
+                    payload[i : i + 16] for i in range(0, len(payload), 16)
+                ][::every_n][:max_frames]
+                for idx, fb in enumerate(frames):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": idx,
+                            "frame_bytes": fb,
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapter: forge a media table from the documents table (UTF-8 bytes as
+    payload) so the multimodal plumbing is exercisable on driver testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,60 @@
+"""Unit tests for operators/multimodal.py: mapInPandas plumbing — schemas,
+fan-out shapes, determinism — with the stubbed decode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", bytearray(b"x" * 40), ("image/png", 4, 4, None)),
+        (2, "video", bytearray(b"frame-a-00frame-b-09frame-c-31frame-d-42"), ("video/mp4", 8, 8, 4000)),
+        (3, "audio", bytearray(b""), ("audio/wav", None, None, 1000)),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_extract_features_matches_hashlib(media_df):
+    got = {r.media_id: r for r in MM.extract_features(media_df).collect()}
+    assert set(got) == {1, 2, 3}
+    payload = b"x" * 40
+    assert got[1].n_bytes == 40
+    assert got[1].sha16 == hashlib.sha256(payload).hexdigest()[:16]
+    assert got[1].features == MM._fake_decode_features(payload)
+    assert len(got[1].features) == MM._FEATURE_DIM
+    assert all(0.0 <= f < 1.0 for f in got[1].features)
+    assert got[3].n_bytes == 0  # empty payload flows through, no crash
+
+
+def test_sample_frames_fanout(media_df):
+    frames = MM.sample_frames(media_df, every_n=2, max_frames=3).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    # media 2: 40+ bytes → 16-byte frames 0,1,2 → every 2nd → frames 0 and 2
+    assert [r.frame_idx for r in sorted(by_media[2], key=lambda r: r.frame_idx)] == [0, 1]
+    # media 3 (empty) produces no frames
+    assert 3 not in by_media
+
+
+def test_resize_is_marked_unimplemented(media_df):
+    out = MM.resize_images(media_df, 8, 8)
+    assert out.schema == media_df.schema  # contract: same schema out
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        out.collect()
+
+
+def test_media_from_documents_schema(spark):
+    docs = spark.createDataFrame([(7, "hello")], "doc_id long, text string")
+    media = MM.media_from_documents(docs)
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload", "meta"]
+    row = media.first()
+    assert bytes(row.payload) == b"hello"
+    assert row.meta.mime == "application/octet-stream"
