@@ -44,6 +44,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():
+        spark.catalog.clearCache()  # each query timed standalone, no cross-query reuse
         t0 = time.perf_counter()
         try:
             fn(spark, SF_DIR).collect()

@@ -34,7 +34,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LSH_SEED = 0x5EED
-DEFAULT_PLANES = 16
+# 32 planes / 4 bands = 8 sign bits per band: two unrelated vectors collide on
+# a band w.p. ~2^-8, so the candidate set stays ~1% of all pairs; a 0.9-cosine
+# near-dup pair still shares ≥1 band w.p. ~0.8 (per-bit agreement 1 - θ/π)
+DEFAULT_PLANES = 32
 DEFAULT_BANDS = 4
 
 
@@ -225,23 +228,35 @@ def embedding_near_dup_pairs(
     pairs = F.array(
         *[F.struct(F.lit(b).alias("band"), s.alias("sig")) for b, s in enumerate(sigs)]
     )
+    # norm is precomputed per ROW, not per candidate pair — the value is
+    # bit-identical (same fold, same sqrt), it just runs |corpus| times
+    # instead of |candidates| times
     hashed = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(pairs).alias("bs")
-    ).select("id", "vec", "bs.band", "bs.sig")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+        F.explode(pairs).alias("bs"),
+    ).select("id", "vec", "norm", "bs.band", "bs.sig")
+    # both self-join sides read this frame; materialize the plane-dots once
+    hashed = hashed.cache()
+    hashed.count()
     left = hashed.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band", "sig"
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"), "band", "sig",
     )
     right = hashed.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band", "sig"
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"), "band", "sig",
     )
     cand = (
         left.join(right, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    cos = dot(F.col("vec_a"), F.col("vec_b")) / F.nullif(
+        F.col("norm_a") * F.col("norm_b"), F.lit(0.0)
+    )
     return (
-        cand.select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
-        )
+        cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

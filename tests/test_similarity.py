@@ -77,7 +77,9 @@ def test_lsh_topk_subset_of_exact_ranking(emb_df):
         (r.query_id, r.neighbor_id): r.cosine
         for r in sim.cosine_topk(df, queries, k=1000).collect()
     }
-    got = sim.lsh_topk(df, queries, k=5, dim=8).collect()
+    # 2-bit bands → high collision rate, so candidates exist even on 40
+    # random low-dim vectors
+    got = sim.lsh_topk(df, queries, k=5, dim=8, num_planes=16, bands=8).collect()
     assert got, "LSH produced no candidates at all"
     for r in got:
         assert r.cosine == exact[(r.query_id, r.neighbor_id)]
