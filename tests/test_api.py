@@ -1,0 +1,78 @@
+"""Service-layer tests against the reference CSV: golden anchors from
+BASELINE.md plus the 404 and shape semantics of /root/reference/src/api.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from payroll_etl_fastapi_spark.api import NotFound, PayrollService
+from payroll_etl_fastapi_spark.etl import PayrollWarehouse
+
+
+@pytest.fixture(scope="module")
+def service(spark, reference_csv, tmp_path_factory):
+    wh = PayrollWarehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    wh.load_csv(reference_csv)
+    return PayrollService(wh)
+
+
+def test_health(service):
+    assert service.health() == {"status": "ok"}
+
+
+def test_summary_golden(service):
+    s = service.summary("2025-05")
+    assert round(s["fot"], 2) == 696994.07
+    assert round(s["taxes"], 2) == 139358.22
+    assert round(s["gross"], 2) == 605727.98
+    assert round(s["net"], 2) == 545892.41
+    assert s["headcount"] == 440
+    assert s["tax_share"] == pytest.approx(139358.22 / 605727.98, rel=1e-9)
+
+
+def test_summary_missing_month_404(service):
+    with pytest.raises(NotFound):
+        service.summary("1999-01")
+
+
+def test_by_dept_shape(service):
+    rows = service.by_dept("2025-05")
+    assert [r["dept_name"] for r in rows] == sorted(r["dept_name"] for r in rows)
+    assert {"dept_name", "fot", "gross", "net", "fte", "headcount"} <= set(rows[0])
+    with pytest.raises(NotFound):
+        service.by_dept("1999-01")
+
+
+def test_delta_golden(service):
+    d = service.delta("2025-04", "2025-05")
+    assert round(d["company"]["gross_delta"], 2) == -12606.72
+    assert round(d["company"]["bonus_delta"], 2) == -476.59
+    assert round(d["company"]["overtime_delta"], 2) == 1301.92
+    assert round(d["company"]["fot_delta"], 2) == -11781.39
+    assert all("fot_delta" in r for r in d["by_dept"])
+
+
+def test_anomalies_golden(service):
+    rows = service.anomalies("2025-05", threshold=3.5, limit=10)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["emp_id"] == "E100404" and r["dept"] == "IT"
+    assert r["net"] == pytest.approx(2987.78)
+    assert r["median_net"] == pytest.approx(1362.215)
+    assert r["mad"] == pytest.approx(304.59)
+    assert r["z"] == pytest.approx(3.5997360139860146)
+
+
+def test_anomalies_dept_filter_and_missing_month(service):
+    rows = service.anomalies("2025-05", threshold=0.0, limit=5, dept="IT")
+    assert rows and all(r["dept"] == "IT" for r in rows)
+    assert service.anomalies("1999-01") == []  # reference returns [] (no 404)
+
+
+def test_fastapi_wiring_import_gated(service):
+    pytest.importorskip("fastapi")
+    from payroll_etl_fastapi_spark.api import create_app
+
+    app = create_app(service)
+    paths = {r.path for r in app.routes}
+    assert {"/health", "/kpi/summary", "/kpi/by-dept", "/kpi/delta", "/kpi/anomalies"} <= paths
