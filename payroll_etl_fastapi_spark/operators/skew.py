@@ -1,0 +1,75 @@
+"""Skew-handling utilities for hot-key aggregations and joins.
+
+AQE's skew-join splitting (on in session.py) handles sort-merge skew
+automatically; these helpers cover the cases AQE cannot: a groupBy whose hot
+key overwhelms one reducer, and a shuffle join against a *small-but-not-tiny*
+table where one probe key dominates.
+
+Both are pure plan rewrites — results are exactly equal to the unsalted
+equivalent (verified by tests), so callers can apply them based on observed
+key histograms without changing semantics.
+
+Scale notes (100 TB): a single key holding 1% of a 100 TB fact is 1 TB into
+one task without salting. Salting bounds per-task input at shuffle time for
+the price of a second (tiny) aggregation over `salt_buckets × |keys|` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """groupBy(keys).sum(...) in two stages: (keys, salt) partial sums — at
+    most `salt_buckets` tasks share one hot key — then a final cheap combine
+    over salt_buckets×|keys| rows.
+
+    `sums` maps input column → output alias. Sums (and counts via a lit(1)
+    column) are the decomposable aggregates this pattern supports; avg/median
+    need their own decompositions."""
+    salted = df.withColumn("_salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(c).alias(f"_p_{a}") for c, a in sums.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"_p_{a}").alias(a) for a in sums.values()]
+    )
+
+
+def replicated_salt_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `big` has skewed keys and `small` is too large to
+    broadcast outright: salt the big side, replicate the small side
+    salt_buckets×, join on (key, salt). Every physical join key now carries
+    ≤ 1/salt_buckets of a hot key's rows.
+
+    Output columns = the plain `big.join(small, key, how)` (salt dropped)."""
+    b = big.withColumn("_salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    s = small.crossJoin(
+        F.broadcast(
+            b.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Top-N key frequencies — the observability step that decides whether
+    salting is worth it (run on a sample at 100 TB)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(key))
+        .limit(top)
+    )
