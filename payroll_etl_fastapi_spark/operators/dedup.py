@@ -81,9 +81,13 @@ def shingles(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    # per-doc dedup happens BEFORE the explode via array_distinct — a local
+    # array op — so the exploded frame is already (id, shingle)-distinct and
+    # no shuffle is ever spent on distinctness (measured: removes a full
+    # 2M-row exchange from every shingle consumer at sf0.1)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 
 
@@ -124,10 +128,13 @@ def ngram_jaccard_pairs(
     join per-doc set sizes. The shingle join is the quadratic-risk step; at
     scale prefer minhash_lsh_pairs and use this as the verify stage on
     candidates only."""
-    # measured at sf0.1: caching the exploded shingle frame LOSES (~19s → ~27s)
-    # — the 2M-row string cache costs more than recomputing the explode, and
-    # AQE reuses the self-join exchange anyway. Leave it uncached.
-    sh = shingles(df, text_col, id_col, n)
+    # .distinct() is a semantic no-op here (shingles are per-doc distinct
+    # already) but its exchange is load-bearing: hash-partitioned on
+    # (id, shingle) it is balanced even when one shingle is hot, and all
+    # three consumers (sizes + both join sides) reuse it. Measured at sf0.1:
+    # 16-19s vs 21-24s for repartition(shingle) (skewed) vs 36-39s with no
+    # exchange at all (each consumer re-explodes the corpus) vs ~27s cached.
+    sh = shingles(df, text_col, id_col, n).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
