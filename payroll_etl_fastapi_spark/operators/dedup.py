@@ -198,19 +198,20 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).cache()
 
-    band_frames = []
+    # one pass: explode an array of (band, sig) structs — a union of per-band
+    # selects would re-derive the whole signature pipeline once per band
+    band_structs = []
     for bidx in range(bands):
         cols = [f"mh_{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                "id",
+        band_structs.append(
+            F.struct(
                 F.lit(bidx).alias("band"),
                 F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
             )
         )
-    banded = band_frames[0]
-    for bf in band_frames[1:]:
-        banded = banded.unionByName(bf)
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", "bs.band", "bs.sig")
 
     cand = (
         banded.alias("x")
@@ -291,23 +292,22 @@ def simhash_pairs(
     sig = simhash(df, text_col, id_col, bits, ngram).cache()
     chunk_bits = bits // chunks
 
-    chunk_frames = []
+    # one pass over sig via struct-explode (see minhash_lsh_pairs)
+    chunk_structs = []
     for cidx in range(chunks):
         width = chunk_bits if cidx < chunks - 1 else bits - chunk_bits * (chunks - 1)
         mask = (1 << width) - 1
-        chunk_frames.append(
-            sig.select(
-                "id",
-                "simhash",
+        chunk_structs.append(
+            F.struct(
                 F.lit(cidx).alias("chunk"),
                 F.shiftright(F.col("simhash"), cidx * chunk_bits)
                 .bitwiseAND(F.lit(mask))
                 .alias("cval"),
             )
         )
-    chunked = chunk_frames[0]
-    for cf in chunk_frames[1:]:
-        chunked = chunked.unionByName(cf)
+    chunked = sig.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cs")
+    ).select("id", "simhash", "cs.chunk", "cs.cval")
 
     return (
         chunked.alias("x")
