@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the PLANS.md claims as assertions.
+
+A correctness-preserving edit can silently turn a broadcast join into a
+sort-merge join or lose a pushed filter; at 100 TB those are outages, not
+style issues. These tests pin the plan shapes on the headline queries."""
+
+from __future__ import annotations
+
+import io
+import re
+
+import pytest
+from contextlib import redirect_stdout
+
+from payroll_etl_fastapi_spark.plans.suite import QUERIES
+import payroll_etl_fastapi_spark.plans.suite_windows  # noqa: F401  (registers)
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nodes(plan: str, label: str) -> int:
+    """Count physical nodes by their detail headers — the tree section
+    repeats every node, so a raw substring count double-counts."""
+    return len(re.findall(rf"^\(\d+\) {label}", plan, flags=re.M))
+
+
+def test_summary_pushes_range_filter_and_joins_nothing(spark):
+    plan = _plan(spark, "kpi_summary_month")
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(l_shipdate", plan)
+    assert "Join" not in plan
+    # column pruning: the scan must not read unreferenced wide columns
+    assert "l_comment" not in plan
+
+
+def test_rollup_broadcasts_all_dims(spark):
+    plan = _plan(spark, "kpi_rollup_by_nation")
+    assert _nodes(plan, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+
+
+def test_anomalies_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "kpi_anomalies_mad")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # med/mad scalars broadcast back
+
+
+def test_topk_orders_is_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    # scan reads only the three referenced columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    }
+
+
+def test_sessionization_single_user_exchange(spark):
+    plan = _plan(spark, "events_sessionization")
+    # window funcs + both aggregates reuse ONE hash partitioning on user_id:
+    # exactly one shuffle over the events (AQE may add a final tiny exchange
+    # for the output ordering)
+    exchanges = re.findall(r"Arguments: hashpartitioning\(user_id", plan)
+    assert len(exchanges) == 1
