@@ -40,11 +40,25 @@ class PayrollWarehouse:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
-    def _write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+    def _write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+    ) -> None:
         """Write-then-swap: the merge plans lazily read the current table, so we
-        never overwrite a path that is an input of the plan being executed."""
+        never overwrite a path that is an input of the plan being executed.
+
+        `sort_within` clusters rows inside each output file so parquet
+        min/max row-group stats become selective on those columns — the
+        engine's analog of the reference's secondary (emp_id, month) B-tree
+        (/root/reference/src/models.py:46-50): a point predicate skips whole
+        row groups instead of scanning the partition."""
         target = self.path(table)
         tmp = target + "__tmp"
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -123,7 +137,9 @@ class PayrollWarehouse:
         else:
             fact_out = facts
         # align column order: partition column last is not required; keep schema
-        self._write(fact_out, "fact_payroll", partition_by=["month"])
+        self._write(
+            fact_out, "fact_payroll", partition_by=["month"], sort_within=["emp_id"]
+        )
 
         counts = {
             "dim_dept": self.read("dim_dept").count(),
