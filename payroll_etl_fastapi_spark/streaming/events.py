@@ -183,6 +183,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, partition_by: str | None = None
+) -> None:
+    """Production-shaped sink: append-mode parquet with a checkpoint for
+    exactly-once file output; drains currently-available input and stops.
+    Partitioning by window start keeps downstream reads prunable."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str) -> None:
     """Drain the stream's currently-available input into the in-memory sink
     table `query_name` (test/debug harness; production sinks are files)."""
