@@ -1,0 +1,65 @@
+"""Streaming queries in the driver gate: the Structured Streaming hourly
+rollup drained with an availableNow trigger must produce exactly the batch
+answer — so it shares the batch twin's DuckDB oracle (same cents-exact sums,
+same formatted window keys).
+
+This is the strongest statement the gate can make about the streaming path:
+not just "runs and row counts look right", but hash-identical to a SQL
+oracle that never saw a stream."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.plans.suite import _cents, _sql_msum, query
+from payroll_etl_fastapi_spark.streaming import events as SE
+
+_counter = itertools.count()
+
+
+@query(
+    "streaming_hourly_rollup",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           count(*)             AS n_events,
+           {_sql_msum('value')} AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_hourly_rollup frame computed INCREMENTALLY: file stream →
+    watermarked tumbling windows → complete-mode memory sink, fully drained.
+    Oracle-identical to the batch twin because the cents sums are exact
+    integers regardless of micro-batch boundaries."""
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+    filtered = stream.filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    )
+    rolled = (
+        filtered.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("cents"),
+        )
+    )
+    name = f"t_gate_hourly_{next(_counter)}"  # unique per invocation
+    SE.run_available_now(rolled, name, "complete")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
