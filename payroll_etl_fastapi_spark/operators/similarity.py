@@ -150,6 +150,65 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k on the Arrow/numpy fast path: the query
+    matrix rides to every partition inside the closure, each Arrow batch of
+    corpus vectors becomes one numpy GEMM, and only per-batch top-k rows
+    leave Python. ~10-100× the FLOP rate of the fold-based exact path at
+    high dims, at the cost of numpy's pairwise-summation float results
+    (ULP-level differences — fine for retrieval, not for the bit-exact
+    oracle gate; use cosine_topk there).
+
+    Scale: no shuffle of the corpus; the final exact top-k merge ranks
+    |queries|×k×|partitions| candidate rows — negligible."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r.qid for r in q_rows])
+    Q = np.array([r.qv for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Cn @ Qn.T  # |batch| × |queries|
+            rows = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                take = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                rows.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[take], "cosine": col[take]}
+                    )
+                )
+            if rows:
+                yield pd.concat(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -96,3 +96,16 @@ def test_near_dup_pairs_find_planted_duplicates(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     # verbatim copies share every band signature → all 20 planted pairs found
     assert {(i, i + 100) for i in range(20)} <= got
+
+
+def test_arrow_topk_matches_exact_path(emb_df):
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = sim.cosine_topk(df, queries, k=5).collect()
+    fast = sim.cosine_topk_arrow(df, queries, k=5).collect()
+    e = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact}
+    f = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in fast}
+    assert set(e) == set(f)
+    for key in e:
+        assert e[key][0] == f[key][0]                      # same neighbors/order
+        assert abs(e[key][1] - f[key][1]) < 1e-12          # ULP-level agreement
