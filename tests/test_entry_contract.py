@@ -1,0 +1,40 @@
+"""Driver-contract tests for __spark_entry__: the exact interface the
+round driver consumes (entry smoke, queries/oracle registry invariants)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_SMALL
+
+
+def test_registry_invariants():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 30
+    assert all(callable(fn) for fn in qs.values())
+    # every oracle refers to a registered query
+    assert set(oracles) <= set(qs)
+    # every query is oracle-paired (we have no rows-only entries today —
+    # loosen deliberately if one is ever added)
+    assert set(oracles) == set(qs)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["nation", "revenue", "sum_qty", "customers", "line_count"]
+
+
+def test_queries_are_rerunnable(spark):
+    """A queries() callable must be side-effect-free enough to run twice in
+    one session (the driver may retry) — exercised on a streaming-backed and
+    a batch-backed entry."""
+    for name in ["streaming_hourly_rollup", "kpi_summary_month"]:
+        fn = entry_mod.queries()[name]
+        a = fn(spark, SF_SMALL).collect()
+        b = fn(spark, SF_SMALL).collect()
+        assert a == b and len(a) > 0
