@@ -14,10 +14,12 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from payroll_etl_fastapi_spark.plans.suite import _cents, _sql_msum, query
+from payroll_etl_fastapi_spark.plans.suite import _cents, _sql_cents, _sql_msum, query
 from payroll_etl_fastapi_spark.streaming import events as SE
 
 _counter = itertools.count()
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 @query(
@@ -62,4 +64,71 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") / 100.0).alias("total_value"),
         )
         .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "streaming_session_rollup",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               {_sql_cents('value')} AS cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us, cents,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, us, cents,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*)            AS n_events,
+           sum(cents) / 100.0  AS total_value
+    FROM sessions
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows computed INCREMENTALLY by the streaming
+    session_window operator, fully drained. The oracle replays the merge rule
+    exactly: session_window intervals are [ts, last_ts + gap), so an event at
+    delta >= gap starts a NEW session (note >= , vs > in the lag-based batch
+    sessionization query — the two operators' boundary semantics differ by
+    design and both are gated)."""
+    from payroll_etl_fastapi_spark.plans.suite import _cents as cents_fn
+
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+    rolled = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_fn(F.col("value"))).alias("cents"),
+        )
+    )
+    name = f"t_gate_sessions_{next(_counter)}"
+    SE.run_available_now(rolled, name, "complete")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
     )
