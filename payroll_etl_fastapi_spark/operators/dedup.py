@@ -327,3 +327,61 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The 100 TB near-dup pipeline in one operator: MinHash-LSH candidate
+    generation followed by EXACT n-gram Jaccard verification on candidates
+    only — the quadratic shingle self-join never runs.
+
+    Returns (id_a, id_b, jaccard) with exact jaccard ≥ threshold, restricted
+    to pairs sharing ≥1 LSH band (recall bounded by the band structure, like
+    minhash_lsh_pairs; unlike it, the reported similarity is exact, not the
+    signature estimate). Per-doc shingle SETS ride the candidate join as
+    array columns — fine while docs are ~10^2-10^3 shingles; beyond that,
+    verify via the grouped-count join on the candidate subset instead."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    band_structs = []
+    for bidx in range(bands):
+        cols = [f"mh_{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "id", "bs.band", "bs.sig"
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sets = shingles(df, text_col, id_col, n).groupBy("id").agg(
+        F.collect_set("shingle").alias("sh_set")
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )

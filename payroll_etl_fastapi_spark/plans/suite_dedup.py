@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from payroll_etl_fastapi_spark.operators import dedup
-from payroll_etl_fastapi_spark.plans.suite import _r6, _t, query
+from payroll_etl_fastapi_spark.plans.suite import _r6, _sql_r6, _t, query
 
 _COPY_OFFSET = 1_000_000
 _MUTATION = " qq ww ee"
@@ -231,3 +231,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id", bits=dedup.SIMHASH_BITS, max_distance=3, chunks=4
     )
     return out.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
+def _minhash_verified_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    coeffs = dedup.minhash_coefficients(num_hashes)
+    p = dedup.MERSENNE_P
+    h = _SQL_H28.format(col="s")
+    mins = ",\n               ".join(
+        f"min(({a} * {h} + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_sql_corpus(mutated=True)},
+    {_SQL_SHINGLES},
+    mh AS (
+        SELECT id, {mins}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+    ),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cand c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b AND sa.s = sb.s
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT common.id_a, common.id_b,
+           {_sql_r6('common.common * 1.0 / (sa.n_shingles + sb.n_shingles - common.common)')} AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.id
+    JOIN sizes sb ON common.id_b = sb.id
+    WHERE common.common * 1.0 / (sa.n_shingles + sb.n_shingles - common.common) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_minhash_verified", oracle=_minhash_verified_oracle())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB near-dup pipeline (operators.dedup.
+    minhash_verified_pairs): LSH-banded candidates, then EXACT Jaccard
+    verification restricted to candidates — the quadratic shingle self-join
+    never materializes, yet the reported similarity is exact. The oracle
+    replays candidates and verification identically."""
+    corpus = _spark_corpus(spark, sf_dir, mutated=True)
+    out = dedup.minhash_verified_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )

@@ -110,3 +110,30 @@ def test_simhash_blocking_equals_bruteforce(spark):
         .collect()
     }
     assert blocked == brute
+
+
+def test_minhash_verified_pairs_exact_on_candidates(spark):
+    """The composed LSH→exact-verify pipeline reports EXACT jaccard for every
+    pair it returns, and its pairs are a subset of the full quadratic join."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h x"),   # near-dup of 1
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v w y"),   # near-dup of 3
+            (5, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_verified_pairs(docs, threshold=0.3).collect()
+    }
+    assert set(verified) <= set(full)
+    for pair, j in verified.items():
+        assert j == full[pair]          # exact, not the signature estimate
+    assert (1, 2) in verified and (3, 4) in verified  # near-dups survive LSH
