@@ -212,3 +212,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine")).orderBy(
         "id_a", "id_b"
     )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+        ORDER BY vec_id LIMIT {N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cent_vec')} DESC, c.cent_id
+               ) AS crank
+        FROM embeddings e, cents c
+    ),
+    lists AS (SELECT neighbor_id, c_vec, cent_id FROM assigned WHERE crank = 1),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cosine('q.embedding', 'c.cent_vec')} DESC, c.cent_id
+               ) AS crank
+        FROM embeddings q, cents c
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, p.q_vec, l.neighbor_id, l.c_vec
+        FROM lists l
+        JOIN (SELECT * FROM probes WHERE crank <= {N_PROBE}) p
+          ON l.cent_id = p.cent_id AND l.neighbor_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               {_sql_cosine('q_vec', 'c_vec')} AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_sql_cosine('q_vec', 'c_vec')} DESC, neighbor_id
+               ) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, {_sql_r6('cosine')} AS cosine, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators.similarity.ivf_topk): deterministic
+    coarse quantizer (lowest-id vectors as centroids), nearest-centroid
+    inverted lists, n_probe-bounded search, exact re-rank. The oracle replays
+    assignment, probing and re-ranking with the same fold-exact cosines, so
+    recall losses from probe coverage reproduce identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = sim.ivf_topk(emb, queries, K, n_centroids=N_CENTROIDS, n_probe=N_PROBE)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")

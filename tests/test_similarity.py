@@ -109,3 +109,25 @@ def test_arrow_topk_matches_exact_path(emb_df):
     for key in e:
         assert e[key][0] == f[key][0]                      # same neighbors/order
         assert abs(e[key][1] - f[key][1]) < 1e-12          # ULP-level agreement
+
+
+def test_ivf_topk_exact_values_on_probed_lists(emb_df):
+    """IVF results re-rank probed inverted lists with the same exact cosine:
+    every returned pair must carry the bit-identical brute-force value, and
+    full probe coverage (n_probe == n_centroids) recovers exact top-k."""
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim.cosine_topk(df, queries, k=1000).collect()
+    }
+    got = sim.ivf_topk(df, queries, k=5, n_centroids=8, n_probe=2).collect()
+    assert got
+    for r in got:
+        assert r.cosine == exact[(r.query_id, r.neighbor_id)]
+
+    full = sim.ivf_topk(df, queries, k=5, n_centroids=8, n_probe=8).collect()
+    brute = sim.cosine_topk(df, queries, k=5).collect()
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in full} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in brute
+    }
