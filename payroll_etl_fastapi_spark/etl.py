@@ -137,8 +137,14 @@ class PayrollWarehouse:
         else:
             fact_out = facts
         # align column order: partition column last is not required; keep schema
+        # the partition column LEADS the sort: the dynamic-partition writer
+        # requires month ordering and would otherwise insert its own sort,
+        # silently discarding the emp_id clustering
         self._write(
-            fact_out, "fact_payroll", partition_by=["month"], sort_within=["emp_id"]
+            fact_out,
+            "fact_payroll",
+            partition_by=["month"],
+            sort_within=["month", "emp_id"],
         )
 
         counts = {

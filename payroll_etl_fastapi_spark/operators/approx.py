@@ -45,39 +45,24 @@ def kpi_anomalies_approx(
     month: str,
     threshold: float = 3.5,
     limit: int = 50,
+    dept: str | None = None,
     accuracy: int = 10000,
 ) -> DataFrame:
-    """The anomalies plan with sketch medians — same shape as
-    plans/kpi.kpi_anomalies (broadcast med/mad joins, top-K then threshold),
-    but both percentile aggregations are single-pass sketches. Use when the
-    per-department value sets no longer fit a sort-based agg comfortably."""
-    from payroll_etl_fastapi_spark.plans.kpi import _month_lit
+    """The anomalies plan with sketch medians: the SAME plan as
+    plans/kpi.kpi_anomalies (broadcast med/mad joins, top-K then threshold)
+    with only the percentile expression swapped — so any fix to the
+    load-bearing anomalies semantics applies to both variants by
+    construction. Use when per-department value sets no longer fit a
+    sort-based agg comfortably."""
+    from payroll_etl_fastapi_spark.plans.kpi import kpi_anomalies
 
-    m = _month_lit(month)
-    data = (
-        fact.filter(F.col("month") == F.lit(m))
-        .join(F.broadcast(dim_employee), "emp_id", "inner")
-        .join(F.broadcast(dim_dept), "dept_id", "inner")
-        .select("emp_id", F.col("dept_name").alias("dept"), "net")
+    return kpi_anomalies(
+        fact,
+        dim_employee,
+        dim_dept,
+        month,
+        threshold,
+        limit,
+        dept,
+        median_fn=lambda c: approx_median(c, accuracy),
     )
-    med = data.groupBy("dept").agg(approx_median("net", accuracy).alias("median_net"))
-    dev = data.join(F.broadcast(med), "dept").withColumn(
-        "abs_dev", F.abs(F.col("net") - F.col("median_net"))
-    )
-    mad = dev.groupBy("dept").agg(approx_median("abs_dev", accuracy).alias("mad"))
-    scored = (
-        data.join(F.broadcast(med), "dept")
-        .join(F.broadcast(mad), "dept")
-        .withColumn(
-            "z",
-            F.lit(0.6745)
-            * (F.col("net") - F.col("median_net"))
-            / F.nullif(F.col("mad"), F.lit(0.0)),
-        )
-    )
-    topk = scored.orderBy(
-        F.abs(F.coalesce(F.col("z"), F.lit(0.0))).desc_nulls_last(), F.col("emp_id")
-    ).limit(limit)
-    return topk.filter(
-        F.col("z").isNull() | (F.abs(F.col("z")) >= F.lit(float(threshold)))
-    ).select("emp_id", "dept", "net", "median_net", "mad", "z")

@@ -178,6 +178,35 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _lsh_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 signature band.
+
+    One pass over sig: explode an array of (band, sig) structs — a union of
+    per-band selects would re-derive the whole signature pipeline once per
+    band. Shared by minhash_lsh_pairs and minhash_verified_pairs so the band
+    layout (struct shape, "," separator, row grouping) cannot diverge."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for bidx in range(bands):
+        cols = [f"mh_{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", "bs.band", "bs.sig")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -195,31 +224,8 @@ def minhash_lsh_pairs(
     Jaccard = fraction of agreeing minhashes over the full signature; pairs
     below `min_est` are dropped (LSH false positives)."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).cache()
-
-    # one pass: explode an array of (band, sig) structs — a union of per-band
-    # selects would re-derive the whole signature pipeline once per band
-    band_structs = []
-    for bidx in range(bands):
-        cols = [f"mh_{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
-            )
-        )
-    banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("id", "bs.band", "bs.sig")
-
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "sig"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(sig, num_hashes, bands)
     sig_a = sig.select(
         F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]
     )
@@ -350,27 +356,8 @@ def minhash_verified_pairs(
     array columns — fine while docs are ~10^2-10^3 shingles; beyond that,
     verify via the grouped-count join on the candidate subset instead."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
-    band_structs = []
-    for bidx in range(bands):
-        cols = [f"mh_{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
-            )
-        )
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
-        "id", "bs.band", "bs.sig"
-    )
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "sig"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(sig, num_hashes, bands)
     sets = shingles(df, text_col, id_col, n).groupBy("id").agg(
         F.collect_set("shingle").alias("sh_set")
     )

@@ -106,7 +106,8 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out, acc_bytes = [], 0
             for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+                # payload is nullable — treat null as empty, don't crash the task
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
                 out.append(
                     {
                         "media_id": row["media_id"],
@@ -152,6 +153,8 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 3) -> Da
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    continue  # null payload → no frames, like an empty one
                 payload = bytes(row["payload"])
                 frames = [
                     payload[i : i + 16] for i in range(0, len(payload), 16)

@@ -166,7 +166,10 @@ def cosine_topk_arrow(
     oracle gate; use cosine_topk there).
 
     Scale: no shuffle of the corpus; the final exact top-k merge ranks
-    |queries|×k×|partitions| candidate rows — negligible."""
+    |queries|×k×|partitions| candidate rows — negligible.
+
+    Zero-norm divergence from cosine_topk: the exact path emits such
+    neighbors with null cosine (ranked last); this path drops them."""
     import numpy as np
     import pandas as pd
 
@@ -183,14 +186,22 @@ def cosine_topk_arrow(
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             C = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cn = np.where(norms > 0, C / norms, 0.0)
             sims = Cn @ Qn.T  # |batch| × |queries|
             rows = []
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]
-                mask = ids != qid
+                # drop self and zero-norm rows (exact path gives them null
+                # cosine sorted last; NaN here would sort FIRST under desc)
+                mask = (ids != qid) & (norms[:, 0] > 0) & ~np.isnan(col)
                 cand_idx = np.nonzero(mask)[0]
-                take = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                # per-batch truncation must tie-break like the final window
+                # (cosine desc, neighbor_id asc) or ties at the k-boundary
+                # get dropped by batch position
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))
+                take = cand_idx[order][:k]
                 rows.append(
                     pd.DataFrame(
                         {"query_id": qid, "neighbor_id": ids[take], "cosine": col[take]}
@@ -296,9 +307,10 @@ def embedding_near_dup_pairs(
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
         F.explode(pairs).alias("bs"),
     ).select("id", "vec", "norm", "bs.band", "bs.sig")
-    # both self-join sides read this frame; materialize the plane-dots once
+    # both self-join sides read this frame; cache so the plane-dots
+    # materialize once at first action (no eager count — constructing the
+    # plan must not itself launch a job)
     hashed = hashed.cache()
-    hashed.count()
     left = hashed.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
         F.col("norm").alias("norm_a"), "band", "sig",
@@ -340,35 +352,45 @@ def ivf_topk(
     -cosine centroid; a query probes its `n_probe` nearest centroids and
     exact-cosine re-ranks ONLY those inverted lists.
 
-    Scale shape: assignment is a broadcast cross-join (corpus × tiny
-    centroid set) + per-row argmax — one projection, no shuffle; the search
-    touches ~n_probe/n_centroids of the corpus. Recall is bounded by probe
-    coverage, exactly what the paired oracle replays."""
-    cents = F.broadcast(
+    Scale shape: assignment is genuinely shuffle-free — the centroid set is
+    tiny by construction, so it is collected and inlined as literal arrays,
+    and per-row argmax is a greatest-over-structs expression (struct compare:
+    cosine desc, then smallest centroid id — the same tie rule as the
+    oracle's row_number). The search then touches ~n_probe/n_centroids of
+    the corpus. Recall is bounded by probe coverage, exactly what the paired
+    oracle replays."""
+    cent_rows = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .orderBy("cent_id")
         .limit(n_centroids)
+        .collect()
     )
 
-    def assign(df: DataFrame, id_alias: str, vec_alias: str, keep: int) -> DataFrame:
-        scored = (
-            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
-            .crossJoin(cents)
-            .select(
-                id_alias,
-                vec_alias,
-                "cent_id",
-                cosine(F.col(vec_alias), F.col("cent_vec")).alias("cent_cos"),
+    def centroid_structs(vec_alias: str) -> list[Column]:
+        """(cosine-to-centroid, -cent_id) structs: max ⇒ best centroid with
+        the smallest id on ties."""
+        return [
+            F.struct(
+                cosine(
+                    F.col(vec_alias), F.array(*[F.lit(float(x)) for x in r.cent_vec])
+                ).alias("cos"),
+                F.lit(-int(r.cent_id)).alias("negid"),
             )
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.col("cent_cos").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= keep)
-            .select(id_alias, vec_alias, "cent_id")
-        )
+            for r in cent_rows
+        ]
+
+    def assign(df: DataFrame, id_alias: str, vec_alias: str, keep: int) -> DataFrame:
+        base = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+        structs = centroid_structs(vec_alias)
+        if keep == 1:
+            best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+            return base.select(
+                id_alias, vec_alias, (-best.getField("negid")).alias("cent_id")
+            )
+        ranked = F.slice(F.reverse(F.array_sort(F.array(*structs))), 1, keep)
+        return base.select(
+            id_alias, vec_alias, F.explode(ranked).alias("bs")
+        ).select(id_alias, vec_alias, (-F.col("bs.negid")).alias("cent_id"))
 
     lists = assign(corpus, "neighbor_id", "c_vec", keep=1)
     probes = assign(queries, "query_id", "q_vec", keep=n_probe)

@@ -54,7 +54,16 @@ def replicated_salt_join(
     salt_buckets×, join on (key, salt). Every physical join key now carries
     ≤ 1/salt_buckets of a hot key's rows.
 
-    Output columns = the plain `big.join(small, key, how)` (salt dropped)."""
+    Output columns = the plain `big.join(small, key, how)` (salt dropped).
+
+    Join types preserving the big side only are supported. Right/full outer
+    would emit each unmatched small-side key once PER REPLICA (salt_buckets
+    copies instead of one) — rejected rather than silently wrong."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"replicated_salt_join supports inner/left/semi/anti joins, not {how!r}: "
+            "the replicated small side would duplicate unmatched right-side rows"
+        )
     b = big.withColumn("_salt", (F.rand(seed=0) * salt_buckets).cast("int"))
     s = small.crossJoin(
         F.broadcast(

@@ -169,13 +169,20 @@ def kpi_anomalies(
     threshold: float = 3.5,
     limit: int = 50,
     dept: str | None = None,
+    median_fn=None,
 ) -> DataFrame:
     """MAD robust z-score anomaly detection, top-K then threshold.
 
     Reference order of operations is load-bearing (SURVEY.md §2.8.2-3): the SQL
     takes top-`limit` by |COALESCE(z,0)| DESC, and only afterwards the driver
     filters |z| < threshold, KEEPING rows with z = NULL (MAD = 0 departments).
+
+    `median_fn(col_name) -> Column` defaults to the exact percentile (the
+    correctness gate); operators/approx.py passes a sketch median for the
+    100 TB variant — same plan, one expression swapped.
     """
+    if median_fn is None:
+        median_fn = lambda c: F.expr(f"percentile({c}, 0.5)")  # noqa: E731
     m = _month_lit(month)
     data = _joined(
         fact.filter(F.col("month") == F.lit(m)), dim_employee, dim_dept
@@ -183,11 +190,11 @@ def kpi_anomalies(
     if dept is not None:
         data = data.filter(F.col("dept") == F.lit(dept))
 
-    med = data.groupBy("dept").agg(F.expr("percentile(net, 0.5)").alias("median_net"))
+    med = data.groupBy("dept").agg(median_fn("net").alias("median_net"))
     dev = data.join(F.broadcast(med), "dept").withColumn(
         "abs_dev", F.abs(F.col("net") - F.col("median_net"))
     )
-    mad = dev.groupBy("dept").agg(F.expr("percentile(abs_dev, 0.5)").alias("mad"))
+    mad = dev.groupBy("dept").agg(median_fn("abs_dev").alias("mad"))
 
     scored = (
         data.join(F.broadcast(med), "dept")

@@ -152,8 +152,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (operators.similarity.lsh_topk) — the
     100 TB path: equality join on band signatures generates candidates, exact
-    cosine re-ranks. The oracle replays the identical 16-plane/4-band family,
-    so results match bit-for-bit (including recall losses)."""
+    cosine re-ranks. The oracle replays the identical plane/band family
+    (regenerated from sim.DEFAULT_PLANES/DEFAULT_BANDS — currently 32/4), so
+    results match bit-for-bit (including recall losses)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     out = sim.lsh_topk(emb, queries, K, dim=DIM)

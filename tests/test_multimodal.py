@@ -58,3 +58,11 @@ def test_media_from_documents_schema(spark):
     row = media.first()
     assert bytes(row.payload) == b"hello"
     assert row.meta.mime == "application/octet-stream"
+
+
+def test_null_payload_flows_through(spark):
+    rows = [(9, "image", None, ("image/png", None, None, None))]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(df).collect()
+    assert feats[0].n_bytes == 0  # null payload treated as empty, no crash
+    assert MM.sample_frames(df).count() == 0

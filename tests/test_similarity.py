@@ -131,3 +131,14 @@ def test_ivf_topk_exact_values_on_probed_lists(emb_df):
     assert {(r.query_id, r.rank, r.neighbor_id) for r in full} == {
         (r.query_id, r.rank, r.neighbor_id) for r in brute
     }
+
+
+def test_arrow_topk_ignores_zero_vectors(spark):
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, SCHEMA)
+    queries = df.filter(F.col("vec_id") == 2)
+    got = sim.cosine_topk_arrow(df, queries, k=10).collect()
+    ids = [r.neighbor_id for r in got]
+    assert 1 not in ids            # zero vector dropped, not ranked first as NaN
+    assert set(ids) == {3, 4}
+    assert all(r.cosine == r.cosine for r in got)  # no NaNs escape

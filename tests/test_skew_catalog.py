@@ -75,3 +75,10 @@ def test_partition_values_on_warehouse(spark, tmp_path, reference_csv):
     wh.load_csv(reference_csv)
     months = catalog.partition_values(wh.root, "fact_payroll", "month")
     assert "2025-05-01" in months and len(months) == 12
+
+
+def test_replicated_salt_join_rejects_right_and_full(spark, skewed_df):
+    small = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("w"))
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="supports inner/left"):
+            skew.replicated_salt_join(skewed_df, small, "k", how=how)
