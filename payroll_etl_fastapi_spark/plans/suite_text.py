@@ -128,9 +128,13 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix = F.when(
             F.col("lang") == lang, F.concat(F.repeat(F.lit(p + " "), 20), F.col("text"))
         ).otherwise(prefix)
-    injected = docs.withColumn("text", prefix)
+    injected = docs.withColumn("text", prefix).withColumn(
+        "toks", T.tokens(F.col("text"))
+    )
     return (
-        injected.withColumn("predicted", T.predicted_language(F.col("text")))
+        injected.withColumn(
+            "predicted", T.predicted_language(F.col("text"), toks=F.col("toks"))
+        )
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
