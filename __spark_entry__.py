@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return dict(suite.QUERIES)
+    return dict(suite.QUERIES)  # suite_* modules above register into this dict
 
 
 def oracle_sql() -> dict[str, str]:

@@ -372,3 +372,61 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a near-dup
+    pair list, by smallest-id label propagation. Input (id_a, id_b) edges;
+    output (id, component) where component = min id reachable.
+
+    This is the step after pair-finding in every real dedup pipeline: pairs
+    say "these two match", components say "keep one representative per
+    group" even when matches chain (A~B, B~C but never A~C directly).
+
+    Each iteration is one join + min-aggregate; convergence needs
+    O(component diameter) rounds — near-dup clusters are shallow (dozens of
+    hops would mean a pathological chain), so the default cap is generous.
+    Iterations localCheckpoint to truncate lineage (swap for checkpoint()
+    with a checkpoint dir on a real cluster)."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.component, F.coalesce(neigh.n_comp, labels.component)
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

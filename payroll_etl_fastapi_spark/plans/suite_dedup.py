@@ -298,3 +298,82 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id, text FROM documents
+    ),
+    fp AS (
+        SELECT id, md5({_SQL_NORM}) AS fingerprint FROM corpus
+    ),
+    exact_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.id < b.id
+    ),
+    chain_pairs AS (
+        -- second-generation copies linked only to the FIRST copy: components
+        -- {{i, i+1M, i+2M}} where i+2M is two hops from i
+        SELECT doc_id + {_COPY_OFFSET} AS id_a, doc_id + {2 * _COPY_OFFSET} AS id_b
+        FROM documents
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM exact_pairs
+        UNION
+        SELECT id_b, id_a FROM exact_pairs
+        UNION
+        SELECT id_a, id_b FROM chain_pairs
+        UNION
+        SELECT id_b, id_a FROM chain_pairs
+    ),
+    walk(id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.id
+    )
+    SELECT min(label)                                  AS component,
+           count(*)                                    AS n_members,
+           array_to_string(list_sort(list(id)), ',')   AS members
+    FROM (SELECT id, min(label) AS label FROM walk GROUP BY id)
+    GROUP BY label
+    ORDER BY component
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment (operators.dedup.connected_components):
+    exact-dup pairs (i, i+1M) plus chain edges (i+1M, i+2M) form 3-node
+    components whose farthest member is two hops from the representative —
+    label propagation must actually iterate. The oracle computes the same
+    components with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
+    )
+    exact = dedup.exact_duplicates(corpus, "text", "doc_id")
+    exact_pairs = (
+        exact.select("representative", F.explode("members").alias("member"))
+        .filter(F.col("member") != F.col("representative"))
+        .select(
+            F.col("representative").alias("id_a"), F.col("member").alias("id_b")
+        )
+    )
+    chain_pairs = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("id_a"),
+        (F.col("doc_id") + 2 * _COPY_OFFSET).alias("id_b"),
+    )
+    cc = dedup.connected_components(exact_pairs.unionByName(chain_pairs))
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("component")
+    )

@@ -137,3 +137,17 @@ def test_minhash_verified_pairs_exact_on_candidates(spark):
     for pair, j in verified.items():
         assert j == full[pair]          # exact, not the signature estimate
     assert (1, 2) in verified and (3, 4) in verified  # near-dups survive LSH
+
+
+def test_connected_components_chains_stars_singletons(spark):
+    # chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
