@@ -359,6 +359,8 @@ def ivf_topk(
     oracle's row_number). The search then touches ~n_probe/n_centroids of
     the corpus. Recall is bounded by probe coverage, exactly what the paired
     oracle replays."""
+    import math
+
     cent_rows = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .orderBy("cent_id")
@@ -366,22 +368,40 @@ def ivf_topk(
         .collect()
     )
 
-    def centroid_structs(vec_alias: str) -> list[Column]:
+    def _py_norm(vec) -> float:
+        # the engine fold bit-for-bit: sequential left fold of exact
+        # float32→double products, then IEEE sqrt — Python float ops ARE
+        # IEEE doubles, so this equals sqrt(dot(v, v)) in either engine
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    def centroid_structs(vec_alias: str, vnorm_alias: str) -> list[Column]:
         """(cosine-to-centroid, -cent_id) structs: max ⇒ best centroid with
-        the smallest id on ties."""
-        return [
-            F.struct(
-                cosine(
-                    F.col(vec_alias), F.array(*[F.lit(float(x)) for x in r.cent_vec])
-                ).alias("cos"),
-                F.lit(-int(r.cent_id)).alias("negid"),
+        the smallest id on ties. The row's norm is read from a precomputed
+        column and each centroid's norm is a Python-computed literal — both
+        bit-identical to inline sqrt(dot()), evaluated once instead of once
+        per centroid."""
+        structs = []
+        for r in cent_rows:
+            cent_lit = F.array(*[F.lit(float(x)) for x in r.cent_vec])
+            cos = dot(F.col(vec_alias), cent_lit) / F.nullif(
+                F.col(vnorm_alias) * F.lit(_py_norm(r.cent_vec)), F.lit(0.0)
             )
-            for r in cent_rows
-        ]
+            structs.append(
+                F.struct(cos.alias("cos"), F.lit(-int(r.cent_id)).alias("negid"))
+            )
+        return structs
 
     def assign(df: DataFrame, id_alias: str, vec_alias: str, keep: int) -> DataFrame:
-        base = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
-        structs = centroid_structs(vec_alias)
+        base = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+        ).withColumn(
+            "_vnorm", F.sqrt(dot(F.col(vec_alias), F.col(vec_alias)))
+        )
+        structs = centroid_structs(vec_alias, "_vnorm")
         if keep == 1:
             best = structs[0] if len(structs) == 1 else F.greatest(*structs)
             return base.select(
