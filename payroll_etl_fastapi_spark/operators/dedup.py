@@ -404,6 +404,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
@@ -429,4 +430,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()  # labels is checkpoint-materialized; don't leak the cache
+    if changed != 0:
+        # partial labels would silently split true components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (a component's diameter exceeds the cap); raise "
+            "max_iterations"
+        )
     return labels

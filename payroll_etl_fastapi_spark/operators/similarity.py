@@ -92,6 +92,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0))
 
 
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine() with the norms supplied (precomputed per row / as literals):
+    same null-not-NaN zero-vector convention and multiply order, so values
+    stay bit-identical to the inline form — the single definition both
+    norm-precomputing call sites must share."""
+    return dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
+
+
 def band_signatures(
     vec: Column, planes: list[list[float]], bands: int
 ) -> list[Column]:
@@ -324,8 +332,8 @@ def embedding_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = dot(F.col("vec_a"), F.col("vec_b")) / F.nullif(
-        F.col("norm_a") * F.col("norm_b"), F.lit(0.0)
+    cos = cosine_prenormed(
+        F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")
     )
     return (
         cand.select("id_a", "id_b", cos.alias("cosine"))
@@ -386,8 +394,11 @@ def ivf_topk(
         structs = []
         for r in cent_rows:
             cent_lit = F.array(*[F.lit(float(x)) for x in r.cent_vec])
-            cos = dot(F.col(vec_alias), cent_lit) / F.nullif(
-                F.col(vnorm_alias) * F.lit(_py_norm(r.cent_vec)), F.lit(0.0)
+            cos = cosine_prenormed(
+                F.col(vec_alias),
+                cent_lit,
+                F.col(vnorm_alias),
+                F.lit(_py_norm(r.cent_vec)),
             )
             structs.append(
                 F.struct(cos.alias("cos"), F.lit(-int(r.cent_id)).alias("negid"))

@@ -303,11 +303,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_connected_components",
     oracle=f"""
-    WITH RECURSIVE corpus AS (
-        SELECT doc_id AS id, text FROM documents
-        UNION ALL
-        SELECT doc_id + {_COPY_OFFSET} AS id, text FROM documents
-    ),
+    WITH RECURSIVE {_sql_corpus(mutated=False)},
     fp AS (
         SELECT id, md5({_SQL_NORM}) AS fingerprint FROM corpus
     ),
@@ -350,9 +346,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation must actually iterate. The oracle computes the same
     components with a recursive CTE."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.unionByName(
-        docs.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
-    )
+    corpus = _spark_corpus(spark, sf_dir, mutated=False)
     exact = dedup.exact_duplicates(corpus, "text", "doc_id")
     exact_pairs = (
         exact.select("representative", F.explode("members").alias("member"))

@@ -151,3 +151,16 @@ def test_connected_components_chains_stars_singletons(spark):
         10: 10, 11: 10, 12: 10, 13: 10,
         20: 20, 21: 20,
     }
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 6-node path needs 5 propagation rounds; cap at 2 must raise, not
+    # silently return a split component
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=2)
+    # with room to converge the same input is one component
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {1}
