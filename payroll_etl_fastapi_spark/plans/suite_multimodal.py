@@ -50,7 +50,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*)                         AS n_media,
-           sum(octet_length(encode(text)))  AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            count(DISTINCT md5(text))        AS distinct_payloads,
            max(octet_length(encode(text)))  AS max_bytes
     FROM documents

@@ -48,8 +48,8 @@ _QUALITY_MIN = 0.55
     )
     SELECT lang,
            count(*)        AS n_docs,
-           sum(n_tokens)   AS total_tokens,
-           sum(q6)         AS quality_total_micro,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(q6) AS BIGINT)       AS quality_total_micro,
            min(doc_id)     AS min_doc_id
     FROM deduped
     GROUP BY lang

@@ -152,9 +152,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*)                        AS n_docs,
-           sum(q6)                         AS quality_total_micro,
+           CAST(sum(q6) AS BIGINT)         AS quality_total_micro,
            floor(sum(q6) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_quality,
-           sum(n_tokens)                   AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT)   AS total_tokens
     FROM q
     GROUP BY source
     ORDER BY source
@@ -193,9 +193,9 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*)        AS n_docs,
-           sum(n_ws)       AS ws_tokens,
-           sum(n_bpe)      AS bpe_tokens,
-           sum(n_chars)    AS chars,
+           CAST(sum(n_ws) AS BIGINT)    AS ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT)   AS bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
            max(n_ws)       AS max_ws_tokens
     FROM t
     GROUP BY lang

@@ -47,8 +47,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
     )
     SELECT user_id,
            count(*)                AS n_sessions,
-           sum(n_events)           AS n_events,
-           sum(duration_us)        AS total_duration_us,
+           CAST(sum(n_events) AS BIGINT)    AS n_events,
+           CAST(sum(duration_us) AS BIGINT) AS total_duration_us,
            max(n_events)           AS longest_session_events
     FROM per_session
     GROUP BY user_id

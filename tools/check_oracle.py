@@ -2,8 +2,12 @@
 
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql() twin
 on DuckDB (same parquet tables, pre-registered views), then compares:
-row count, column names/dtypes, and order-insensitive values (exact for
-ints/strings, reporting max abs diff for floats). Exit code 1 on any mismatch.
+row count, column names, and an order-insensitive DTYPE-SENSITIVE value
+serialization — each cell rendered with str() exactly as it sits in the
+pandas frame, so an int64 229 and a float64 229.0 DO NOT match (this is how
+the driver's value hash behaves; DuckDB's HUGEINT sums reach pandas as
+float64 and must be CAST AS BIGINT in the oracle SQL, not normalized away
+here). Exit code 1 on any mismatch.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -32,18 +36,26 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize dtypes, sort rows — the driver's
-    order-insensitive compare."""
+def _cell(v) -> str:
+    """Dtype-sensitive canonical rendering of one cell. str() keeps the
+    int/float distinction (str(229)='229', str(229.0)='229.0') that the
+    driver's value hash sees; nulls of any flavor collapse to one token."""
+    if v is None or v is pd.NaT:
+        return "<null>"
+    if isinstance(v, float) and v != v:  # NaN (Spark null and DuckDB null both land here for float cols)
+        return "<null>"
+    if v is pd.NA:
+        return "<null>"
+    return str(v)
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, serialize every cell dtype-sensitively, then sort
+    rows by the serialized values — mirrors the driver's order-insensitive,
+    dtype-sensitive value hash."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("Int64")
-        elif pd.api.types.is_object_dtype(df[c]):
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    out = pd.DataFrame({c: df[c].map(_cell) for c in df.columns})
+    return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
@@ -56,28 +68,26 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         return errs
     if errs:
         return errs
-    s, d = normalize(spark_df), normalize(duck_df)
+    s, d = canonical(spark_df), canonical(duck_df)
     for c in s.columns:
         sc, dc = s[c], d[c]
-        if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(dc):
-            sc = pd.to_numeric(sc, errors="coerce").astype(float)
-            dc = pd.to_numeric(dc, errors="coerce").astype(float)
-            both_nan = sc.isna() & dc.isna()
-            diff = (sc - dc).abs()
-            bad = ~both_nan & ~(diff == 0)
-            if bad.any():
-                mx = diff[bad].max()
-                errs.append(
-                    f"col {c}: {int(bad.sum())} float mismatches, max abs diff {mx!r}"
-                )
-        else:
-            neq = sc.astype(str) != dc.astype(str)
-            if neq.any():
-                i = int(neq.idxmax())
-                errs.append(
-                    f"col {c}: {int(neq.sum())} mismatches, first at row {i}: "
-                    f"spark={sc.iloc[i]!r} duck={dc.iloc[i]!r}"
-                )
+        neq = sc != dc
+        if neq.any():
+            i = int(neq.idxmax())
+            msg = (
+                f"col {c}: {int(neq.sum())} mismatches, first at row {i}: "
+                f"spark={sc.iloc[i]!r} duck={dc.iloc[i]!r}"
+            )
+            # Debug hint: distinguish repr-only drift (e.g. 229 vs 229.0,
+            # dtype bug in the oracle SQL) from a real numeric difference.
+            try:
+                sn = pd.to_numeric(sc[neq], errors="raise")
+                dn = pd.to_numeric(dc[neq], errors="raise")
+                mx = (sn - dn).abs().max()
+                msg += f" [numeric max abs diff {mx!r}{' — repr/dtype only' if mx == 0 else ''}]"
+            except (ValueError, TypeError):
+                pass
+            errs.append(msg)
     return errs
 
 
