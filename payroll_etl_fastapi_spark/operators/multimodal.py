@@ -86,14 +86,18 @@ _MAX_BATCH_BYTES = 64 << 20  # re-chunk threshold inside the iterator
 _FEATURE_DIM = 8
 
 
-def _fake_decode_features(payload: bytes) -> list[float]:
-    """DETERMINISTIC FAKE of a decode→embed step: 8 doubles from the sha256
-    digest, scaled to [0, 1). Swap for a real codec + model when available."""
-    digest = hashlib.sha256(payload).digest()
+def _features_from_digest(digest: bytes) -> list[float]:
+    """8 doubles from a sha256 digest, scaled to [0, 1)."""
     return [
         int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
         for i in range(_FEATURE_DIM)
     ]
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """DETERMINISTIC FAKE of a decode→embed step: 8 doubles from the sha256
+    digest, scaled to [0, 1). Swap for a real codec + model when available."""
+    return _features_from_digest(hashlib.sha256(payload).digest())
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -102,26 +106,27 @@ def extract_features(media: DataFrame) -> DataFrame:
     The iterator contract is the real thing: consume input batches lazily,
     re-chunk output so huge payload batches can't balloon Python memory."""
 
+    cols = ("media_id", "kind", "n_bytes", "sha16", "features")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out, acc_bytes = [], 0
-            for _, row in pdf.iterrows():
+            # column-wise zip, not iterrows(): no per-row Series construction
+            out: dict[str, list] = {c: [] for c in cols}
+            acc_bytes = 0
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 # payload is nullable — treat null as empty, don't crash the task
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "n_bytes": len(payload),
-                        "sha16": hashlib.sha256(payload).hexdigest()[:16],
-                        "features": _fake_decode_features(payload),
-                    }
-                )
-                acc_bytes += len(payload)
+                p = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(p).digest()
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(p))
+                out["sha16"].append(digest[:8].hex())
+                out["features"].append(_features_from_digest(digest))
+                acc_bytes += len(p)
                 if acc_bytes >= _MAX_BATCH_BYTES:
                     yield pd.DataFrame(out)
-                    out, acc_bytes = [], 0
-            if out:
+                    out, acc_bytes = {c: [] for c in cols}, 0
+            if out["media_id"]:
                 yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
@@ -151,24 +156,24 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 3) -> Da
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                if row["payload"] is None:
+            ids: list = []
+            idxs: list = []
+            fbytes: list = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
                     continue  # null payload → no frames, like an empty one
-                payload = bytes(row["payload"])
-                frames = [
-                    payload[i : i + 16] for i in range(0, len(payload), 16)
-                ][::every_n][:max_frames]
+                p = bytes(payload)
+                frames = [p[i : i + 16] for i in range(0, len(p), 16)][::every_n][
+                    :max_frames
+                ]
                 for idx, fb in enumerate(frames):
-                    out.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_idx": idx,
-                            "frame_bytes": fb,
-                        }
-                    )
-            if out:
-                yield pd.DataFrame(out)
+                    ids.append(mid)
+                    idxs.append(idx)
+                    fbytes.append(fb)
+            if ids:
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": idxs, "frame_bytes": fbytes}
+                )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
 
