@@ -385,11 +385,16 @@ def connected_components(
     say "these two match", components say "keep one representative per
     group" even when matches chain (A~B, B~C but never A~C directly).
 
-    Each iteration is one join + min-aggregate; convergence needs
-    O(component diameter) rounds — near-dup clusters are shallow (dozens of
-    hops would mean a pathological chain), so the default cap is generous.
-    Iterations localCheckpoint to truncate lineage (swap for checkpoint()
-    with a checkpoint dir on a real cluster)."""
+    Each iteration is ONE Spark job: the propagation join computes a per-row
+    changed flag in the same select (the old label is already on the row, so
+    detecting change costs nothing), the new labels localCheckpoint lazily,
+    and the convergence aggregate sum(chg) is the action that materializes
+    the checkpoint — no separate old-vs-new join, no second job per round
+    (round 1 ran checkpoint + count = 2 driver-synchronized jobs/round).
+    Convergence needs O(component diameter) rounds — near-dup clusters are
+    shallow (dozens of hops would mean a pathological chain), so the default
+    cap is generous. Swap localCheckpoint for checkpoint() with a checkpoint
+    dir on a real cluster."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (
         edges.unionByName(
@@ -404,38 +409,37 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    changed = -1
+    converged = False
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        # labels only ever decrease, so changed ⟺ neighbor min < own label;
+        # the flag rides the propagation row — no old-vs-new join needed.
+        prop = F.coalesce(neigh.n_comp, labels.component)
         new_labels = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
                 labels.id,
-                F.least(
-                    labels.component, F.coalesce(neigh.n_comp, labels.component)
-                ).alias("component"),
+                F.least(labels.component, prop).alias("component"),
+                (prop < labels.component).cast("int").alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # this single action materializes the checkpoint AND reads the signal
+        changed = new_labels.agg(F.sum("chg")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if not changed:  # 0 or None (empty edge set)
+            converged = True
             break
     edges.unpersist()  # labels is checkpoint-materialized; don't leak the cache
-    if changed != 0:
+    if not converged:
         # partial labels would silently split true components
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations (a component's diameter exceeds the cap); raise "
             "max_iterations"
         )
-    return labels
+    return labels.select("id", "component")

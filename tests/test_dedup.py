@@ -153,6 +153,25 @@ def test_connected_components_chains_stars_singletons(spark):
     }
 
 
+def test_connected_components_one_job_per_round(spark):
+    # The convergence signal must ride the propagation job (changed flag +
+    # lazy localCheckpoint materialized by the sum(chg) action) — the round-1
+    # implementation ran an extra old-vs-new join + count per round and cost
+    # 38 jobs on this input under AQE; the fused form costs 28. The bound
+    # leaves slack for AQE job-splitting variance but fails if a second
+    # per-round action sneaks back in.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-jobcount", "connected_components job budget")
+    dedup.connected_components(pairs).count()
+    sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("cc-jobcount")
+    assert len(jobs) <= 32, f"connected_components ran {len(jobs)} jobs (budget 32)"
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     # a 6-node path needs 5 propagation rounds; cap at 2 must raise, not
     # silently return a split component
