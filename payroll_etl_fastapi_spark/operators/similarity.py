@@ -349,6 +349,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    assign_via: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the clustered scale path next
     to the hyperplane-LSH one.
@@ -360,32 +361,48 @@ def ivf_topk(
     -cosine centroid; a query probes its `n_probe` nearest centroids and
     exact-cosine re-ranks ONLY those inverted lists.
 
-    Scale shape: assignment is genuinely shuffle-free — the centroid set is
-    tiny by construction, so it is collected and inlined as literal arrays,
-    and per-row argmax is a greatest-over-structs expression (struct compare:
-    cosine desc, then smallest centroid id — the same tie rule as the
-    oracle's row_number). The search then touches ~n_probe/n_centroids of
-    the corpus. Recall is bounded by probe coverage, exactly what the paired
-    oracle replays."""
+    Scale shape: assignment is shuffle-free either way, via `assign_via`:
+    - "literal": each centroid inlined as a literal array; per-row argmax is
+      greatest-over-structs, fully codegen'd. Plan size O(n_centroids × dim)
+      — right for toy quantizers (≤ ~64 centroids).
+    - "broadcast": the centroid set stays a DataFrame, collapsed to ONE row
+      holding an array<struct{cent_id, cent_vec, cent_norm}> and broadcast-
+      cross-joined onto every row; argmax is array_max over a transform()
+      lambda. Plan size O(1), centroids travel as broadcast data — the only
+      form that survives a realistic 4k-centroid quantizer. (transform() is
+      interpreted, not codegen'd — the literal path stays default for small
+      quantizers.)
+    Both paths share the struct tie rule (cosine desc, then smallest centroid
+    id — same as the oracle's row_number) and the same fold-ordered cosine,
+    so results are bit-identical; tests pin literal ≡ broadcast. The search
+    then touches ~n_probe/n_centroids of the corpus. Recall is bounded by
+    probe coverage, exactly what the paired oracle replays."""
     import math
 
-    cent_rows = (
+    if assign_via == "auto":
+        assign_via = "literal" if n_centroids <= 64 else "broadcast"
+    if assign_via not in ("literal", "broadcast"):
+        raise ValueError(f"assign_via must be literal|broadcast|auto, got {assign_via!r}")
+
+    cent_df = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .orderBy("cent_id")
         .limit(n_centroids)
-        .collect()
     )
 
-    def _py_norm(vec) -> float:
-        # the engine fold bit-for-bit: sequential left fold of exact
-        # float32→double products, then IEEE sqrt — Python float ops ARE
-        # IEEE doubles, so this equals sqrt(dot(v, v)) in either engine
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
+    if assign_via == "literal":
+        cent_rows = cent_df.collect()
 
-    def centroid_structs(vec_alias: str, vnorm_alias: str) -> list[Column]:
+        def _py_norm(vec) -> float:
+            # the engine fold bit-for-bit: sequential left fold of exact
+            # float32→double products, then IEEE sqrt — Python float ops ARE
+            # IEEE doubles, so this equals sqrt(dot(v, v)) in either engine
+            acc = 0.0
+            for x in vec:
+                acc += float(x) * float(x)
+            return math.sqrt(acc)
+
+    def _literal_structs(vec_alias: str, vnorm_alias: str) -> list[Column]:
         """(cosine-to-centroid, -cent_id) structs: max ⇒ best centroid with
         the smallest id on ties. The row's norm is read from a precomputed
         column and each centroid's norm is a Python-computed literal — both
@@ -405,6 +422,19 @@ def ivf_topk(
             )
         return structs
 
+    def _pick(base: DataFrame, id_alias: str, vec_alias: str, keep: int,
+              structs_arr: Column) -> DataFrame:
+        """Shared argmax/top-keep over an array<struct{cos, negid}> column."""
+        if keep == 1:
+            best = F.array_max(structs_arr)
+            return base.select(
+                id_alias, vec_alias, (-best.getField("negid")).alias("cent_id")
+            )
+        ranked = F.slice(F.reverse(F.array_sort(structs_arr)), 1, keep)
+        return base.select(
+            id_alias, vec_alias, F.explode(ranked).alias("bs")
+        ).select(id_alias, vec_alias, (-F.col("bs.negid")).alias("cent_id"))
+
     def assign(df: DataFrame, id_alias: str, vec_alias: str, keep: int) -> DataFrame:
         base = df.select(
             F.col(id_col).alias(id_alias),
@@ -412,16 +442,31 @@ def ivf_topk(
         ).withColumn(
             "_vnorm", F.sqrt(dot(F.col(vec_alias), F.col(vec_alias)))
         )
-        structs = centroid_structs(vec_alias, "_vnorm")
-        if keep == 1:
-            best = structs[0] if len(structs) == 1 else F.greatest(*structs)
-            return base.select(
-                id_alias, vec_alias, (-best.getField("negid")).alias("cent_id")
+        if assign_via == "literal":
+            return _pick(
+                base, id_alias, vec_alias, keep, F.array(*_literal_structs(vec_alias, "_vnorm"))
             )
-        ranked = F.slice(F.reverse(F.array_sort(F.array(*structs))), 1, keep)
-        return base.select(
-            id_alias, vec_alias, F.explode(ranked).alias("bs")
-        ).select(id_alias, vec_alias, (-F.col("bs.negid")).alias("cent_id"))
+        # broadcast path: one row carrying all centroids as an array column;
+        # norms computed engine-side with the same fold → bit-identical
+        cents_one_row = F.broadcast(
+            cent_df.withColumn(
+                "cent_norm", F.sqrt(dot(F.col("cent_vec"), F.col("cent_vec")))
+            ).agg(
+                F.collect_list(
+                    F.struct("cent_id", "cent_vec", "cent_norm")
+                ).alias("_cents")
+            )
+        )
+        mapped = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine_prenormed(
+                    F.col(vec_alias), c["cent_vec"], F.col("_vnorm"), c["cent_norm"]
+                ).alias("cos"),
+                (-c["cent_id"]).cast("int").alias("negid"),
+            ),
+        )
+        return _pick(base.crossJoin(cents_one_row), id_alias, vec_alias, keep, mapped)
 
     lists = assign(corpus, "neighbor_id", "c_vec", keep=1)
     probes = assign(queries, "query_id", "q_vec", keep=n_probe)

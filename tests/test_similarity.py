@@ -133,6 +133,41 @@ def test_ivf_topk_exact_values_on_probed_lists(emb_df):
     }
 
 
+def test_ivf_broadcast_assignment_matches_literal(emb_df):
+    """The two shuffle-free assignment strategies (inlined literal structs vs
+    broadcast centroid-array + transform) must be bit-identical — same fold,
+    same tie rule, different plan shape only."""
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 3)
+
+    def keyed(rows):
+        return {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows}
+
+    lit_res = sim.ivf_topk(
+        df, queries, k=5, n_centroids=8, n_probe=2, assign_via="literal"
+    ).collect()
+    bc_res = sim.ivf_topk(
+        df, queries, k=5, n_centroids=8, n_probe=2, assign_via="broadcast"
+    ).collect()
+    assert keyed(lit_res) == keyed(bc_res)  # incl. bit-identical cosine doubles
+
+
+def test_ivf_256_centroids_broadcast_matches_brute_force(spark):
+    """A realistic quantizer size (256 centroids, auto → broadcast path; the
+    literal path would inline 256×64 doubles into the plan) on the sf0.01
+    embeddings table: full probe coverage must recover exact brute-force
+    top-k bit-for-bit on a sampled query set."""
+    from payroll_etl_fastapi_spark.sources.registry import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = df.filter(F.col("vec_id") < 5)
+    got = sim.ivf_topk(df, queries, k=5, n_centroids=256, n_probe=256).collect()
+    brute = sim.cosine_topk(df, queries, k=5).collect()
+    assert {(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in got} == {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in brute
+    }
+
+
 def test_arrow_topk_ignores_zero_vectors(spark):
     rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [0.5, 0.5])]
     df = spark.createDataFrame(rows, SCHEMA)
