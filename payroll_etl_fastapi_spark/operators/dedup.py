@@ -344,6 +344,7 @@ def minhash_verified_pairs(
     bands: int = 4,
     seed: int = 42,
     threshold: float = 0.5,
+    verify_via: str = "sets",
 ) -> DataFrame:
     """The 100 TB near-dup pipeline in one operator: MinHash-LSH candidate
     generation followed by EXACT n-gram Jaccard verification on candidates
@@ -352,23 +353,63 @@ def minhash_verified_pairs(
     Returns (id_a, id_b, jaccard) with exact jaccard ≥ threshold, restricted
     to pairs sharing ≥1 LSH band (recall bounded by the band structure, like
     minhash_lsh_pairs; unlike it, the reported similarity is exact, not the
-    signature estimate). Per-doc shingle SETS ride the candidate join as
-    array columns — fine while docs are ~10^2-10^3 shingles; beyond that,
-    verify via the grouped-count join on the candidate subset instead."""
+    signature estimate).
+
+    `verify_via` picks the verification join shape; both are exact and
+    return identical doubles (int/int division of the same counts):
+    - "sets": per-doc shingle SETS ride the candidate join as array columns;
+      |intersection| is a local array_intersect — fewest shuffles, fine
+      while docs are ~10^2-10^3 shingles.
+    - "counts": per-doc shingle sets never leave the exploded (id, shingle)
+      frame; the intersection is a grouped count over candidate-restricted
+      shingle joins. Row width stays constant regardless of document length
+      — the path for long documents where a whole shingle set on one row
+      would blow executor memory."""
     assert num_hashes % bands == 0
+    if verify_via not in ("sets", "counts"):
+        raise ValueError(f"verify_via must be sets|counts, got {verify_via!r}")
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
     cand = _lsh_candidates(sig, num_hashes, bands)
-    sets = shingles(df, text_col, id_col, n).groupBy("id").agg(
-        F.collect_set("shingle").alias("sh_set")
+    sh = shingles(df, text_col, id_col, n)
+    if verify_via == "sets":
+        sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh_set"))
+        a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
+        b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
+        inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+        union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "jaccard")
+        )
+    # counts path: restrict the shingle frame to docs that appear in any
+    # candidate pair (semi-join — at scale candidates are a tiny fraction of
+    # the corpus), then count matching shingles per pair
+    cand = cand.cache()  # feeds 3 consumers: ids, intersection, final join
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    sh = sh.join(cand_ids, "id", "semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", inter / union)
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )

@@ -300,6 +300,23 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_verified_counts", oracle=_minhash_verified_oracle())
+def dedup_minhash_verified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline, counts-mode verification (verify_via='counts'): the
+    long-document path where shingle sets never ride a join as array columns
+    — |intersection| comes from a grouped count over candidate-restricted
+    shingle joins. Must be value-identical to the sets path, so it shares
+    the sets path's oracle verbatim."""
+    corpus = _spark_corpus(spark, sf_dir, mutated=True)
+    out = dedup.minhash_verified_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5,
+        verify_via="counts",
+    )
+    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query(
     "dedup_connected_components",
     oracle=f"""

@@ -153,6 +153,32 @@ def test_connected_components_chains_stars_singletons(spark):
     }
 
 
+def test_minhash_verified_counts_matches_sets(spark):
+    # the two verification shapes are different join plans over the same
+    # exact computation — identical pairs AND identical jaccard doubles
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h x"),
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v w y"),
+            (5, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    sets_res = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_verified_pairs(docs, threshold=0.3).collect()
+    }
+    counts_res = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_verified_pairs(
+            docs, threshold=0.3, verify_via="counts"
+        ).collect()
+    }
+    assert sets_res == counts_res
+
+
 def test_connected_components_one_job_per_round(spark):
     # The convergence signal must ride the propagation job (changed flag +
     # lazy localCheckpoint materialized by the sum(chg) action) — the round-1
