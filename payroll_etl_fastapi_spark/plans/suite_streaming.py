@@ -68,6 +68,63 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_hourly_filesink",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           count(*)             AS n_events,
+           {_sql_msum('value')} AS total_value
+    FROM events, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx.m
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def streaming_hourly_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming shape, gated end-to-end: watermarked tumbling
+    windows in APPEND mode through the checkpointed exactly-once parquet file
+    sink (streaming/events.py write_stream_parquet, partitioned by event_type),
+    then the files read back. Append emits a window exactly once, when the
+    watermark passes its end — so the emitted set is every window with
+    end ≤ max(ts) − 1h watermark delay (window end = start + 1h ⇒
+    start + 2h ≤ max ts), which is precisely what the oracle replays. Windows
+    still open at drain time are withheld — that is the semantics under test,
+    not an artifact (cf. tests/test_streaming_watermark.py)."""
+    import os
+    import tempfile
+
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+    rolled = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "cents",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="gate_filesink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    SE.write_stream_parquet(rolled, out, ckpt, partition_by="event_type")
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.date_format(F.col("window_start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
     "streaming_session_rollup",
     oracle=f"""
     WITH e AS (
