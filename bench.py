@@ -47,31 +47,36 @@ def main() -> None:
         {"n_nationkey": "sum"}
     ).collect()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    failed: list[str] = []
     total = 0.0
     for name, fn in entry_mod.queries().items():
         spark.catalog.clearCache()  # each query timed standalone, no cross-query reuse
         t0 = time.perf_counter()
         try:
             fn(spark, SF_DIR).collect()
-            dt = time.perf_counter() - t0
         except Exception as exc:  # a broken query must not hide the others
             dt = time.perf_counter() - t0
             print(f"bench: query {name} FAILED after {dt:.2f}s: {exc}", file=sys.stderr)
+            # failures are first-class in the JSON: null timing, excluded from
+            # the total — a broken query must not make the suite look faster
+            failed.append(name)
+            timings[name] = None
+            continue
+        dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if failed:
+        payload["failed"] = failed
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -63,9 +63,18 @@ class PayrollWarehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
+        # crash-safe swap: rename the live table ASIDE first, so a crash at
+        # any point leaves a complete version at either `target` or
+        # `target__old` — never a window where the table simply vanished
+        # (rmtree-then-rename had exactly that window)
+        old = target + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover from a previously interrupted swap
         if os.path.exists(target):
-            shutil.rmtree(target)
+            os.rename(target, old)
         os.rename(tmp, target)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     # -- load ---------------------------------------------------------------
 

@@ -33,10 +33,16 @@ def upsert(existing: DataFrame, updates: DataFrame, keys: Sequence[str]) -> Data
     """ON CONFLICT (keys) DO UPDATE — rows from `updates` win on key collision.
 
     Column set is taken from `existing`; `updates` must carry the same columns.
+
+    If `updates` itself carries duplicate keys (Postgres ON CONFLICT would
+    error: "row affected a second time"), the survivor is made deterministic
+    by tie-breaking on every non-key column — same input, same output, every
+    run, regardless of shuffle order.
     """
     ex = existing.withColumn(_PRIORITY, F.lit(1))
     up = updates.select(*existing.columns).withColumn(_PRIORITY, F.lit(0))
-    w = Window.partitionBy(*keys).orderBy(F.col(_PRIORITY).asc())
+    tiebreak = [F.col(c) for c in existing.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(F.col(_PRIORITY).asc(), *tiebreak)
     return (
         ex.unionByName(up)
         .withColumn("__rn", F.row_number().over(w))

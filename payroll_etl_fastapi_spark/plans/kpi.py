@@ -83,11 +83,13 @@ def _joined(fact: DataFrame, dim_employee: DataFrame, dim_dept: DataFrame) -> Da
 def kpi_by_dept(
     fact: DataFrame, dim_employee: DataFrame, dim_dept: DataFrame, month: str
 ) -> DataFrame:
-    """Per-department rollup for one month (/root/reference/src/api.py:46-73)."""
+    """Per-department rollup for one month (/root/reference/src/api.py:46-73).
+    The department column is `dept` — the reference aliases dept_name AS dept
+    in the JSON shape (/root/reference/src/api.py:49)."""
     m = _month_lit(month)
     return (
         _joined(fact.filter(F.col("month") == F.lit(m)), dim_employee, dim_dept)
-        .groupBy("dept_name")
+        .groupBy(F.col("dept_name").alias("dept"))
         .agg(
             F.sum(_fot()).alias("fot"),
             F.sum("gross").alias("gross"),
@@ -98,7 +100,7 @@ def kpi_by_dept(
             F.sum("fte").alias("fte"),
             F.countDistinct("emp_id").alias("headcount"),
         )
-        .orderBy("dept_name")
+        .orderBy("dept")
     )
 
 
@@ -123,9 +125,11 @@ def kpi_delta(
     )
 
     def per_month(d: dt.date) -> DataFrame:
+        # `dept`, not dept_name — the reference's JSON shape
+        # (/root/reference/src/api.py:80,99 alias dept_name AS dept)
         return (
             base.filter(F.col("month") == F.lit(d))
-            .groupBy("dept_name")
+            .groupBy(F.col("dept_name").alias("dept"))
             .agg(
                 F.sum("gross").alias("gross"),
                 F.sum("bonus").alias("bonus"),
@@ -134,19 +138,19 @@ def kpi_delta(
             )
         )
     a, b = per_month(d1), per_month(d2)
-    a = a.select([F.col(c).alias(f"a_{c}") if c != "dept_name" else F.col(c) for c in a.columns])
-    b = b.select([F.col(c).alias(f"b_{c}") if c != "dept_name" else F.col(c) for c in b.columns])
+    a = a.select([F.col(c).alias(f"a_{c}") if c != "dept" else F.col(c) for c in a.columns])
+    b = b.select([F.col(c).alias(f"b_{c}") if c != "dept" else F.col(c) for c in b.columns])
     z = F.lit(0.0)
     by_dept = (
-        a.join(b, "dept_name", "full_outer")
+        a.join(b, "dept", "full_outer")
         .select(
-            "dept_name",
+            "dept",
             (F.coalesce("b_gross", z) - F.coalesce("a_gross", z)).alias("gross_delta"),
             (F.coalesce("b_bonus", z) - F.coalesce("a_bonus", z)).alias("bonus_delta"),
             (F.coalesce("b_overtime", z) - F.coalesce("a_overtime", z)).alias("overtime_delta"),
             (F.coalesce("b_fot", z) - F.coalesce("a_fot", z)).alias("fot_delta"),
         )
-        .orderBy("dept_name")
+        .orderBy("dept")
     )
 
     def msum(d: dt.date, c) -> F.Column:

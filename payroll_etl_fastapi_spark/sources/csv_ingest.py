@@ -19,12 +19,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from payroll_etl_fastapi_spark.schemas import PAYROLL_MEASURES, PAYROLL_RAW
 
 
 def read_payroll_csv(spark: SparkSession, path: str) -> DataFrame:
-    """S1 — header CSV, all-string schema (coercion is explicit, below)."""
-    return spark.read.option("header", "true").schema(PAYROLL_RAW).csv(path)
+    """S1 — header CSV, all-string schema (coercion is explicit, below).
+
+    The currency column is dropped from the pinned schema when the file's
+    header genuinely lacks it: a schema-pinned read would silently null-fill
+    the column, making it impossible for normalize() to apply the reference's
+    column-absent 'BYN' default (/root/reference/scripts/load_once.py:20-21).
+    The header probe reads only the first line (no inferSchema)."""
+    header_cols = set(spark.read.option("header", "true").csv(path).columns)
+    schema = PAYROLL_RAW
+    if "currency" not in header_cols:
+        schema = T.StructType([f for f in PAYROLL_RAW.fields if f.name != "currency"])
+    return spark.read.option("header", "true").schema(schema).csv(path)
 
 
 def normalize(raw: DataFrame) -> DataFrame:

@@ -37,8 +37,9 @@ def test_summary_missing_month_404(service):
 
 def test_by_dept_shape(service):
     rows = service.by_dept("2025-05")
-    assert [r["dept_name"] for r in rows] == sorted(r["dept_name"] for r in rows)
-    assert {"dept_name", "fot", "gross", "net", "fte", "headcount"} <= set(rows[0])
+    # `dept`, not dept_name — the reference JSON aliases it (api.py:49 AS dept)
+    assert [r["dept"] for r in rows] == sorted(r["dept"] for r in rows)
+    assert {"dept", "fot", "gross", "net", "fte", "headcount"} <= set(rows[0])
     with pytest.raises(NotFound):
         service.by_dept("1999-01")
 

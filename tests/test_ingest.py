@@ -65,6 +65,37 @@ def test_dept_rows_sorted_distinct(spark):
     assert [r.dept_name for r in csv_ingest.dept_rows(df).collect()] == ["HR", "Sales"]
 
 
+def test_currency_absent_defaults_byn(spark, tmp_path):
+    """S5: a CSV whose header genuinely lacks the currency column gets the
+    reference's 'BYN' default (/root/reference/scripts/load_once.py:20-21) —
+    a schema-pinned read would have silently null-filled it instead."""
+    p = str(tmp_path / "no_currency.csv")
+    with open(p, "w") as f:
+        f.write(
+            "emp_id,dept,job_grade,fte,month,gross,bonus,overtime,taxes,"
+            "deductions,net,hours_worked,location\n"
+            "E1,IT,Junior,1.0,2025-05,100,0,0,23,0,77,160,HQ\n"
+        )
+    df = csv_ingest.normalize(csv_ingest.read_payroll_csv(spark, p))
+    r = df.first()
+    assert r.currency == "BYN"
+    assert r.gross == 100.0
+
+
+def test_currency_present_null_stays_null(spark, tmp_path):
+    """S5 contrapositive: currency PRESENT but empty is a passthrough null,
+    not defaulted (the reference only defaults on column absence)."""
+    p = str(tmp_path / "with_currency.csv")
+    with open(p, "w") as f:
+        f.write(
+            "emp_id,dept,job_grade,fte,month,gross,bonus,overtime,taxes,"
+            "deductions,net,hours_worked,location,currency\n"
+            "E1,IT,Junior,1.0,2025-05,100,0,0,23,0,77,160,HQ,\n"
+        )
+    df = csv_ingest.normalize(csv_ingest.read_payroll_csv(spark, p))
+    assert df.first().currency is None
+
+
 def test_reference_csv_counts(spark, reference_csv):
     """Golden row counts from the reference dataset: 5526 facts, 500 emps, 6 depts."""
     df = csv_ingest.normalize(csv_ingest.read_payroll_csv(spark, reference_csv))

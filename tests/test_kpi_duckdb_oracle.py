@@ -61,7 +61,7 @@ def test_summary_matches_duckdb(service, duck, month):
 
 @pytest.mark.parametrize("month", MONTHS)
 def test_by_dept_matches_duckdb(service, duck, month):
-    got = {r["dept_name"]: r for r in service.by_dept(month)}
+    got = {r["dept"]: r for r in service.by_dept(month)}
     exp = duck.sql(
         f"""
         SELECT dept, sum(gross + bonus + overtime) AS fot, sum(net) AS net,

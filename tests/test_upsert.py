@@ -28,6 +28,17 @@ def test_upsert_composite_key(spark):
     assert got == {("e1", 1): 10, ("e1", 2): 99}
 
 
+def test_upsert_duplicate_update_keys_deterministic(spark):
+    """Duplicate keys inside `updates` (Postgres ON CONFLICT would error) must
+    resolve to the same survivor every run: non-key columns tie-break, so the
+    smallest tuple wins regardless of shuffle order."""
+    existing = spark.createDataFrame([Row(k="a", v=1)])
+    updates = spark.createDataFrame([Row(k="a", v=30), Row(k="a", v=20), Row(k="b", v=5)])
+    for _ in range(3):
+        got = {r.k: r.v for r in upsert(existing, updates, ["k"]).collect()}
+        assert got == {"a": 20, "b": 5}
+
+
 def test_etl_idempotent(spark, tmp_path, reference_csv):
     from payroll_etl_fastapi_spark.etl import PayrollWarehouse
 
