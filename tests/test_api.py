@@ -77,3 +77,48 @@ def test_fastapi_wiring_import_gated(service):
     app = create_app(service)
     paths = {r.path for r in app.routes}
     assert {"/health", "/kpi/summary", "/kpi/by-dept", "/kpi/delta", "/kpi/anomalies"} <= paths
+
+
+def test_fastapi_wiring_with_stub(service, monkeypatch):
+    """Drives create_app's route wiring and 404 translation even where the
+    real fastapi package is absent: a minimal stand-in module (decorator
+    registry + HTTPException) is injected into sys.modules. The real-package
+    test above still runs wherever fastapi exists."""
+    import sys
+    import types
+
+    fake = types.ModuleType("fastapi")
+
+    class HTTPException(Exception):
+        def __init__(self, status_code, detail=""):
+            self.status_code, self.detail = status_code, detail
+
+    class FakeFastAPI:
+        def __init__(self, title=""):
+            self.title, self.handlers = title, {}
+
+        def get(self, path):
+            def deco(fn):
+                self.handlers[path] = fn
+                return fn
+
+            return deco
+
+    fake.FastAPI, fake.HTTPException = FakeFastAPI, HTTPException
+    monkeypatch.setitem(sys.modules, "fastapi", fake)
+
+    from payroll_etl_fastapi_spark.api import create_app
+
+    app = create_app(service)
+    assert set(app.handlers) == {
+        "/health", "/kpi/summary", "/kpi/by-dept", "/kpi/delta", "/kpi/anomalies"
+    }
+    assert app.handlers["/health"]() == {"status": "ok"}
+    s = app.handlers["/kpi/summary"](month="2025-05")
+    assert s["headcount"] == 440
+    rows = app.handlers["/kpi/by-dept"](month="2025-05")
+    assert rows and "dept" in rows[0]
+    # NotFound must surface as HTTPException(404) through the route guard
+    with pytest.raises(HTTPException) as exc:
+        app.handlers["/kpi/summary"](month="1999-01")
+    assert exc.value.status_code == 404
