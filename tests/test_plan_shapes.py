@@ -14,6 +14,7 @@ from contextlib import redirect_stdout
 
 from payroll_etl_fastapi_spark.plans.suite import QUERIES
 import payroll_etl_fastapi_spark.plans.suite_windows  # noqa: F401  (registers)
+import payroll_etl_fastapi_spark.plans.suite_asof  # noqa: F401
 
 from tests.conftest import SF_ORACLE
 
@@ -73,3 +74,22 @@ def test_sessionization_single_user_exchange(spark):
     # for the output ordering)
     exchanges = re.findall(r"Arguments: hashpartitioning\(user_id", plan)
     assert len(exchanges) == 1
+
+
+def test_asof_join_single_key_exchange_no_join_node(spark):
+    plan = _plan(spark, "events_asof_join")
+    # the union+window as-of plan must have exactly one shuffle on the join
+    # key and NO join node at all — that is the whole point vs a range join
+    exchanges = re.findall(r"Arguments: hashpartitioning\(user_id", plan)
+    assert len(exchanges) == 1
+    assert "Join" not in plan
+
+
+def test_range_join_is_equality_join_not_nested_loop(spark):
+    plan = _plan(spark, "events_range_join")
+    # the bucket trick must keep this a hash-partitioned equality join; an
+    # inequality-only condition would plan as BroadcastNestedLoopJoin (the
+    # per-key cross product that dies at scale)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "SortMergeJoin") + _nodes(plan, "BroadcastHashJoin") >= 1
