@@ -227,6 +227,46 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_SQL_NORM.format(col='text')}, ' ')) AS token
+        FROM documents
+    )
+    SELECT token,
+           count(*)                 AS tf,
+           count(DISTINCT doc_id)   AS df
+    FROM toks
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building — the wordcount of training-data prep: term
+    frequency + document frequency per token, top-50 by tf (token tiebreak).
+
+    Scale: explode → partial-count map-side → one shuffle on token →
+    TakeOrdered for the top-K; df via count(DISTINCT doc_id) rides the same
+    aggregate. This is the plan that builds a 10^6-token vocab from 100 TB
+    without a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(50)
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     WITH corpus AS (
