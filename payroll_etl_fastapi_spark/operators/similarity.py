@@ -341,6 +341,96 @@ def embedding_near_dup_pairs(
     )
 
 
+SNAP = 1 << 20  # fixed-point scale for k-means dimension means (exact sums)
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Every step is order-free and engine-replayable (the paired DuckDB oracle
+    unrolls the identical iterations):
+    - init: the n_centroids lowest-id corpus vectors (cast to double);
+    - assignment: argmax cosine, ties to the smallest centroid id — the same
+      struct-max rule as ivf_topk;
+    - update: per-dimension mean via INTEGER-snapped sums
+      (floor(x * 2^20 + 0.5) summed exactly, then (double)sum / count / 2^20
+      — cross-row float addition order can never matter);
+    - empty clusters keep their previous centroid.
+
+    Scale shape: each iteration is one distributed job — broadcast-array
+    assignment (no shuffle) + posexplode/groupBy on (cent_id, dim)
+    (n_centroids x dim grouped rows) — then an n_centroids x dim collect;
+    centroids are driver-tiny by definition. Returns [(cent_id, vec_double)]
+    suitable for ivf_topk(centroids=...)."""
+    spark = corpus.sparkSession
+    init = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .orderBy("cent_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (int(r.cent_id), [float(x) for x in r.cent_vec]) for r in init
+    ]
+    base = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("_vnorm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(cents, "cent_id long, cent_vec array<double>")
+        one_row = F.broadcast(
+            cent_df.withColumn(
+                "cent_norm", F.sqrt(dot(F.col("cent_vec"), F.col("cent_vec")))
+            ).agg(
+                F.collect_list(F.struct("cent_id", "cent_vec", "cent_norm")).alias(
+                    "_cents"
+                )
+            )
+        )
+        mapped = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine_prenormed(
+                    F.col("vec"), c["cent_vec"], F.col("_vnorm"), c["cent_norm"]
+                ).alias("cos"),
+                (-c["cent_id"]).cast("int").alias("negid"),
+            ),
+        )
+        assigned = base.crossJoin(one_row).select(
+            "vec", (-F.array_max(mapped).getField("negid")).cast("long").alias("cent_id")
+        )
+        stats = (
+            assigned.select("cent_id", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * SNAP + F.lit(0.5)).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in stats:
+            # (double)sum / count / 2^20 — the exact op order the oracle replays
+            by_cent.setdefault(int(r.cent_id), {})[int(r.pos)] = (
+                float(r.s) / int(r.c) / float(SNAP)
+            )
+        cents = [
+            (
+                cid,
+                [d[p] for p in sorted(d)] if (d := by_cent.get(cid)) else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -350,6 +440,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     assign_via: str = "auto",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the clustered scale path next
     to the hyperplane-LSH one.
@@ -379,16 +470,26 @@ def ivf_topk(
     probe coverage, exactly what the paired oracle replays."""
     import math
 
+    if centroids is not None:
+        n_centroids = len(centroids)
     if assign_via == "auto":
         assign_via = "literal" if n_centroids <= 64 else "broadcast"
     if assign_via not in ("literal", "broadcast"):
         raise ValueError(f"assign_via must be literal|broadcast|auto, got {assign_via!r}")
 
-    cent_df = (
-        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .orderBy("cent_id")
-        .limit(n_centroids)
-    )
+    if centroids is not None:
+        # pre-trained quantizer (train_centroids_kmeans) — double vectors
+        cent_df = corpus.sparkSession.createDataFrame(
+            centroids, "cent_id long, cent_vec array<double>"
+        )
+    else:
+        cent_df = (
+            corpus.select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+            .orderBy("cent_id")
+            .limit(n_centroids)
+        )
 
     if assign_via == "literal":
         cent_rows = cent_df.collect()

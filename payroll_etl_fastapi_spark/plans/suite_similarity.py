@@ -218,6 +218,123 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 16
 N_PROBE = 4
 
+# trained-quantizer IVF: small but real Lloyd training, fully replayed in SQL
+N_KM_CENTROIDS = 8
+N_KM_ITERS = 2
+N_KM_PROBE = 2
+
+
+def _sql_kmeans_ctes(n_centroids: int, n_iters: int, dim: int = DIM) -> tuple[str, str]:
+    """CTE chain unrolling train_centroids_kmeans: c0 (lowest-id init), then
+    per iteration a{i} (argmax-cosine assignment, ties to smallest cent_id),
+    s{i} (integer-snapped per-dimension sums), c{i+1} (means via
+    (double)sum / count / 2^20, empty clusters keep the old centroid).
+    Returns (cte_sql, final_centroid_cte_name)."""
+    snap = sim.SNAP
+    parts = [
+        f"""c0 AS (
+        SELECT vec_id AS cent_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
+        FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    )"""
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"""a{i} AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cent_vec')} DESC, c.cent_id
+                   ) AS crank
+            FROM embeddings e, c{i} c
+        ) WHERE crank = 1
+    )"""
+        )
+        parts.append(
+            f"""s{i} AS (
+        SELECT cent_id, i AS pos,
+               sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {snap} + 0.5) AS BIGINT)) AS s,
+               count(*) AS c
+        FROM a{i}, (SELECT unnest(generate_series(1, {dim})) AS i)
+        GROUP BY cent_id, i
+    )"""
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+        SELECT p.cent_id, coalesce(n.cent_vec, p.cent_vec) AS cent_vec
+        FROM c{i} p LEFT JOIN (
+            SELECT cent_id,
+                   list(CAST(s AS DOUBLE) / c / {float(snap)} ORDER BY pos) AS cent_vec
+            FROM s{i} GROUP BY cent_id
+        ) n USING (cent_id)
+    )"""
+        )
+    return ",\n    ".join(parts), f"c{n_iters}"
+
+
+_KM_CTES, _KM_FINAL = _sql_kmeans_ctes(N_KM_CENTROIDS, N_KM_ITERS)
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_KM_CTES},
+    assigned AS (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cent_vec')} DESC, c.cent_id
+               ) AS crank
+        FROM embeddings e, {_KM_FINAL} c
+    ),
+    lists AS (SELECT neighbor_id, c_vec, cent_id FROM assigned WHERE crank = 1),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cosine('q.embedding', 'c.cent_vec')} DESC, c.cent_id
+               ) AS crank
+        FROM embeddings q, {_KM_FINAL} c
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, p.q_vec, l.neighbor_id, l.c_vec
+        FROM lists l
+        JOIN (SELECT * FROM probes WHERE crank <= {N_KM_PROBE}) p
+          ON l.cent_id = p.cent_id AND l.neighbor_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               {_sql_cosine('q_vec', 'c_vec')} AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_sql_cosine('q_vec', 'c_vec')} DESC, neighbor_id
+               ) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, {_sql_r6('cosine')} AS cosine, rank
+    FROM ranked WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer (operators.similarity.
+    train_centroids_kmeans → ivf_topk(centroids=...)): 2 deterministic Lloyd
+    iterations — argmax-cosine assignment, integer-snapped dimension means —
+    then probe-bounded search. The oracle re-trains the quantizer itself by
+    unrolling the identical iterations in SQL, so every float on both sides
+    (centroid coordinates included) is bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = sim.train_centroids_kmeans(
+        emb, n_centroids=N_KM_CENTROIDS, n_iters=N_KM_ITERS
+    )
+    out = sim.ivf_topk(emb, queries, K, n_probe=N_KM_PROBE, centroids=cents)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
 
 @query(
     "ann_ivf_topk",

@@ -168,6 +168,30 @@ def test_ivf_256_centroids_broadcast_matches_brute_force(spark):
     }
 
 
+def test_ivf_kmeans_training_deterministic_and_exact_at_full_probe(spark):
+    """Lloyd training must be bit-reproducible (integer-snapped means, fixed
+    tie rules) and a trained quantizer probed fully must recover brute-force
+    top-k exactly — training changes the partitioning, never the ranking."""
+    from payroll_etl_fastapi_spark.sources.registry import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    c1 = sim.train_centroids_kmeans(df, n_centroids=8, n_iters=2)
+    c2 = sim.train_centroids_kmeans(df, n_centroids=8, n_iters=2)
+    assert c1 == c2  # including bit-identical centroid doubles
+    assert len(c1) == 8 and all(len(v) == 64 for _, v in c1)
+    # training moved at least one centroid off its init vector
+    init = {r.vec_id: [float(x) for x in r.embedding]
+            for r in df.filter(F.col("vec_id") < 8).collect()}
+    assert any(v != init[cid] for cid, v in c1)
+
+    queries = df.filter(F.col("vec_id") < 3)
+    got = sim.ivf_topk(df, queries, k=5, n_probe=8, centroids=c1).collect()
+    brute = sim.cosine_topk(df, queries, k=5).collect()
+    assert {(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in got} == {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in brute
+    }
+
+
 def test_arrow_topk_ignores_zero_vectors(spark):
     rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [0.5, 0.5])]
     df = spark.createDataFrame(rows, SCHEMA)
