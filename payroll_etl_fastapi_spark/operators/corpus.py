@@ -1,0 +1,139 @@
+"""Corpus-preparation operators for training-data pipelines: deterministic
+train/val/test splitting, sequence packing via a distributed prefix sum,
+stratified hash sampling, and PII scrubbing.
+
+These extend the reference's ETL surface (load → clean → dedupe → publish,
+/root/reference/src/etl.py:15-60) to the operations an LLM-corpus pipeline
+needs after dedup. Everything is expressed with built-in JVM expressions —
+no Python UDFs — and every random-looking choice is a deterministic content
+hash, so results are reproducible run-to-run and replayable in ANSI SQL.
+
+Scale notes per operator are in the docstrings; the shared design rule is
+that nothing here depends on a global sort or a driver-side loop. The one
+global-order construct (sequence packing's running token count) is built as
+a two-level prefix sum over range partitions, never a single-partition
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# split-fraction buckets out of 100: [0, TRAIN) train, [TRAIN, VAL) val,
+# [VAL, 100) test — shared with the SQL oracle generator
+TRAIN_UPPER = 80
+VAL_UPPER = 90
+
+
+def h28(col: Column) -> Column:
+    """28-bit md5 hash (first 7 hex chars → bigint) — bit-identical in Spark
+    (conv) and DuckDB ('0x' || … cast); the family-wide deterministic hash."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def split_of(fingerprint: Column) -> Column:
+    """train/val/test assignment from a CONTENT fingerprint, not the row id:
+    hashing the fingerprint guarantees every duplicate of a document lands in
+    the same split, so dedup-survivor choice can never leak val/test content
+    into train. Pure projection — no shuffle, no state, works identically on
+    100 TB."""
+    bucket = h28(fingerprint) % 100
+    return (
+        F.when(bucket < TRAIN_UPPER, F.lit("train"))
+        .when(bucket < VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def packed_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in ``id_col``
+    order into one virtual token stream and each document is assigned to the
+    pack (training sequence) containing its first token:
+    ``pack_id = (running_total_before_doc) div budget``.
+
+    The running total is a DISTRIBUTED prefix sum, not a single-partition
+    window: range-partition by id, cumsum within each partition, then add the
+    per-partition offsets (a ~num_partitions-row aggregate joined back with a
+    broadcast). Both consumers of the range exchange share it via Spark's
+    ReuseExchange, so partition boundaries are consistent within the plan.
+    A 100 TB corpus pays one range shuffle + one tiny broadcast; the naive
+    ``Window.orderBy(id)`` formulation would serialize the corpus through a
+    single task.
+
+    Returns (id_col, tokens_col, pack_id).
+    """
+    d = docs.select(id_col, tokens_col).repartitionByRange(num_partitions, id_col)
+    d = d.withColumn("__pid", F.spark_partition_id())
+    intra = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = d.withColumn("__intra", F.sum(tokens_col).over(intra))
+    totals = with_cum.groupBy("__pid").agg(F.sum(tokens_col).alias("__part_total"))
+    # offsets: exclusive cumsum over the per-partition totals — num_partitions
+    # rows, so the single-partition window here is over a tiny frame
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__part_total").over(off_w), F.lit(0)).alias("__offset"),
+    )
+    packed = (
+        with_cum.join(F.broadcast(offsets), "__pid")
+        .withColumn("__cum", F.col("__intra") + F.col("__offset"))
+        .withColumn(
+            "pack_id",
+            F.expr(f"CAST((__cum - {tokens_col}) div {int(budget)} AS BIGINT)"),
+        )
+    )
+    return packed.select(id_col, tokens_col, "pack_id")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    rates_per_mille: dict[str, int],
+    stratum_col: str = "lang",
+) -> Column:
+    """Deterministic stratified keep-filter: keep a row iff
+    ``h28(key) % 1000 < rate`` for its stratum's rate (‰). Content-hash
+    sampling is reproducible, join-free, and stable under re-partitioning —
+    unlike ``df.sample`` whose output depends on partition layout. Returns
+    the boolean keep column; strata absent from the dict are dropped."""
+    rate = None
+    for stratum, r in sorted(rates_per_mille.items()):
+        cond = F.col(stratum_col) == stratum
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(0))
+    return (h28(key) % 1000) < rate
+
+
+# PII patterns — RE2-compatible subsets so the Java (Spark) and RE2 (DuckDB)
+# engines agree: no backrefs, no lookaround
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholders. Pure
+    projection (two regexp_replace passes fused into the scan by codegen);
+    the pattern subset is chosen to behave identically under Java regex and
+    RE2 so the scrub is replayable in the SQL oracle."""
+    scrubbed = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in ``text`` — counted with the same
+    patterns scrub_pii redacts, so counts and redactions can't drift."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))),
+    )

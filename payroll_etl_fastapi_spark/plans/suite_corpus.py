@@ -1,0 +1,443 @@
+"""Corpus-preparation gate queries: train/val/test splitting, sequence
+packing, stratified sampling, PII scrubbing, distinctive terms, and benchmark
+decontamination — the post-dedup half of a training-data pipeline, each with
+a DuckDB oracle that replays the operator exactly.
+
+Determinism: every assignment (split, sample, pack) derives from content
+hashes or integer prefix sums — no RNG, no partition-layout dependence; all
+scores are integer arithmetic (div, not /) so cross-engine float drift cannot
+exist. PII regexes are the RE2-compatible subset both engines parse
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import corpus as C
+from payroll_etl_fastapi_spark.operators import dedup as D
+from payroll_etl_fastapi_spark.operators import text as T
+from payroll_etl_fastapi_spark.plans.suite import _t, query
+from payroll_etl_fastapi_spark.plans.suite_text import _SQL_NORM, _SQL_TOKS
+
+_SQL_H28 = "CAST(('0x' || substr(md5({x}), 1, 7)) AS BIGINT)"
+
+_PACK_BUDGET = 512
+
+_SAMPLE_RATES = {"en": 250, "de": 500, "fr": 1000, "es": 125}
+
+_BENCH_MOD = 97          # every 97th doc seeds the benchmark holdout
+_BENCH_OFFSET = 2_000_000
+_BENCH_TOKENS = 40       # benchmark docs are 40-token excerpts
+_SHINGLE_N = 5
+_MIN_COMMON = 3
+
+
+# ---------------------------------------------------------------------------
+# train / val / test split
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_train_val_test",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               md5({_SQL_NORM.format(col='text')}) AS fp,
+               len({_SQL_TOKS.format(col='text')}) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, fp, n_tokens,
+               CASE WHEN {_SQL_H28.format(x='fp')} % 100 < {C.TRAIN_UPPER} THEN 'train'
+                    WHEN {_SQL_H28.format(x='fp')} % 100 < {C.VAL_UPPER} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM f
+    )
+    SELECT split,
+           count(*)                      AS n_docs,
+           count(DISTINCT fp)            AS n_clusters,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id)                   AS min_doc_id
+    FROM s
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def corpus_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dup-safe train/val/test split (operators.corpus.split_of):
+    the bucket is a hash of the CONTENT fingerprint, so duplicates always share
+    a split and dedup can never leak eval data into train. Pure projection +
+    one tiny rollup — scale-free."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(T.normalize_text(F.col("text")))
+    enriched = docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+    ).withColumn("split", C.split_of(F.col("fp")))
+    return (
+        enriched.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_clusters"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({_SQL_TOKS.format(col='text')}) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*)                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id)                   AS first_doc,
+           max(doc_id)                   AS last_doc
+    FROM c
+    GROUP BY 1
+    ORDER BY pack_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators.corpus.packed_sequences):
+    docs in id order form one token stream; each doc joins the pack holding
+    its first token. The oracle is the single-window formulation; the Spark
+    plan is the distributed two-level prefix sum (range shuffle + broadcast
+    offsets) that survives 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = C.packed_sequences(docs, _PACK_BUDGET)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang, doc_id,
+               len({_SQL_TOKS.format(col='text')}) AS n_tokens,
+               ({_SQL_H28.format(x='CAST(doc_id AS VARCHAR)')} % 1000)
+                   < ({_sql_rate_case()}) AS keep
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)        AS n_kept,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+           min(CASE WHEN keep THEN doc_id END)                          AS min_kept_id
+    FROM s
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators.corpus.stratified_sample):
+    per-language keep rates in ‰ via content-hash buckets — reproducible under
+    any partitioning, unlike df.sample. Languages absent from the rate table
+    (zh here) are dropped, proving the 0-rate path."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = C.stratified_sample(
+        docs, F.col("doc_id").cast("string"), _SAMPLE_RATES, "lang"
+    )
+    s = docs.select(
+        "lang",
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+        keep.alias("keep"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("min_kept_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+_SQL_PII_INJECT = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199 ext 42' ELSE '' END"
+)
+
+
+@query(
+    "text_scrub_stats",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id, source, {_SQL_PII_INJECT} AS text FROM documents
+    ),
+    n AS (
+        SELECT doc_id, source, {_SQL_NORM.format(col='text')} AS norm FROM injected
+    ),
+    scrubbed AS (
+        SELECT source,
+               len(regexp_extract_all(norm, '{C.EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(norm, '{C.PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(norm, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{C.PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM n
+    )
+    SELECT source,
+           count(*)                        AS n_docs,
+           CAST(sum(n_emails) AS BIGINT)   AS emails_redacted,
+           CAST(sum(n_phones) AS BIGINT)   AS phones_redacted,
+           CAST(sum({_SQL_H28.format(x='clean')}) AS BIGINT) AS scrub_checksum
+    FROM scrubbed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators.corpus.scrub_pii): emails and phone numbers
+    are injected deterministically (every 7th/11th doc), then redacted; the
+    gate checks redaction counts AND an order-free checksum (sum of 28-bit
+    hashes) of the scrubbed text, so a single unredacted byte flips the
+    result. Pure projections — fused into the scan, no shuffle beyond the
+    rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" call 555-0199 ext 42")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    norm = T.normalize_text(F.col("text"))
+    n_emails, n_phones = C.pii_counts(norm)
+    s = injected.select(
+        "source",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        C.scrub_pii(norm).alias("clean"),
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum("n_phones").alias("phones_redacted"),
+            F.sum(C.h28(F.col("clean"))).alias("scrub_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinctive terms (log-free tf-idf)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_distinctive_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, t AS token FROM (
+            SELECT doc_id, lang,
+                   unnest({_SQL_TOKS.format(col='text')}) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    lt AS (
+        SELECT lang, token,
+               count(*)               AS tf,
+               count(DISTINCT doc_id) AS df_lang
+        FROM toks GROUP BY lang, token
+    ),
+    d AS (
+        SELECT lang, token, tf,
+               CAST(sum(df_lang) OVER (PARTITION BY token) AS BIGINT) AS df
+        FROM lt
+    ),
+    s AS (
+        SELECT lang, token, tf, df,
+               CAST((tf * (SELECT count(*) FROM documents)) // df AS BIGINT) AS score
+        FROM d
+    )
+    SELECT lang, token, tf, df, score,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, token)
+                AS BIGINT) AS rank
+    FROM s
+    QUALIFY rank <= 5
+    ORDER BY lang, rank
+    """,
+)
+def corpus_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-terms extraction: per-language top-5 tokens by the log-free
+    tf-idf surrogate ``tf * N div df`` (exact integer arithmetic — a log-based
+    score could drift between engines at the 17th digit and flip a rank).
+
+    Scale: one explode + one (lang, token) aggregate; corpus-wide df rides a
+    window over the aggregated frame (vocab-sized, not corpus-sized); the
+    per-language top-5 is a row_number over ~|vocab| rows per lang. N arrives
+    via a broadcast 1-row crossJoin — no driver action."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    lt = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df_lang"),
+    )
+    d = lt.withColumn("df", F.sum("df_lang").over(Window.partitionBy("token")))
+    n_total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    s = d.crossJoin(F.broadcast(n_total)).withColumn(
+        "score", F.expr("CAST((tf * __n) div df AS BIGINT)")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "token")
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "tf", "df", "score", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_SQL_BENCH_SHINGLES = (
+    "list_distinct(list_transform("
+    f"generate_series(1, greatest(len(toks) - {_SHINGLE_N - 1}, 0)), "
+    f"i -> array_to_string(list_slice(toks, i, i + {_SHINGLE_N - 1}), ' ')))"
+)
+
+
+@query(
+    "corpus_contamination",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, {_SQL_TOKS.format(col='text')} AS toks FROM documents
+    ),
+    bench AS (
+        SELECT doc_id + {_BENCH_OFFSET} AS bench_id,
+               list_slice({_SQL_TOKS.format(col='text')}, 1, {_BENCH_TOKENS}) AS toks
+        FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    cs AS (
+        SELECT doc_id, unnest({_SQL_BENCH_SHINGLES}) AS shingle FROM corpus
+    ),
+    bs AS (
+        SELECT bench_id, unnest({_SQL_BENCH_SHINGLES}) AS shingle FROM bench
+    ),
+    bn AS (
+        SELECT bench_id, count(*) AS n_bench_shingles FROM bs GROUP BY bench_id
+    ),
+    hits AS (
+        SELECT cs.doc_id, bs.bench_id, count(*) AS n_common
+        FROM cs JOIN bs USING (shingle)
+        GROUP BY cs.doc_id, bs.bench_id
+    )
+    SELECT h.doc_id, h.bench_id,
+           CAST(h.n_common AS BIGINT)        AS n_common,
+           CAST(bn.n_bench_shingles AS BIGINT) AS n_bench_shingles,
+           CAST((h.n_common * 10000) // bn.n_bench_shingles AS BIGINT) AS overlap_bp
+    FROM hits h JOIN bn USING (bench_id)
+    WHERE h.n_common >= {_MIN_COMMON}
+    ORDER BY doc_id, bench_id
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram shingle overlap between the corpus
+    and a deterministic benchmark holdout (40-token excerpts of every 97th
+    doc). A corpus doc containing a benchmark excerpt surfaces with
+    overlap_bp ≈ 10000 (basis points, integer div).
+
+    Scale: candidates come from an equality join on shingle strings — the
+    benchmark side is tiny (eval sets are ~10^3-10^5 docs) so Spark
+    broadcasts it; the corpus side streams through map-side. No all-pairs
+    comparison exists anywhere in the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus_sh = D.shingles(docs, "text", "doc_id", n=_SHINGLE_N).withColumnRenamed(
+        "id", "doc_id"
+    )
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        (F.col("doc_id") + _BENCH_OFFSET).alias("bench_id"),
+        F.array_join(F.slice(T.tokens(F.col("text")), 1, _BENCH_TOKENS), " ").alias(
+            "text"
+        ),
+    )
+    bench_sh = D.shingles(bench, "text", "bench_id", n=_SHINGLE_N).withColumnRenamed(
+        "id", "bench_id"
+    )
+    bn = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench_shingles")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= _MIN_COMMON)
+    )
+    return (
+        hits.join(F.broadcast(bn), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_common",
+            "n_bench_shingles",
+            F.expr("CAST((n_common * 10000) div n_bench_shingles AS BIGINT)").alias(
+                "overlap_bp"
+            ),
+        )
+        .orderBy("doc_id", "bench_id")
+    )

@@ -1,0 +1,158 @@
+"""Unit tests for the corpus-prep operator family (operators/corpus.py +
+plans/suite_corpus.py): dup-safe splits, distributed sequence packing vs the
+single-window oracle formulation, deterministic stratified sampling, PII
+scrubbing, and contamination detection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import corpus as C
+from payroll_etl_fastapi_spark.operators import text as T
+from payroll_etl_fastapi_spark.plans import suite_corpus as SC
+from payroll_etl_fastapi_spark.sources.registry import load_table
+
+from conftest import SF_SMALL
+
+
+def test_split_duplicates_share_split(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # duplicate every doc under a shifted id — every (original, copy) pair
+    # must land in the same split because assignment hashes the fingerprint
+    dup = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    both = docs.unionByName(dup)
+    fp = F.md5(T.normalize_text(F.col("text")))
+    assigned = both.select(
+        "doc_id", fp.alias("fp"), C.split_of(fp).alias("split")
+    )
+    per_fp = assigned.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_fp.filter(F.col("n_splits") > 1).count() == 0
+
+
+def test_split_fractions_reasonable(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    fp = F.md5(T.normalize_text(F.col("text")))
+    counts = dict(
+        docs.select(C.split_of(fp).alias("split"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    total = sum(counts.values())
+    # 80/10/10 nominal; wide tolerance for 500 docs
+    assert counts["train"] / total == pytest.approx(0.8, abs=0.08)
+    assert counts.get("val", 0) / total == pytest.approx(0.1, abs=0.06)
+    assert counts.get("test", 0) / total == pytest.approx(0.1, abs=0.06)
+
+
+def test_packed_sequences_matches_single_window(spark):
+    """The distributed two-level prefix sum must agree doc-for-doc with the
+    naive global-window formulation (the SQL oracle's shape)."""
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tokens")
+    )
+    budget = 256
+    packed = C.packed_sequences(docs, budget, num_partitions=7)
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = docs.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        F.expr(f"CAST((cum - n_tokens) div {budget} AS BIGINT)").alias("pack_id"),
+    )
+    joined = packed.select("doc_id", "pack_id").join(
+        naive.withColumnRenamed("pack_id", "expected"), "doc_id"
+    )
+    assert joined.count() == docs.count()
+    assert joined.filter(F.col("pack_id") != F.col("expected")).count() == 0
+
+
+def test_packed_sequences_pack_ids_contiguous(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tokens")
+    )
+    packs = (
+        C.packed_sequences(docs, 512)
+        .select("pack_id")
+        .distinct()
+        .orderBy("pack_id")
+        .collect()
+    )
+    ids = [r.pack_id for r in packs]
+    assert ids[0] == 0
+    assert ids == list(range(len(ids)))
+
+
+def test_stratified_sample_deterministic_under_repartition(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    rates = {"en": 300, "de": 700}
+    keep = C.stratified_sample(docs, F.col("doc_id").cast("string"), rates, "lang")
+    kept1 = sorted(
+        r.doc_id for r in docs.filter(keep).select("doc_id").collect()
+    )
+    kept2 = sorted(
+        r.doc_id
+        for r in docs.repartition(13).filter(keep).select("doc_id").collect()
+    )
+    assert kept1 == kept2 and len(kept1) > 0
+    # strata without a configured rate are dropped entirely
+    langs = {
+        r.lang for r in docs.filter(keep).select("lang").distinct().collect()
+    }
+    assert langs <= {"en", "de"}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org today"),
+            (2, "call 555-0134 or 555-0135 now"),
+            (3, "nothing sensitive here"),
+            (4, "two mails a@b.io c.d@e-f.com and 123-4567"),
+        ],
+        "id int, text string",
+    )
+    norm = T.normalize_text(F.col("text"))
+    n_e, n_p = C.pii_counts(norm)
+    out = df.select(
+        "id", n_e.alias("e"), n_p.alias("p"), C.scrub_pii(norm).alias("clean")
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert (by_id[1].e, by_id[1].p) == (1, 0)
+    assert (by_id[2].e, by_id[2].p) == (0, 2)
+    assert (by_id[3].e, by_id[3].p) == (0, 0)
+    assert (by_id[4].e, by_id[4].p) == (2, 1)
+    assert by_id[1].clean == "mail me at <EMAIL> today"
+    assert by_id[2].clean == "call <PHONE> or <PHONE> now"
+    assert by_id[4].clean == "two mails <EMAIL> <EMAIL> and <PHONE>"
+
+
+def test_contamination_flags_planted_excerpts(spark):
+    out = SC.corpus_contamination(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    # every benchmark excerpt is a verbatim prefix of its source doc, so the
+    # source must surface at exactly 100% overlap (10000 basis points)
+    self_hits = {
+        r.doc_id: r.overlap_bp
+        for r in out
+        if r.bench_id - SC._BENCH_OFFSET == r.doc_id
+    }
+    expected_sources = set(range(0, 500, SC._BENCH_MOD))
+    assert set(self_hits) == expected_sources
+    assert all(bp == 10000 for bp in self_hits.values())
+
+
+def test_distinctive_terms_shape(spark):
+    rows = SC.corpus_distinctive_terms(spark, SF_SMALL).collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, lr in per_lang.items():
+        ranks = [r.rank for r in lr]
+        assert ranks == list(range(1, len(lr) + 1))
+        assert len(lr) <= 5
+        scores = [r.score for r in lr]
+        assert scores == sorted(scores, reverse=True)

@@ -93,3 +93,25 @@ def test_range_join_is_equality_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "SortMergeJoin") + _nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    import payroll_etl_fastapi_spark.plans.suite_corpus  # noqa: F401
+
+    df = QUERIES["corpus_pack_sequences"](spark, SF_ORACLE)
+    static = io.StringIO()
+    with redirect_stdout(static):
+        df.explain("formatted")
+    plan = static.getvalue()
+    # the corpus-wide cumsum must never be a single-partition window: the
+    # doc-level running sum is partitioned by __pid (only the 32-row totals
+    # frame may use an unpartitioned window)
+    assert re.search(r"windowspecdefinition\(__pid", plan)
+    # range partitioning on doc_id is the one corpus shuffle the design pays
+    assert len(re.findall(r"Arguments: rangepartitioning\(doc_id", plan)) >= 1
+    # at runtime AQE must REUSE that range exchange for the offsets side —
+    # one corpus scan, and boundary consistency between cumsum and totals is
+    # structural, not sampling-determinism luck
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
