@@ -1,0 +1,102 @@
+"""Plan-shape and semantics tests for the relational-breadth suite
+(plans/suite_relational.py). Value correctness is gated by
+tools/check_oracle.py / the driver; these tests pin the physical shapes that
+make the queries scale and the semantics that a refactor could silently break."""
+
+from __future__ import annotations
+
+import io
+import re
+
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.plans.suite import QUERIES
+import payroll_etl_fastapi_spark.plans.suite_relational  # noqa: F401  (registers)
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nodes(plan: str, label: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {label}", plan, flags=re.M))
+
+
+def test_q3_broadcasts_customer_and_takes_ordered(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-10, never a global sort
+    assert _nodes(plan, "BroadcastHashJoin") >= 1  # filtered customer side
+    # both date predicates reach the scans
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderdate", plan)
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", plan)
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert _nodes(plan, "BroadcastHashJoin") >= 2  # supplier + region-filtered nation
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters:.*o_orderdate", plan)
+
+
+def test_semi_and_anti_join_operators(spark):
+    semi = _plan(spark, "join_semi_urgent_customers")
+    anti = _plan(spark, "join_anti_no_urgent_customers")
+    assert "LeftSemi" in semi and "Aggregate" not in semi  # no distinct added
+    assert "LeftAnti" in anti
+    # the orders side is pruned to the join column + the filter column only
+    assert re.search(r"ReadSchema:.*struct<o_custkey:bigint,o_orderpriority:string>", semi)
+    assert re.search(r"ReadSchema:.*struct<o_custkey:bigint,o_orderpriority:string>", anti)
+
+
+def test_windows_share_one_exchange_and_sort(spark):
+    plan = _plan(spark, "window_customer_running_totals")
+    # all 5 window functions share one partition spec: exactly one exchange
+    # on o_custkey and one sort below the final output ordering
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) <= 2  # window + final sort
+    assert _nodes(plan, "Window") <= 2  # running-frame + default-frame, not 5
+
+
+def test_semi_anti_partition_counts_add_up(spark):
+    semi = QUERIES["join_semi_urgent_customers"](spark, SF_ORACLE)
+    anti = QUERIES["join_anti_no_urgent_customers"](spark, SF_ORACLE)
+    total = (
+        QUERIES["join_semi_urgent_customers"](spark, SF_ORACLE)
+        .sparkSession.read.parquet(f"{SF_ORACLE}/customer.parquet")
+        .count()
+    )
+    assert semi.count() + anti.count() == total
+
+
+def test_scalar_subquery_membership_is_exact(spark):
+    df = QUERIES["scalar_subquery_above_brand_avg"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert rows, "some parts must be above their brand average"
+    # integer cross-multiplication: every emitted row satisfies it exactly
+    assert all(r.price_cents * r.brand_cnt > r.brand_sum_cents for r in rows)
+
+
+def test_set_ops_are_distinct_and_disjoint(spark):
+    df = QUERIES["set_ops_nation_coverage"](spark, SF_ORACLE)
+    rows = df.collect()
+    both = {r.nationkey for r in rows if r.tag == "both"}
+    only = {r.nationkey for r in rows if r.tag == "customer_only"}
+    assert both and only
+    assert not (both & only)
+    assert len(rows) == len(both) + len(only)  # no multiset leakage
+
+
+def test_edit_distance_blocked_join_not_cartesian(spark):
+    plan = _plan(spark, "similarity_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "p_brand" in plan
+    df = QUERIES["similarity_edit_distance"](spark, SF_ORACLE)
+    bad = df.filter((F.col("edit_dist") > 3) | (F.col("partkey_a") >= F.col("partkey_b")))
+    assert bad.count() == 0
