@@ -31,6 +31,8 @@ from payroll_etl_fastapi_spark.plans import suite_asof  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_olap  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_corpus  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_relational  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_cdc  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_profile  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -52,6 +52,11 @@ def main() -> None:
     total = 0.0
     for name, fn in entry_mod.queries().items():
         spark.catalog.clearCache()  # each query timed standalone, no cross-query reuse
+        # Untimed GC between queries: the suite shares one long-lived JVM, and
+        # a heap full of the previous queries' garbage otherwise charges a
+        # multi-second stop-the-world pause to whichever query triggers it
+        # (observed: a 14s query reading 42s in-suite, 14s standalone).
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             fn(spark, SF_DIR).collect()

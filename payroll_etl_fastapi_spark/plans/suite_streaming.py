@@ -125,6 +125,50 @@ def streaming_hourly_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup",
+    oracle=f"""
+    SELECT event_type,
+           count(*)                 AS n_events,
+           count(DISTINCT user_id)  AS n_users,
+           {_sql_msum('value')}     AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under duplicate delivery: the events stream is unioned
+    with a 20% duplicate wave (event_id%5==0) and a 4% triplicate wave
+    (event_id%25==0) — three file-stream sources over the same data, the
+    at-least-once delivery shape — then deduplicated by
+    streaming/events.dedup_events (watermarked dropDuplicates) and drained in
+    append mode. The gate rolls the drained rows up by event_type; the oracle
+    aggregates the ORIGINAL events table, so the hash matches only if every
+    duplicate was suppressed and every original emitted exactly once.
+
+    Scale shape: dedup state is one entry per event_id within the watermark
+    horizon (evicted beyond it); the rollup here is a batch query over the
+    drained sink, keeping the streaming graph single-stateful-operator."""
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+    dup_wave = stream.filter(F.col("event_id") % 5 == 0)
+    tri_wave = stream.filter(F.col("event_id") % 25 == 0)
+    noisy = stream.unionByName(dup_wave).unionByName(tri_wave)
+    deduped = SE.dedup_events(noisy, watermark="1 hour")
+    name = f"t_gate_dedup_{next(_counter)}"
+    SE.run_available_now(deduped, name, "append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "streaming_session_rollup",
     oracle=f"""
     WITH e AS (

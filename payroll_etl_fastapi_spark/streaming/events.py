@@ -84,6 +84,19 @@ def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key deduplication: watermarked
+    dropDuplicates on event_id. The first arrival of each id is emitted
+    immediately (append mode); later copies are suppressed by the dedup
+    state, which holds ONE compact entry per id and is evicted once the
+    watermark passes the id's event time — so state is bounded by the ingest
+    rate × watermark horizon, not by total stream history (the unbounded
+    state trap of un-watermarked dropDuplicates). A copy arriving later than
+    the watermark horizon is late data and may re-emit — the same contract
+    every at-least-once source (Kafka redelivery, file re-listing) forces."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def sliding_rollup(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -72,3 +72,15 @@ def test_running_user_totals_stateful(spark, events_stream, events_batch):
     g = {r.user_id: r.n_events for r in final.collect()}
     e = {r.user_id: r.n_events for r in expected.collect()}
     assert g == e and len(g) > 0
+
+
+def test_dedup_events_suppresses_duplicate_delivery(spark, events_stream, events_batch):
+    """Three sources over the same file (the at-least-once delivery shape):
+    dedup must emit each event_id exactly once — count equals the clean
+    batch count, and no id appears twice."""
+    noisy = events_stream.unionByName(
+        events_stream.filter(F.col("event_id") % 3 == 0)
+    )
+    got = _drain(spark, SE.dedup_events(noisy), "t_dedup_unit", "append")
+    assert got.count() == events_batch.count()
+    assert got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
