@@ -405,3 +405,94 @@ def similarity_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey_a", "partkey_b")
     )
+
+
+@query(
+    "topk_per_group_orders",
+    oracle=f"""
+    SELECT custkey, rnk, orderkey, price_cents
+    FROM (
+        SELECT o_custkey                        AS custkey,
+               o_orderkey                       AS orderkey,
+               {_sql_cents('o_totalprice')}     AS price_cents,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY {_sql_cents('o_totalprice')} DESC, o_orderkey
+               )                                AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 2 AND custkey % 50 = 0
+    ORDER BY custkey, rnk
+    """,
+)
+def topk_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — each customer's 2 most expensive orders — the shape
+    global TakeOrdered (topk_orders, plans/suite.py) cannot express.
+
+    Scale shape: one exchange + sort on the group key; group count is the
+    customer cardinality, so partitions stay balanced (this pattern degrades
+    only when the group count is tiny relative to parallelism — then
+    pre-aggregate per-partition top-k first). rank carries the unique
+    orderkey tiebreak so the emitted set is deterministic."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            _cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("custkey").orderBy(
+                    F.desc("price_cents"), F.col("orderkey")
+                )
+            ),
+        )
+        .filter((F.col("rnk") <= 2) & (F.col("custkey") % 50 == 0))
+        .select("custkey", "rnk", "orderkey", "price_cents")
+        .orderBy("custkey", "rnk")
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "pivot_segment_balances",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey,
+           {", ".join(
+               f"CAST(sum(CASE WHEN c_mktsegment = '{s}' THEN "
+               f"{_sql_cents('c_acctbal')} ELSE 0 END) AS BIGINT) AS {s.lower()}_cents"
+               for s in _SEGMENTS
+           )}
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def pivot_segment_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native .pivot(): per-nation account balance split across the five
+    market segments as columns — the engine-level pivot the manual CASE
+    variant (pivot_conditional_agg) hand-writes.
+
+    Scale shape: pivot values are DECLARED, not discovered — with an explicit
+    value list Spark plans a single-pass pivot aggregate (PivotFirst over one
+    shuffle); omitting the list adds a blocking distinct scan to find the
+    columns, which is the 100 TB mistake this query documents by contrast.
+    Null cells are filled to 0 so the frame is dense like the oracle's."""
+    cust = _t(spark, sf_dir, "customer")
+    pivoted = (
+        cust.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.sum(_cents(F.col("c_acctbal"))))
+    )
+    renamed = pivoted.select(
+        "nationkey",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"{s.lower()}_cents")
+            for s in _SEGMENTS
+        ],
+    )
+    return renamed.orderBy("nationkey")

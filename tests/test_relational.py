@@ -100,3 +100,32 @@ def test_edit_distance_blocked_join_not_cartesian(spark):
     df = QUERIES["similarity_edit_distance"](spark, SF_ORACLE)
     bad = df.filter((F.col("edit_dist") > 3) | (F.col("partkey_a") >= F.col("partkey_b")))
     assert bad.count() == 0
+
+
+def test_topk_per_group_single_window_exchange(spark):
+    plan = _plan(spark, "topk_per_group_orders")
+    assert _nodes(plan, "Window$") == 1
+    # rank<=k is pushed below the exchange as WindowGroupLimit (partial +
+    # final): each map task keeps only its local top-2 per key, so the
+    # shuffle moves O(k·groups) rows, not the whole orders table
+    assert _nodes(plan, "WindowGroupLimit") >= 1
+    df = QUERIES["topk_per_group_orders"](spark, SF_ORACLE)
+    rows = df.collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.custkey, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+               for v in per_key.values())
+
+
+def test_pivot_is_single_aggregate_pass(spark):
+    plan = _plan(spark, "pivot_segment_balances")
+    # declared pivot values: the plan is the two-level pivot aggregate
+    # ((nation,segment) partial → pivot to columns) + the output sort — and
+    # crucially NO distinct-scan of c_mktsegment to discover the columns
+    # (that extra blocking job appears only when pivot values are omitted)
+    assert _nodes(plan, "Exchange") <= 3
+    assert _nodes(plan, "Scan parquet") == 1
+    df = QUERIES["pivot_segment_balances"](spark, SF_ORACLE)
+    row = df.filter(F.col("nationkey") == 0).first()
+    assert row is not None and len(df.columns) == 6
