@@ -63,3 +63,46 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+from payroll_etl_fastapi_spark.operators.zorder import zvalue, zvalue_sql  # noqa: E402
+
+_ZBITS = 10
+_SQL_X = "(o_orderkey % 1024)"
+_SQL_Y = f"({_sql_cents('o_totalprice')} % 1024)"
+
+
+@query(
+    "zorder_values",
+    oracle=f"""
+    SELECT o_orderkey                       AS orderkey,
+           {_SQL_X}                         AS x,
+           {_SQL_Y}                         AS y,
+           {zvalue_sql([_SQL_X, _SQL_Y], _ZBITS)} AS z
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    ORDER BY orderkey
+    """,
+)
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over two order dimensions — the clustering key behind
+    operators/zorder.zorder_write, pinned cross-engine: Spark's
+    shiftleft/bitwiseOR unroll and the oracle's SQL bit-ops must interleave
+    identically bit for bit.
+
+    Scale shape: the z-value is a pure projection (20 codegen'd terms inside
+    one WholeStageCodegen stage, no shuffle); the write path adds one range
+    exchange on z — see the layout test for the pruning payoff."""
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_orderkey") % 1024).cast("long")
+    y = (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long") % 1024)
+    return (
+        o.filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            x.alias("x"),
+            y.alias("y"),
+            zvalue([x, y], _ZBITS).alias("z"),
+        )
+        .orderBy("orderkey")
+    )
