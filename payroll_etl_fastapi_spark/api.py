@@ -98,6 +98,74 @@ class PayrollService:
         ]
 
 
+def serve_http(service: PayrollService, host: str = "127.0.0.1", port: int = 0):
+    """Stdlib HTTP shell: the same five routes over ``http.server`` — a real
+    socket server usable (and testable) where fastapi isn't installed.
+
+    Semantics mirror the reference app (/root/reference/src/api.py): JSON
+    bodies, 404 via NotFound, 422 on missing/malformed required query params
+    (FastAPI's validation status), 404 for unknown paths. Returns the started
+    ``ThreadingHTTPServer`` (already bound; call ``serve_forever`` yourself or
+    from a thread, ``shutdown()`` to stop) so tests control its lifecycle."""
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class _MissingParam(Exception):
+        pass
+
+    def _one(params: dict, name: str, cast=str, default=..., nullable: bool = False):
+        vals = params.get(name)
+        if not vals:
+            if default is not ...:
+                return default
+            raise _MissingParam(name)
+        try:
+            return cast(vals[0])
+        except (TypeError, ValueError):
+            raise _MissingParam(name)
+
+    routes = {
+        "/health": lambda p: service.health(),
+        "/kpi/summary": lambda p: service.summary(_one(p, "month")),
+        "/kpi/by-dept": lambda p: service.by_dept(_one(p, "month")),
+        "/kpi/delta": lambda p: service.delta(_one(p, "m1"), _one(p, "m2")),
+        "/kpi/anomalies": lambda p: service.anomalies(
+            _one(p, "month"),
+            threshold=_one(p, "threshold", float, 3.5),
+            limit=_one(p, "limit", int, 10),
+            dept=_one(p, "dept", str, None),
+        ),
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # keep test output clean
+            pass
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            handler = routes.get(url.path)
+            if handler is None:
+                return self._send(404, {"detail": "Not Found"})
+            try:
+                body = handler(parse_qs(url.query))
+            except NotFound as e:
+                return self._send(404, {"detail": str(e)})
+            except _MissingParam as e:
+                return self._send(422, {"detail": f"invalid or missing query param: {e}"})
+            self._send(200, body)
+
+        def _send(self, status: int, payload) -> None:
+            data = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def create_app(service: PayrollService):
     """FastAPI wiring (reference route signatures); requires fastapi installed."""
     from fastapi import FastAPI, HTTPException

@@ -66,19 +66,22 @@ def shingles(
 ) -> DataFrame:
     """(id, shingle) — distinct word n-gram shingles per document.
 
-    Built with sequence+transform (JVM higher-order functions); a doc with
+    Built by zipping n shifted slices of the token array and concatenating
+    each struct — every token-array reference sits OUTSIDE the lambda, so the
+    normalize+split expression is evaluated O(n) times per ROW. The earlier
+    form indexed `toks` with element_at INSIDE a transform lambda, and Spark
+    re-evaluates a non-bound expression per lambda invocation: O(len·n)
+    normalize+split calls per document, O(len²·n) work — measured 16.5s vs
+    1.1s for the corpus shingle frame at sf0.1 (identical output). A doc with
     fewer than n tokens yields no shingles. Row count ≈ tokens per doc, so
     this explodes ~|corpus| rows — partitioned by input splits, no shuffle."""
     toks = tokens(F.col(text_col))
-    # guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not empty —
-    # docs shorter than n tokens must produce no shingles
+    n_grams = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, n_grams) for k in range(n)])
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
-            ),
+            zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
     # per-doc dedup happens BEFORE the explode via array_distinct — a local
@@ -131,9 +134,13 @@ def ngram_jaccard_pairs(
     # .distinct() is a semantic no-op here (shingles are per-doc distinct
     # already) but its exchange is load-bearing: hash-partitioned on
     # (id, shingle) it is balanced even when one shingle is hot, and all
-    # three consumers (sizes + both join sides) reuse it. Measured at sf0.1:
-    # 16-19s vs 21-24s for repartition(shingle) (skewed) vs 36-39s with no
-    # exchange at all (each consumer re-explodes the corpus) vs ~27s cached.
+    # three consumers (sizes + both join sides) reuse it. A/B at sf0.1
+    # (after the zipped-slices shingle fix made the explode ~1s): distinct
+    # 2.3s ≈ no exchange 3.3s ≈ repartition(shingle) 1.9s — within run
+    # variance on the raw corpus, so the skew-proof (id, shingle) layout is
+    # kept for the 100 TB case where a hot shingle would gut the
+    # shingle-partitioned variant. (Pre-fix the gap was 16-19s / 36-39s /
+    # 21-24s because each consumer re-ran the O(len²·n) explode.)
     sh = shingles(df, text_col, id_col, n).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
@@ -384,32 +391,32 @@ def minhash_verified_pairs(
             .filter(F.col("jaccard") >= F.lit(threshold))
             .select("id_a", "id_b", "jaccard")
         )
-    # counts path: restrict the shingle frame to docs that appear in any
-    # candidate pair (semi-join — at scale candidates are a tiny fraction of
-    # the corpus), then count matching shingles per pair
-    cand = cand.cache()  # feeds 3 consumers: ids, intersection, final join
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .unionByName(cand.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh = sh.join(cand_ids, "id", "semi")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # counts path: the shingle frame is touched exactly ONCE. Melt each
+    # candidate pair into two (id_a, id_b, id) rows, join the exploded
+    # shingles on id (melt is tiny — 2×|candidates| narrow rows — so Catalyst
+    # broadcasts it and the shingle scan streams map-side, no pre-shuffle),
+    # then one grouped count per (pair, shingle): per-doc shingles are
+    # distinct, so count==2 means both docs contain the shingle and the
+    # number of (pair, shingle) groups IS |A∪B| — intersection and union in
+    # the same aggregate, no sizes frame, no per-consumer recompute. (The
+    # earlier shape joined the shingle frame three times — sizes + two
+    # intersection sides — and recomputed the explode for each: 38s vs ~10s
+    # at sf0.1.) A doc appearing in many pairs replicates its shingles per
+    # pair — bounded by the LSH band structure, same factor the sets path
+    # pays in its candidate join.
+    melt = cand.withColumn("id", F.explode(F.array(F.col("id_a"), F.col("id_b"))))
+    per_shingle = (
+        melt.join(sh, "id")
+        .groupBy("id_a", "id_b", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     return (
-        cand.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        per_shingle.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("union_sz"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("inter"),
         )
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )

@@ -122,3 +122,53 @@ def test_fastapi_wiring_with_stub(service, monkeypatch):
     with pytest.raises(HTTPException) as exc:
         app.handlers["/kpi/summary"](month="1999-01")
     assert exc.value.status_code == 404
+
+
+def test_stdlib_http_server_round_trip(service):
+    """Full HTTP round-trip through the stdlib shell: real sockets, real
+    status codes — the endpoint layer exercised without fastapi installed."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from payroll_etl_fastapi_spark.api import serve_http
+
+    srv = serve_http(service)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, json.loads(r.read())
+
+        assert get("/health") == (200, {"status": "ok"})
+
+        status, s = get("/kpi/summary?month=2025-05")
+        assert status == 200
+        assert round(s["fot"], 2) == 696994.07 and s["headcount"] == 440
+
+        status, rows = get("/kpi/anomalies?month=2025-05&threshold=3.5&limit=10")
+        assert status == 200
+        assert [r["emp_id"] for r in rows] == ["E100404"]
+
+        status, d = get("/kpi/delta?m1=2025-04&m2=2025-05")
+        assert status == 200 and round(d["company"]["gross_delta"], 2) == -12606.72
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get("/kpi/summary?month=1999-01")
+        assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get("/kpi/summary")  # missing required param -> FastAPI-style 422
+        assert e.value.code == 422
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get("/kpi/anomalies?month=2025-05&limit=notanint")
+        assert e.value.code == 422
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get("/nope")
+        assert e.value.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
