@@ -441,3 +441,90 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "bench_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level (chunk) boilerplate scrub
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 10
+_BOILER_MIN_DOCS = 2
+
+
+@query(
+    "corpus_passage_scrub",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               string_split({_SQL_NORM.format(col='text')}, ' ') AS words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source,
+               CAST(unnest(range(CAST(ceil(len(words) / {_CHUNK_WORDS}.0) AS BIGINT))) AS INT) AS chunk_idx,
+               words
+        FROM w
+    ),
+    c2 AS (
+        SELECT doc_id, source, chunk_idx,
+               array_to_string(
+                   words[(chunk_idx*{_CHUNK_WORDS}+1):(chunk_idx*{_CHUNK_WORDS}+{_CHUNK_WORDS})],
+                   ' ') AS chunk
+        FROM c
+    ),
+    boiler AS (
+        SELECT chunk FROM c2
+        GROUP BY chunk HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    ),
+    kept AS (
+        SELECT * FROM c2 WHERE chunk NOT IN (SELECT chunk FROM boiler)
+    ),
+    r AS (
+        SELECT doc_id, count(*) AS n_kept,
+               array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS cleaned_text
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, source, count(*) AS n_chunks FROM c2 GROUP BY doc_id, source
+    )
+    SELECT t.source,
+           count(*) AS n_docs,
+           CAST(sum(t.n_chunks) AS BIGINT)           AS total_chunks,
+           CAST(sum(coalesce(r.n_kept, 0)) AS BIGINT) AS kept_chunks,
+           CAST(sum({_SQL_H28.format(x="coalesce(r.cleaned_text, '')")}) AS BIGINT)
+               AS clean_checksum
+    FROM tot t LEFT JOIN r USING (doc_id)
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def corpus_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level boilerplate scrub (operators.passage.scrub_common_passages):
+    every {_CHUNK_WORDS}-word chunk appearing in >= {_BOILER_MIN_DOCS} distinct
+    documents is removed and survivors are reassembled in document order — the
+    C4/RefinedWeb "drop lines repeated across documents" step over fixed word
+    windows (the synthetic corpus has no newlines to anchor on). The gate rolls
+    up per source and checksums every reassembled text (order-free h28 sum), so
+    one wrongly kept or dropped chunk — or a reassembly order bug — flips the
+    result.
+
+    Scale: one posexplode (~n_chunks rows/doc), one grouped count at
+    distinct-chunk granularity (map-side combine), one anti-join back on the
+    pre-shrunk boilerplate set (broadcast at realistic thresholds), one
+    groupBy doc_id to reassemble. All built-in expressions, no UDF."""
+    from payroll_etl_fastapi_spark.operators import passage as P
+
+    docs = _t(spark, sf_dir, "documents")
+    scrubbed = P.scrub_common_passages(
+        docs, chunk_words=_CHUNK_WORDS, min_docs=_BOILER_MIN_DOCS
+    )
+    return (
+        scrubbed.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.sum("n_kept").alias("kept_chunks"),
+            F.sum(C.h28(F.col("cleaned_text"))).alias("clean_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -156,3 +156,46 @@ def test_distinctive_terms_shape(spark):
         assert len(lr) <= 5
         scores = [r.score for r in lr]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_passage_scrub_removes_cross_doc_chunks(spark):
+    """Chunks shared by >= min_docs docs vanish; per-doc repeats survive; a doc
+    losing every chunk still emits a row with empty cleaned_text; reassembly
+    preserves document order."""
+    from payroll_etl_fastapi_spark.operators import passage as P
+
+    boiler = "the quick brown"  # 3-word chunk shared across docs
+    rows = [
+        # d1: boiler + unique tail (unique chunk survives, order preserved)
+        (1, f"{boiler} alpha beta gamma"),
+        # d2: boiler only -> fully scrubbed
+        (2, boiler),
+        # d3: boiler + different unique tail
+        (3, f"{boiler} delta epsilon zeta"),
+        # d4: internal repeat of a chunk unique to d4 -> NOT boilerplate
+        # (count distinct docs == 1), both copies survive
+        (4, "own own own own own own"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in P.scrub_common_passages(docs, chunk_words=3, min_docs=2).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["cleaned_text"] == "alpha beta gamma"
+    assert out[2]["n_chunks"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["cleaned_text"] == ""
+    assert out[3]["cleaned_text"] == "delta epsilon zeta"
+    assert out[4]["n_kept"] == 2 and out[4]["cleaned_text"] == "own own own own own own"
+
+
+def test_passage_chunking_short_final_chunk(spark):
+    """The final chunk may be shorter than chunk_words; chunk_idx is dense
+    from 0 in document order."""
+    from payroll_etl_fastapi_spark.operators import passage as P
+
+    docs = spark.createDataFrame([(1, "a b c d e f g")], "doc_id int, text string")
+    chunks = P.chunk_docs(docs, chunk_words=3).orderBy("chunk_idx").collect()
+    assert [(c["chunk_idx"], c["chunk"]) for c in chunks] == [
+        (0, "a b c"), (1, "d e f"), (2, "g"),
+    ]
