@@ -312,3 +312,93 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dups") > 1)
         .orderBy("representative")
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_SQL_TOKS.format(col='text')} AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(words) >= 2
+                    THEN list_transform(range(1, len(words)),
+                                        i -> words[i] || ' ' || words[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS g2,
+               CASE WHEN len(words) >= 3
+                    THEN list_transform(range(1, len(words) - 1),
+                                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END AS g3
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               len(g2) AS t2, len(list_distinct(g2)) AS d2,
+               len(g3) AS t3, len(list_distinct(g3)) AS d3
+        FROM g
+    ),
+    tc AS (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+        GROUP BY doc_id, gram
+    ),
+    top AS (SELECT doc_id, max(c) AS top2 FROM tc GROUP BY doc_id),
+    p AS (
+        SELECT m.doc_id, m.lang,
+               CASE WHEN t2 > 0 THEN (t2 - d2) * 10000 // t2 ELSE 0 END AS dup2_bp,
+               CASE WHEN t3 > 0 THEN (t3 - d3) * 10000 // t3 ELSE 0 END AS dup3_bp,
+               CASE WHEN t2 > 0 THEN coalesce(top2, 0) * 10000 // t2 ELSE 0 END AS top2_bp
+        FROM m LEFT JOIN top USING (doc_id)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN dup2_bp >= {T.REP_DUP2_BP} OR top2_bp >= {T.REP_TOP2_BP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           CAST(sum(dup2_bp) AS BIGINT) AS dup2_bp_total,
+           CAST(sum(dup3_bp) AS BIGINT) AS dup3_bp_total,
+           CAST(sum(top2_bp) AS BIGINT) AS top2_bp_total,
+           max(top2_bp) AS max_top2_bp
+    FROM p GROUP BY lang ORDER BY lang
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals
+    (operators.text.repetition_metrics): duplicate 2-/3-gram fractions and
+    most-common-2-gram share, in exact basis points (integer div — no float
+    drift), flagged against the corpus-calibrated thresholds and rolled up
+    per language.
+
+    Scale shape: the Spark side is a PURE PROJECTION — the most-common-gram
+    multiplicity comes from an array-local sort + run-length aggregate()
+    scan (operators.text.max_multiplicity), not the explode + double groupBy
+    the oracle uses — zero shuffles before the per-lang rollup, so corpus
+    cost is one scan regardless of document count."""
+    docs = _t(spark, sf_dir, "documents")
+    m = T.repetition_metrics(F.col("text"))
+    per = docs.select(
+        "doc_id", "lang", *[v.alias(k) for k, v in m.items()]
+    ).selectExpr(
+        "lang",
+        "CASE WHEN g2_total > 0 THEN (g2_total - g2_distinct) * 10000 div g2_total ELSE 0 END AS dup2_bp",
+        "CASE WHEN g3_total > 0 THEN (g3_total - g3_distinct) * 10000 div g3_total ELSE 0 END AS dup3_bp",
+        "CASE WHEN g2_total > 0 THEN top2_count * 10000 div g2_total ELSE 0 END AS top2_bp",
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("dup2_bp") >= T.REP_DUP2_BP)
+                    | (F.col("top2_bp") >= T.REP_TOP2_BP),
+                    1,
+                ).otherwise(0)
+            ).alias("n_repetitive"),
+            F.sum("dup2_bp").alias("dup2_bp_total"),
+            F.sum("dup3_bp").alias("dup3_bp_total"),
+            F.sum("top2_bp").alias("top2_bp_total"),
+            F.max("top2_bp").alias("max_top2_bp"),
+        )
+        .orderBy("lang")
+    )

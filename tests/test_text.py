@@ -55,3 +55,42 @@ def test_fingerprint_is_order_sensitive_and_stable(spark):
 def test_marker_count_counts_duplicates(spark):
     n = _one(spark, "the the the und", T.marker_count(T.tokens(F.col("text")), ["the"]))
     assert n == 3
+
+
+def test_ngrams_and_max_multiplicity_edges(spark):
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # g2: [a b, b a, a b, b a] -> top mult 2
+            (2, "x"),            # < n tokens -> empty grams
+            (3, ""),             # empty text -> empty tokens
+            (4, "z z z z"),      # g2: [z z, z z, z z] -> top mult 3
+        ],
+        "id int, text string",
+    )
+    m = T.repetition_metrics(F.col("text"))
+    rows = {
+        r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in m.items()]).collect()
+    }
+    assert rows[1]["g2_total"] == 4 and rows[1]["g2_distinct"] == 2
+    assert rows[1]["top2_count"] == 2
+    assert rows[2]["g2_total"] == 0 and rows[2]["top2_count"] == 0
+    assert rows[3]["g2_total"] == 0
+    assert rows[4]["g2_total"] == 3 and rows[4]["g2_distinct"] == 1
+    assert rows[4]["top2_count"] == 3
+
+
+def test_repetition_stats_plan_is_shuffle_free_before_rollup(spark):
+    """The most-common-gram multiplicity must come from the array-local scan:
+    only the per-lang rollup exchange + the final orderBy range exchange —
+    nothing before the aggregate, and no explode."""
+    from payroll_etl_fastapi_spark.plans.suite_text import text_repetition_stats
+
+    from conftest import SF_SMALL
+
+    plan = text_repetition_stats(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan  # rollup hash + orderBy range
+    assert "Generate" not in plan, plan  # no explode anywhere
