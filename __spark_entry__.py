@@ -32,7 +32,8 @@ from payroll_etl_fastapi_spark.plans import suite_olap  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_corpus  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_relational  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_cdc  # noqa: E402,F401
-from payroll_etl_fastapi_spark.plans import suite_profile  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_profile  # noqa: E402
+from payroll_etl_fastapi_spark.plans import suite_search  # noqa: E402,F401,F401
 from payroll_etl_fastapi_spark.plans import suite_binning  # noqa: E402,F401
 
 

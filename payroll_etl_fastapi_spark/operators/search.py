@@ -1,0 +1,138 @@
+"""BM25 keyword search over a document corpus — the lexical-retrieval
+complement to the embedding ANN family (operators/similarity.py).
+
+No reference counterpart (/root/reference has no text search); this is the
+standard Okapi BM25 ranking function expressed as DataFrame ops over an
+inverted-index term-frequency frame.
+
+Determinism contract (the suite's oracle-determinism pattern): k1 = 1.25 and
+b = 0.75 are chosen exactly representable in binary, the per-term score is a
+fixed double expression tree evaluated from identical integer inputs in both
+engines, then snapped to integer micro-units BEFORE the per-document sum — so
+the aggregate is an order-free integer sum and cross-engine float drift is
+impossible. The idf is the log-free Robertson surrogate
+(N - df + 0.5) / (df + 0.5): rational, exactly reproducible, and
+rank-equivalent to the log form for scoring (log is monotone).
+
+Scale shape (100 TB corpus, small query set):
+- ONE explode + ONE (doc_id, token) aggregate builds the tf frame — the
+  inverted index. Everything afterwards is restricted to query terms first:
+  the term list is broadcast, the tf frame is inner-joined against it
+  map-side, and df/idf are computed on the restricted (tiny) frame. No
+  vocab-wide or corpus-wide shuffle ever happens after the index build.
+- Corpus constants (N, avgdl) come from one single-row aggregate, crossed in
+  via broadcast.
+- The per-(query, doc) score aggregate is bounded by |matching postings|,
+  and the final top-k is a per-query window over scored docs only.
+- On a real deployment the tf frame is the thing you PERSIST (partitioned by
+  token prefix); queries then never touch raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators.text import tokens
+
+__all__ = ["doc_term_freqs", "bm25_topk"]
+
+BM25_K1 = 1.25  # exactly representable: 5/4
+BM25_B = 0.75   # exactly representable: 3/4
+
+
+def doc_term_freqs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, token, tf, dl) — the inverted-index postings frame.
+
+    dl (document length in tokens) is computed array-locally before the
+    explode and rides along, so no second pass over the corpus is needed."""
+    toks = tokens(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("doc_id", "token", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 matches per query.
+
+    `queries` is (query_id, term) — one row per query term (duplicate terms
+    should be pre-distincted; a term repeated in a query would double-count).
+    Returns (query_id, rank, doc_id, score_micro), rank 1..k by score desc
+    with doc_id as the deterministic tie-break.
+    """
+    tf = doc_term_freqs(docs, id_col, text_col)
+
+    # corpus constants: one single-row aggregate, broadcast-crossed
+    toks = tokens(F.col(text_col))
+    consts = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(toks).cast("long")).alias("total_tokens"),
+        )
+    )
+
+    terms = F.broadcast(queries.select("query_id", F.col("term").alias("token")))
+    # restrict the postings to query terms FIRST — everything downstream is
+    # O(|matching postings|), never O(|vocab|) or O(|corpus|)
+    hits = tf.join(terms, "token")
+    df_counts = F.broadcast(
+        hits.select("token", "doc_id")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+    scored = (
+        hits.join(df_counts, "token")
+        .crossJoin(consts)
+        .withColumn("avgdl", F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"))
+        # fixed expression tree — identical in the SQL twin; snap to micro
+        # BEFORE summing so the sum is an order-free integer aggregate
+        .withColumn(
+            "idf",
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5)),
+        )
+        .withColumn(
+            "tfp",
+            (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            ),
+        )
+        .withColumn(
+            "term_micro",
+            F.floor(F.col("idf") * F.col("tfp") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )

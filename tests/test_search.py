@@ -1,0 +1,118 @@
+"""BM25 lexical search (operators/search.py): ranking semantics on a
+hand-built corpus, determinism of the micro-snapped scores, and the
+broadcast-restricted plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import search as S
+from payroll_etl_fastapi_spark.sources.registry import load_table
+
+from conftest import SF_SMALL
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana cherry date"),
+            (2, "apple apple apple banana"),      # tf-heavy on apple
+            (3, "cherry date elderberry fig"),
+            (4, "grape honeydew iris jasmine"),   # no query terms
+            (5, "apple banana"),                   # short doc: dl-normalized boost
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_bm25_ranks_matching_docs_and_omits_nonmatching(spark):
+    q = spark.createDataFrame(
+        [(100, "apple"), (100, "banana")], "query_id int, term string"
+    )
+    rows = S.bm25_topk(_corpus(spark), q, k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 4 not in ids and 3 not in ids  # no query term -> never scored
+    assert set(ids) == {1, 2, 5}
+    # equal tf on both terms: the shorter doc 5 must out-rank the longer doc 1
+    # (dl normalization); tf-heavy doc 2 may legitimately beat both
+    by_doc = {r["doc_id"]: r["rank"] for r in rows}
+    assert by_doc[5] < by_doc[1]
+    # scores strictly ordered, ranks dense from 1
+    scores = [r["score_micro"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_bm25_tie_break_is_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "same text here"), (3, "same text here")], "doc_id int, text string"
+    )
+    q = spark.createDataFrame([(1, "same")], "query_id int, term string")
+    rows = sorted(S.bm25_topk(docs, q, k=2).collect(), key=lambda r: r["rank"])
+    assert rows[0]["score_micro"] == rows[1]["score_micro"]
+    assert [r["doc_id"] for r in rows] == [3, 7]  # equal score -> id asc
+
+
+def test_bm25_matches_brute_force_recompute_on_corpus(spark):
+    """The distributed plan must reproduce a driver-side brute-force BM25
+    (same constants, same micro-snapping) exactly — ranks AND scores."""
+    import math
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    from payroll_etl_fastapi_spark.operators import text as T
+
+    seed = 173
+    q = (
+        docs.filter(F.col("doc_id") == seed)
+        .select(
+            F.lit(seed).alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice(T.tokens(F.col("text")), 1, 4))
+            ).alias("term"),
+        )
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["score_micro"])
+        for r in S.bm25_topk(docs, q, k=10).orderBy("rank").collect()
+    ]
+
+    # brute force in plain Python
+    import re
+
+    corpus = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    terms = set(corpus[seed][:4])
+    n_docs = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n_docs
+    df = {t: sum(1 for toks in corpus.values() if t in toks) for t in terms}
+    scores = {}
+    for did, toks in corpus.items():
+        s = 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            tfp = (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * (len(toks) / avgdl)))
+            s += math.floor(idf * tfp * 1000000.0 + 0.5)
+        if s:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = [(i + 1, did, s) for i, (did, s) in enumerate(want)]
+    assert got == want
+
+
+def test_bm25_plan_broadcasts_query_side(spark):
+    """The postings->terms join and the df join must be broadcasts — the
+    corpus side streams, no shuffle on the full postings frame for the
+    restriction."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    q = spark.createDataFrame([(1, "alpha")], "query_id int, term string")
+    plan = (
+        S.bm25_topk(docs, q, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
