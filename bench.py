@@ -72,11 +72,28 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
-    payload = {
+    detail = {
         "metric": "suite_seconds",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if failed:
+        detail["failed"] = failed
+    # Per-query detail goes to a file; the final stdout line stays compact.
+    # Round 2's single line carried 69 query timings and outgrew the driver's
+    # tail capture (BENCH_r02 "parsed": null) — the driver parses only the last
+    # stdout line, so that line must be short and self-contained.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(f"bench: per-query detail written to {detail_path}", file=sys.stderr)
+    payload = {
+        "metric": "suite_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": {"n": len(timings), "detail": "BENCH_DETAIL.json"},
         "sf": _sf_from_dir(SF_DIR),
     }
     if failed:

@@ -326,43 +326,68 @@ def embedding_near_dup_pairs(
 
     Same blocking trade-off as MinHash-LSH in operators/dedup.py: recall is
     bounded by the band structure, which is exactly what the paired oracle
-    replays — the quadratic all-pairs join never runs."""
+    replays — the quadratic all-pairs join never runs.
+
+    Candidate generation runs on BARE IDS (the lsh_topk shape, A/B'd there
+    at 5.8s → 2.3s): only (id, band, sig) triples ride the band explode, the
+    band self-join, and the pair-dedup exchange; the 64-double vectors and
+    norms re-attach to the deduped candidate pairs afterwards via two narrow
+    id-equality joins (AQE broadcasts the candidate side when it is small;
+    at warehouse scale they are plain shuffle joins — candidate pairs grow
+    with the corpus, so broadcasting them is deliberately NOT hinted)."""
     planes = hyperplane_signs(num_planes, dim)
     sigs = band_signatures(F.col(vec_col), planes, bands)
     pairs = F.array(
         *[F.struct(F.lit(b).alias("band"), s.alias("sig")) for b, s in enumerate(sigs)]
     )
+    hashed_ids = (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bs"))
+        .select("id", "bs.band", "bs.sig")
+        # both self-join sides read this frame; a LAZY local checkpoint
+        # materializes the 32-plane-dot hash pass once at first action and is
+        # freed by the context cleaner when the frame becomes unreachable —
+        # the r2 version cache()d (and never unpersisted) the frame WITH
+        # vectors and norms aboard
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        hashed_ids.select(F.col("id").alias("id_a"), "band", "sig")
+        .join(
+            hashed_ids.select(F.col("id").alias("id_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     # norm is precomputed per ROW, not per candidate pair — the value is
     # bit-identical (same fold, same sqrt), it just runs |corpus| times
     # instead of |candidates| times
-    hashed = df.select(
+    vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
-        F.explode(pairs).alias("bs"),
-    ).select("id", "vec", "norm", "bs.band", "bs.sig")
-    # both self-join sides read this frame; cache so the plane-dots
-    # materialize once at first action (no eager count — constructing the
-    # plan must not itself launch a job)
-    hashed = hashed.cache()
-    left = hashed.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
-        F.col("norm").alias("norm_a"), "band", "sig",
     )
-    right = hashed.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
-        F.col("norm").alias("norm_b"), "band", "sig",
-    )
-    cand = (
-        left.join(right, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    scored = cand.join(
+        vecs.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("norm").alias("norm_a"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("norm").alias("norm_b"),
+        ),
+        "id_b",
     )
     cos = cosine_prenormed(
         F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")
     )
     return (
-        cand.select("id_a", "id_b", cos.alias("cosine"))
+        scored.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

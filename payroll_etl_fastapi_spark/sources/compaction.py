@@ -21,6 +21,14 @@ Design:
 - Partitioned tables compact per partition directory, preserving the
   partition column layout (each directory is rewritten independently, so a
   crash mid-compaction leaves every partition complete, old or new).
+- Swap scratch dirs are DOT-PREFIXED SIBLINGS (``.<leaf>__compact_tmp`` /
+  ``.<leaf>__old``), never bare names inside the table root: Spark's
+  partition discovery ignores ``.``/``_``-prefixed directories, so a
+  concurrent (or post-crash) reader of a partitioned table never sees the
+  scratch copy as a bogus extra partition (e.g. ``part=0__compact_tmp``)
+  and never double-counts rows. ``_recover`` is run before every plan or
+  compact pass: a stale ``__old`` with a missing live dir is renamed back
+  (crash between the two swap renames), any other leftover is deleted.
 """
 
 from __future__ import annotations
@@ -49,11 +57,50 @@ class CompactionPlan:
     worthwhile: bool      # n_files > n_target — rewriting buys something
 
 
+_TMP_SUFFIX = "__compact_tmp"
+_OLD_SUFFIX = "__old"
+
+
+def _swap_paths(leaf: str) -> tuple[str, str]:
+    """Scratch paths for one leaf dir: dot-prefixed siblings that Spark's
+    file listing and partition discovery both ignore."""
+    parent, base = os.path.dirname(leaf), os.path.basename(leaf)
+    return (
+        os.path.join(parent, "." + base + _TMP_SUFFIX),
+        os.path.join(parent, "." + base + _OLD_SUFFIX),
+    )
+
+
+def _recover(root: str) -> None:
+    """Clean (or roll back) scratch dirs left by a crashed compaction.
+
+    A ``.X__old`` whose live dir ``X`` is missing means the crash hit between
+    the two swap renames — the old copy is the only complete one, so rename
+    it back. Every other leftover (``__old`` beside a live dir, any
+    ``__compact_tmp``) is a redundant or incomplete copy: delete."""
+    for dirpath, dirnames, _filenames in os.walk(root):
+        for name in list(dirnames):
+            full = os.path.join(dirpath, name)
+            if name.startswith(".") and name.endswith(_OLD_SUFFIX):
+                live = os.path.join(dirpath, name[1 : -len(_OLD_SUFFIX)])
+                if os.path.exists(live):
+                    shutil.rmtree(full)
+                else:
+                    os.rename(full, live)
+                    dirnames.append(os.path.basename(live))
+                dirnames.remove(name)
+            elif name.startswith(".") and name.endswith(_TMP_SUFFIX):
+                shutil.rmtree(full)
+                dirnames.remove(name)
+
+
 def _leaf_dirs(root: str) -> list[str]:
     """Leaf directories holding parquet data files (the table root itself for
-    unpartitioned tables, the deepest partition dirs otherwise)."""
+    unpartitioned tables, the deepest partition dirs otherwise). Hidden
+    ``.``/``_``-prefixed dirs are skipped — same rule as Spark's listing."""
     leaves = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
         if any(f.endswith(_DATA_EXT) for f in filenames):
             leaves.append(dirpath)
     return sorted(leaves)
@@ -63,9 +110,12 @@ def plan_compaction(
     table_path: str, target_bytes: int = _DEFAULT_TARGET
 ) -> list[CompactionPlan]:
     """Inspect ``table_path`` and decide, per leaf directory, how many files
-    it should hold at ``target_bytes`` per file. Pure metadata — no Spark."""
+    it should hold at ``target_bytes`` per file. Metadata-only — no Spark job;
+    recovers stale swap dirs from a crashed prior compaction first (so the
+    plan sees every row exactly once)."""
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    _recover(table_path)
     plans = []
     for d in _leaf_dirs(table_path):
         files = [
@@ -103,7 +153,7 @@ def compact_table(
         if not plan.worthwhile:
             continue
         d = plan.directory
-        tmp, old = d + "__compact_tmp", d + "__old"
+        tmp, old = _swap_paths(d)
         (
             spark.read.parquet(d)
             .coalesce(plan.n_target)

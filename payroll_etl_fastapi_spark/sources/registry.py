@@ -25,15 +25,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read the raw int64 nanos and floor-truncate to microseconds — the
-    same truncation DuckDB applies — so both engines see identical values."""
+    """Normalize the events ts column to plain TIMESTAMP whatever the
+    generator shipped: TIMESTAMP(NANOS) files (round 2) are rejected by the
+    vectorized reader, so they are read as raw int64 and floor-truncated to
+    microseconds (the same truncation DuckDB applies); TIMESTAMP(MICROS)
+    files (round 3) arrive as TIMESTAMP_NTZ and are cast — value-preserving
+    under the session's pinned UTC timezone — so every downstream operator
+    (unix_micros, window(), watermarks) sees one stable type."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

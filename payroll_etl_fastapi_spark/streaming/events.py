@@ -33,8 +33,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# raw parquet schema: ts is int64 nanoseconds (see sources/registry.py — the
-# vectorized reader rejects TIMESTAMP(NANOS), so we read the long and convert)
+# raw schema for TIMESTAMP(NANOS) events files (ts read as int64 nanos) —
+# used directly by tests that synthesize nanos fixtures
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -47,21 +47,55 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def _events_ts_field(sf_dir: str):
+    """Physical type of the ts column, from one parquet footer (driver-side
+    probe — the generator has shipped both TIMESTAMP(NANOS), which Spark's
+    vectorized reader can only read as raw int64, and TIMESTAMP(MICROS))."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        inner = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        path = os.path.join(path, inner[0])
+    return pq.read_schema(path).field("ts").type
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-based streaming source over the events parquet directory with the
-    same nanos→micros truncation as the batch catalog."""
+    same ts handling as the batch catalog (sources/registry._load_events):
+    TIMESTAMP(NANOS) files are read as raw int64 and floor-truncated to
+    microseconds; TIMESTAMP(MICROS) files are read natively. A pinned schema
+    that assumed one or the other would silently shift every timestamp by
+    1000× when the testdata generator changes its ts unit (observed: round 2
+    shipped nanos, round 3 ships micros)."""
+    ts_type = _events_ts_field(sf_dir)
+    is_nanos = getattr(ts_type, "unit", None) == "ns"
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if is_nanos else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         # the events file(s) specifically — the sf dir holds every table, and
         # a schema-pinned source would silently null-fill foreign files' rows
         .option("pathGlobFilter", "events.parquet*")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

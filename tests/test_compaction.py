@@ -85,3 +85,65 @@ def test_target_bytes_splits_output(spark, tmp_path):
 def test_bad_target_raises(fragmented_table):
     with pytest.raises(ValueError, match="target_bytes"):
         plan_compaction(fragmented_table, target_bytes=0)
+
+
+@pytest.fixture()
+def parted_table(spark, tmp_path):
+    path = str(tmp_path / "parted_rec")
+    (
+        spark.range(3000)
+        .select(F.col("id"), (F.col("id") % 3).alias("part"))
+        .repartition(4)
+        .write.partitionBy("part")
+        .parquet(path)
+    )
+    return path
+
+
+def test_scratch_dirs_invisible_to_readers(spark, parted_table):
+    """Swap scratch dirs are dot-prefixed, so a reader that lists the table
+    root MID-COMPACTION (or after a crash) must not see them as extra
+    partitions or extra rows — the ADVICE r2 bug was `part=0__compact_tmp`
+    showing up as a bogus partition value and doubling rows."""
+    import shutil
+
+    n = spark.read.parquet(parted_table).count()
+    leaf = os.path.join(parted_table, "part=0")
+    # simulate an in-flight compaction: a complete scratch copy beside the leaf
+    shutil.copytree(leaf, os.path.join(parted_table, ".part=0__compact_tmp"))
+    shutil.copytree(leaf, os.path.join(parted_table, ".part=0__old"))
+    got = spark.read.parquet(parted_table)
+    assert got.count() == n
+    assert sorted(r.part for r in got.select("part").distinct().collect()) == [0, 1, 2]
+
+
+def test_recover_cleans_stale_scratch(spark, parted_table):
+    import shutil
+
+    before = sorted((r.id, r.part) for r in spark.read.parquet(parted_table).collect())
+    leaf = os.path.join(parted_table, "part=0")
+    shutil.copytree(leaf, os.path.join(parted_table, ".part=0__compact_tmp"))
+    shutil.copytree(leaf, os.path.join(parted_table, ".part=1__old"))
+    plans = plan_compaction(parted_table, target_bytes=1 << 30)
+    # leftovers cleaned, plan sees exactly the three live partitions
+    assert sorted(os.path.basename(p.directory) for p in plans) == [
+        "part=0", "part=1", "part=2"
+    ]
+    assert not os.path.exists(os.path.join(parted_table, ".part=0__compact_tmp"))
+    assert not os.path.exists(os.path.join(parted_table, ".part=1__old"))
+    after = sorted((r.id, r.part) for r in spark.read.parquet(parted_table).collect())
+    assert after == before
+
+
+def test_recover_rolls_back_half_swapped_partition(spark, parted_table):
+    """Crash between the two swap renames: live leaf missing, `.X__old` holds
+    the only complete copy — recovery must rename it back, losing nothing."""
+    before = sorted((r.id, r.part) for r in spark.read.parquet(parted_table).collect())
+    leaf = os.path.join(parted_table, "part=2")
+    os.rename(leaf, os.path.join(parted_table, ".part=2__old"))
+    plans = plan_compaction(parted_table, target_bytes=1 << 30)
+    assert sorted(os.path.basename(p.directory) for p in plans) == [
+        "part=0", "part=1", "part=2"
+    ]
+    after = sorted((r.id, r.part) for r in spark.read.parquet(parted_table).collect())
+    assert after == before
