@@ -55,6 +55,7 @@ from payroll_etl_fastapi_spark.plans import suite_profile  # noqa: E402
 from payroll_etl_fastapi_spark.plans import suite_search  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_binning  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_maintenance  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_txtable  # noqa: E402,F401
 
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
@@ -79,7 +80,6 @@ _WINDOW: tuple[str, ...] = (
     "set_ops_nation_coverage",
     "scalar_subquery_above_brand_avg",
     "topk_per_group_orders",
-    "similarity_edit_distance",
     "pivot_segment_balances",
     # dedup family
     "dedup_exact",
@@ -111,11 +111,12 @@ _WINDOW: tuple[str, ...] = (
     "cdc_apply_orders",
     "scd2_customer_segments",
     "rollup_incremental_merge",
-    # profiling / binning / layout / maintenance
+    # profiling / binning / layout / maintenance / transactional storage
     "profile_customer_columns",
     "feature_quantile_bins",
     "zorder_values",
     "compaction_stats",
+    "txtable_acid_ops",
     # multimodal + end-to-end pipeline flagships
     "multimodal_features",
     "pipeline_training_data",
@@ -124,6 +125,10 @@ _WINDOW: tuple[str, ...] = (
 # Registered past the driver's window; every one of these has a green
 # rows+schema+hash row in CORRECTNESS_r02.json and stays in the local gate.
 _SECONDARY: tuple[str, ...] = (
+    # moved out of the window for the txtable_acid_ops gate (round 3): the
+    # relational family keeps 6 in-window flagships; edit distance is its
+    # scalar-function extra
+    "similarity_edit_distance",
     "ann_ivf_topk",
     "text_quality_stats",
     "text_token_stats",

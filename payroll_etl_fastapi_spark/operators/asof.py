@@ -54,6 +54,17 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
+    # the union/window plumbing mints internal columns and the output mints
+    # prefixed ones — an input column with one of those names would produce
+    # duplicate/ambiguous columns or silently wrong selection, so fail loudly
+    reserved = {"_ts", "_side", "_r_ts", "_m_ts"} | {f"_rv_{v}" for v in values}
+    out_names = {f"{prefix}{ts}"} | {f"{prefix}{v}" for v in values}
+    clashes = (set(left.columns) | set(right.columns)) & (reserved | out_names)
+    if clashes:
+        raise ValueError(
+            f"asof_join input columns collide with reserved/output names: "
+            f"{sorted(clashes)}; rename them or pass a different prefix"
+        )
     ldt, rdt = dict(left.dtypes), dict(right.dtypes)
     left_payload = [c for c in left.columns if c not in on and c != ts]
     l = left.select(
@@ -145,6 +156,13 @@ def range_join_bucketed(
     if upper_us < lower_us:
         raise ValueError("upper_us must be >= lower_us")
     on = list(on)
+    right_out = {f"{prefix}{c}" for c in right.columns if c not in on}
+    clashes = (set(left.columns) | set(right.columns)) & ({"_bucket"} | right_out)
+    if clashes:
+        raise ValueError(
+            f"range_join_bucketed input columns collide with reserved/output "
+            f"names: {sorted(clashes)}; rename them or pass a different prefix"
+        )
     width = max(upper_us - lower_us, 1)
 
     def _bucket(us_col: F.Column) -> F.Column:

@@ -64,8 +64,13 @@ def cdc_apply(
 
     w = Window.partitionBy(*key_list).orderBy(
         F.col(seq_col).desc(),
-        # deterministic tiebreak: at equal seq a delete outranks an upsert
+        # deterministic tiebreak: at equal seq a delete outranks an upsert,
+        # and two same-(key, seq, op) rows with different payloads fall back
+        # to the payload columns — without this the surviving payload is
+        # whichever row the shuffle happened to order first (the same
+        # nondeterminism upsert() fixed; ADVICE r2)
         F.when(F.col(op_col) == "D", F.lit(0)).otherwise(F.lit(1)),
+        *[F.col(c) for c in sorted(c for c in payload_cols if c not in key_list)],
     )
     winners = (
         feed.withColumn("__rn", F.row_number().over(w))

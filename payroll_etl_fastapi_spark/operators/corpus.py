@@ -97,7 +97,6 @@ def packed_sequences(
 
 
 def stratified_sample(
-    df: DataFrame,
     key: Column,
     rates_per_mille: dict[str, int],
     stratum_col: str = "lang",
@@ -106,7 +105,9 @@ def stratified_sample(
     ``h28(key) % 1000 < rate`` for its stratum's rate (‰). Content-hash
     sampling is reproducible, join-free, and stable under re-partitioning —
     unlike ``df.sample`` whose output depends on partition layout. Returns
-    the boolean keep column; strata absent from the dict are dropped."""
+    the boolean keep COLUMN (apply with ``df.filter``) — it is built purely
+    from ``key`` and ``stratum_col``, so no frame parameter belongs in the
+    signature."""
     rate = None
     for stratum, r in sorted(rates_per_mille.items()):
         cond = F.col(stratum_col) == stratum

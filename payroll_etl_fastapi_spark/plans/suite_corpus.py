@@ -175,7 +175,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zh here) are dropped, proving the 0-rate path."""
     docs = _t(spark, sf_dir, "documents")
     keep = C.stratified_sample(
-        docs, F.col("doc_id").cast("string"), _SAMPLE_RATES, "lang"
+        F.col("doc_id").cast("string"), _SAMPLE_RATES, "lang"
     )
     s = docs.select(
         "lang",

@@ -109,12 +109,22 @@ def streaming_hourly_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+    import shutil
+
     base = tempfile.mkdtemp(prefix="gate_filesink_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
-    SE.write_stream_parquet(rolled, out, ckpt, partition_by="event_type")
+    try:
+        SE.write_stream_parquet(rolled, out, ckpt, partition_by="event_type")
+        # eager local checkpoint pins the read-back rows in executor storage
+        # so the sink + checkpoint dirs can be deleted NOW — repeated bench /
+        # gate runs previously accumulated one full rolled-up copy per run
+        # (ADVICE r2); the context cleaner frees the checkpoint when the
+        # returned frame is unreferenced
+        readback = spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return (
-        spark.read.parquet(out)
-        .select(
+        readback.select(
             F.date_format(F.col("window_start"), "yyyy-MM-dd HH:00:00").alias("hour"),
             "event_type",
             "n_events",

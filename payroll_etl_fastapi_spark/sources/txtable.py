@@ -1,0 +1,295 @@
+"""Manifest-based transactional parquet tables: atomic commits, snapshot
+isolation, time travel, and a multi-table transaction — the ACID properties
+the reference gets from Postgres (one transaction wraps its whole load,
+/root/reference/src/etl.py:15) re-expressed for a file-based warehouse.
+delta-spark is unavailable in this environment, so this is the same design
+idea (Delta/Iceberg-style log + immutable data files) built from scratch on
+primitives the filesystem gives us.
+
+## Protocol
+
+A table root holds immutable data directories and a manifest log:
+
+    <root>/data/c<version>-<uuid>/part-*.parquet   (never modified, never
+                                                    reused across commits)
+    <root>/_tx/v<version>.json                     (the commit log)
+
+A manifest lists the data directories visible at that version. Readers
+resolve the highest v<N>.json and read exactly the listed directories — a
+writer in progress has published nothing, so readers NEVER see a partial
+commit (unlike bare `mode("overwrite")`, which deletes before it writes).
+
+Commit = write the new data directory, write a tmp manifest, then publish
+with ``os.link(tmp, v<N>.json)``: hard-link creation fails with EEXIST if
+the version already exists, so it is an atomic compare-and-swap — two racing
+writers cannot both win a version. Losers re-read the log and retry (append)
+or raise (overwrite/upsert, whose read-set went stale — optimistic
+concurrency, same contract as Delta's ConcurrentModificationException).
+
+Crash safety: every mutation before the link is invisible (tmp manifest,
+unreferenced data dir); a crash leaves the table exactly at the previous
+version, plus orphans that ``vacuum`` removes by listing data dirs not
+referenced by any kept manifest.
+
+## Scale shape
+
+- The manifest is O(#directories) driver-side JSON — the same metadata scale
+  Delta's JSON log carries; at 100 TB you hold thousands of directory
+  entries, not billions of row entries.
+- Reads pass the directory list to one ``spark.read.parquet(*dirs)`` — a
+  normal multi-path FileScan with full pushdown/pruning; nothing bespoke on
+  the executor path.
+- ``upsert``/``overwrite`` are copy-on-write: one new data directory per
+  commit, old versions stay readable until vacuumed. ``append`` writes only
+  the new rows' files — the big-table cheap path.
+- Snapshot isolation is free: a DataFrame built from version N keeps reading
+  N's files regardless of later commits (until a vacuum drops N).
+
+The reference's one-transaction-for-three-tables load maps to
+``TxCatalog.commit``: each table's load lands as an UNPUBLISHED table
+version, then one catalog-pointer swap makes all of them visible atomically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TxTable", "TxCatalog", "ConcurrentCommit"]
+
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
+
+class ConcurrentCommit(RuntimeError):
+    """Another writer committed the version this commit was based on."""
+
+
+@dataclass(frozen=True)
+class _Snapshot:
+    version: int
+    data_dirs: tuple[str, ...]  # relative to the table root
+
+
+class TxTable:
+    """One transactional parquet table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._tx = os.path.join(root, "_tx")
+        self._data = os.path.join(root, "data")
+
+    # -- log ---------------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._tx):
+            return []
+        out = []
+        for name in os.listdir(self._tx):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        return vs[-1]
+
+    def _read_manifest(self, version: int) -> _Snapshot:
+        path = os.path.join(self._tx, f"v{version}.json")
+        with open(path) as fh:
+            doc = json.load(fh)
+        return _Snapshot(version=version, data_dirs=tuple(doc["data_dirs"]))
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first (version, operation, #data dirs)."""
+        out = []
+        for v in self._versions():
+            with open(os.path.join(self._tx, f"v{v}.json")) as fh:
+                doc = json.load(fh)
+            out.append(
+                {
+                    "version": v,
+                    "operation": doc.get("operation", "?"),
+                    "n_dirs": len(doc["data_dirs"]),
+                }
+            )
+        return out
+
+    # -- read --------------------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest). Time travel = pass an
+        older version that has not been vacuumed."""
+        v = self.latest_version() if version is None else version
+        snap = self._read_manifest(v)
+        if not snap.data_dirs:
+            raise ValueError(f"version {v} of {self.root} is empty")
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, d) for d in snap.data_dirs]
+        )
+
+    # -- write -------------------------------------------------------------
+
+    def _write_data_dir(self, df: DataFrame, version: int) -> str:
+        rel = os.path.join("data", f"c{version}-{uuid.uuid4().hex[:12]}")
+        df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _publish(self, version: int, data_dirs: list[str], operation: str) -> None:
+        """Atomic compare-and-swap commit of v<version>.json."""
+        os.makedirs(self._tx, exist_ok=True)
+        tmp = os.path.join(self._tx, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"operation": operation, "data_dirs": data_dirs}, fh)
+        try:
+            os.link(tmp, os.path.join(self._tx, f"v{version}.json"))
+        except FileExistsError as exc:
+            raise ConcurrentCommit(
+                f"version {version} of {self.root} was committed concurrently"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents; returns the committed version."""
+        base = self._versions()
+        version = (base[-1] if base else 0) + 1
+        rel = self._write_data_dir(df, version)
+        self._publish(version, [rel], "overwrite")
+        return version
+
+    def append(self, df: DataFrame, _retries: int = 5) -> int:
+        """Add rows; concurrent appends retry onto the new head (their data
+        files are already written and commute with any other append)."""
+        for _ in range(_retries):
+            base = self._versions()
+            version = (base[-1] if base else 0) + 1
+            prev = self._read_manifest(base[-1]).data_dirs if base else ()
+            rel = self._write_data_dir(df, version)
+            try:
+                self._publish(version, [*prev, rel], "append")
+                return version
+            except ConcurrentCommit:
+                # someone else took this version: our new files reference no
+                # manifest yet; rebase onto the new head and try again
+                continue
+        raise ConcurrentCommit(f"append to {self.root} lost {_retries} races")
+
+    def upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write merge (reference ON CONFLICT DO UPDATE semantics via
+        operators/upsert.upsert); fails on a concurrent commit rather than
+        silently dropping the other writer's rows (the read-set went stale)."""
+        from payroll_etl_fastapi_spark.operators.upsert import upsert as _upsert
+
+        base_version = self.latest_version()
+        merged = _upsert(self.snapshot(base_version), updates, keys)
+        version = base_version + 1
+        rel = self._write_data_dir(merged, version)
+        self._publish(version, [rel], "upsert")
+        return version
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop data dirs referenced only by versions older than the last
+        ``keep_last`` manifests, plus orphans from crashed commits. Returns
+        removed relative dirs. Readers of vacuumed versions break — the same
+        retention contract as Delta VACUUM."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self._versions()
+        keep = versions[-keep_last:]
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._read_manifest(v).data_dirs)
+        removed = []
+        if os.path.isdir(self._data):
+            for name in sorted(os.listdir(self._data)):
+                rel = os.path.join("data", name)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(self.root, rel))
+                    removed.append(rel)
+        for v in versions[:-keep_last]:
+            os.unlink(os.path.join(self._tx, f"v{v}.json"))
+        # tmp manifests from crashed publishes are invisible; sweep them too
+        for name in os.listdir(self._tx) if os.path.isdir(self._tx) else []:
+            if name.startswith(".tmp-"):
+                os.unlink(os.path.join(self._tx, name))
+        return removed
+
+
+class TxCatalog:
+    """Multi-table atomicity: a catalog pointer file mapping table name →
+    committed version. ``commit`` publishes a new catalog version with the
+    same link-CAS as TxTable — so a load that writes three tables becomes
+    visible to catalog readers all at once, or not at all (the reference's
+    single-transaction load, /root/reference/src/etl.py:15, without Postgres).
+
+    Table versions referenced by an unpublished catalog are ordinary TxTable
+    commits — catalog readers just never LOOK at them until the pointer swap;
+    a crash mid-load leaves the previous catalog fully consistent.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._cat = os.path.join(root, "_catalog")
+
+    def table(self, name: str) -> TxTable:
+        return TxTable(self.spark, os.path.join(self.root, name))
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._cat):
+            return []
+        out = []
+        for n in os.listdir(self._cat):
+            m = _MANIFEST_RE.match(n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current(self) -> dict[str, int]:
+        """table name → pinned table version ({} before the first commit)."""
+        vs = self._versions()
+        if not vs:
+            return {}
+        with open(os.path.join(self._cat, f"v{vs[-1]}.json")) as fh:
+            return json.load(fh)["tables"]
+
+    def commit(self, table_versions: dict[str, int]) -> int:
+        """Atomically publish a new catalog state (full map, not a delta)."""
+        os.makedirs(self._cat, exist_ok=True)
+        vs = self._versions()
+        version = (vs[-1] if vs else 0) + 1
+        tmp = os.path.join(self._cat, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"tables": table_versions}, fh)
+        try:
+            os.link(tmp, os.path.join(self._cat, f"v{version}.json"))
+        except FileExistsError as exc:
+            raise ConcurrentCommit(
+                f"catalog version {version} was committed concurrently"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def read(self, name: str) -> DataFrame:
+        """Read ``name`` at the version the CURRENT catalog pins — later
+        table commits stay invisible until a catalog commit includes them."""
+        pinned = self.current()
+        if name not in pinned:
+            raise FileNotFoundError(f"table {name!r} not in catalog {self.root}")
+        return self.table(name).snapshot(pinned[name])

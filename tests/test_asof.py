@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from payroll_etl_fastapi_spark.operators import asof
@@ -118,3 +120,35 @@ def test_range_join_matches_brute_force(spark):
     }
     assert got == brute
     assert brute  # non-vacuous
+
+
+def test_asof_join_rejects_reserved_column_collisions(spark):
+    from payroll_etl_fastapi_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, _ts(0, 0), 1.0)], "user_id long, ts timestamp, _ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0, 0), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="_ts"):
+        asof.asof_join(left, right, on=["user_id"])
+    # an output-name collision (asof_value already on the left) must also fail
+    left2 = spark.createDataFrame(
+        [(1, _ts(0, 0), 1.0)], "user_id long, ts timestamp, asof_value double"
+    )
+    with pytest.raises(ValueError, match="asof_value"):
+        asof.asof_join(left2, right, on=["user_id"])
+
+
+def test_range_join_rejects_reserved_column_collisions(spark):
+    from payroll_etl_fastapi_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, _ts(0, 0), 2)], "user_id long, ts timestamp, _bucket long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0, 0), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="_bucket"):
+        asof.range_join_bucketed(left, right, on=["user_id"], upper_us=1)

@@ -131,3 +131,19 @@ class TestMergeAggStates:
         st = spark.createDataFrame([(1, 2.0)], "g int, m double")
         with pytest.raises(ValueError, match="non-mergeable"):
             merge_agg_states([st], ["g"], {"m": "avg"})
+
+
+def test_cdc_apply_same_seq_upsert_payload_tiebreak_deterministic(spark):
+    """Two 'U' rows with identical (key, seq) but different payloads must pick
+    the same winner on every run: the orderBy falls back to the payload
+    columns, so the survivor is the payload-sorted first row, not whichever
+    row the shuffle delivered first."""
+    snap = spark.createDataFrame([(1, "old")], "k int, v string")
+    feed = spark.createDataFrame(
+        [(1, "b", "U", 5), (1, "a", "U", 5)], "k int, v string, op string, seq int"
+    )
+    outs = {
+        tuple(sorted((r.k, r.v) for r in cdc_apply(snap, feed, ["k"]).collect()))
+        for _ in range(3)
+    }
+    assert outs == {((1, "a"),)}

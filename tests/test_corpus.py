@@ -89,7 +89,7 @@ def test_packed_sequences_pack_ids_contiguous(spark):
 def test_stratified_sample_deterministic_under_repartition(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     rates = {"en": 300, "de": 700}
-    keep = C.stratified_sample(docs, F.col("doc_id").cast("string"), rates, "lang")
+    keep = C.stratified_sample(F.col("doc_id").cast("string"), rates, "lang")
     kept1 = sorted(
         r.doc_id for r in docs.filter(keep).select("doc_id").collect()
     )

@@ -1,0 +1,139 @@
+"""Tests for sources/txtable.py: atomic commits, snapshot isolation, time
+travel, optimistic concurrency, crash-leftover behavior, vacuum, and the
+multi-table catalog transaction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.sources.txtable import (
+    ConcurrentCommit,
+    TxCatalog,
+    TxTable,
+)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10))
+    return t
+
+
+def test_overwrite_append_and_history(spark, table):
+    assert _ids(table.snapshot()) == list(range(10))
+    v2 = table.append(spark.range(10, 15))
+    assert v2 == 2
+    assert _ids(table.snapshot()) == list(range(15))
+    ops = [h["operation"] for h in table.history()]
+    assert ops == ["overwrite", "append"]
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    v1_df = table.snapshot()  # plan pinned to v1's files
+    table.append(spark.range(10, 15))
+    table.overwrite(spark.range(3))
+    # the v1 reader still sees v1 (old files are immutable and un-vacuumed)
+    assert _ids(v1_df) == list(range(10))
+    assert _ids(table.snapshot()) == list(range(3))
+    assert _ids(table.snapshot(version=2)) == list(range(15))
+
+
+def test_upsert_matches_merge_semantics(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "u"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    t.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), ["id"]
+    )
+    got = sorted((r.id, r.v) for r in t.snapshot().collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def _steal_version(table, version):
+    """Commit `version` behind a writer's back — the racing-writer window
+    between its head read and its publish."""
+    with open(os.path.join(table.root, "_tx", f"v{version}.json"), "w") as fh:
+        json.dump(
+            {
+                "operation": "append",
+                "data_dirs": list(table._read_manifest(version - 1).data_dirs),
+            },
+            fh,
+        )
+
+
+def test_publish_cas_rejects_taken_version(spark, table):
+    _steal_version(table, 2)
+    with pytest.raises(ConcurrentCommit):
+        table._publish(2, list(table._read_manifest(1).data_dirs), "overwrite")
+
+
+def test_upsert_conflict_on_stale_read_set(spark, table, monkeypatch):
+    # writer A reads v1; writer B commits v2 before A publishes
+    monkeypatch.setattr(table, "latest_version", lambda: 1)
+    _steal_version(table, 2)
+    with pytest.raises(ConcurrentCommit):
+        table.upsert(
+            spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
+
+
+def test_append_rebases_past_a_lost_race(spark, table):
+    # append's head read happens inside its retry loop, so a version stolen
+    # BEFORE the call just moves it to the next slot; verify it lands and
+    # the result includes both the stolen commit's view and the new rows
+    _steal_version(table, 2)
+    v = table.append(spark.range(10, 12))
+    assert v == 3
+    assert _ids(table.snapshot()) == list(range(12))
+
+
+def test_crash_leftovers_invisible_and_vacuumed(spark, table):
+    # simulate a crash: an unreferenced data dir and a tmp manifest
+    orphan = os.path.join(table.root, "data", "c9-deadbeef")
+    os.makedirs(orphan)
+    spark.range(99).write.mode("overwrite").parquet(orphan)
+    with open(os.path.join(table.root, "_tx", ".tmp-crashed.json"), "w") as fh:
+        fh.write("{}")
+    # readers see only committed state
+    assert _ids(table.snapshot()) == list(range(10))
+    removed = table.vacuum(keep_last=1)
+    assert "data/c9-deadbeef" in removed
+    assert not os.path.exists(orphan)
+    assert _ids(table.snapshot()) == list(range(10))
+
+
+def test_vacuum_drops_old_versions(spark, table):
+    table.overwrite(spark.range(5))
+    removed = table.vacuum(keep_last=1)
+    assert removed  # v1's data dir went away
+    assert _ids(table.snapshot()) == list(range(5))
+    with pytest.raises(FileNotFoundError):
+        table._read_manifest(1)
+
+
+def test_catalog_multi_table_atomicity(spark, tmp_path):
+    cat = TxCatalog(spark, str(tmp_path / "wh"))
+    va = cat.table("a").overwrite(spark.range(3))
+    vb = cat.table("b").overwrite(spark.range(7))
+    cat.commit({"a": va, "b": vb})
+    assert _ids(cat.read("a")) == list(range(3))
+    # a table commit WITHOUT a catalog commit stays invisible to catalog
+    # readers — the crash-mid-load window of the reference's single tx
+    cat.table("a").overwrite(spark.range(100))
+    assert _ids(cat.read("a")) == list(range(3))
+    # the catalog swap publishes both updates at once
+    va2 = cat.table("a").latest_version()
+    cat.commit({"a": va2, "b": vb})
+    assert _ids(cat.read("a")) == list(range(100))
+    assert _ids(cat.read("b")) == list(range(7))

@@ -10,7 +10,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from payroll_etl_fastapi_spark.operators.zorder import zorder_write, zvalue
+from payroll_etl_fastapi_spark.operators.zorder import (
+    zorder_frame,
+    zorder_write,
+    zvalue,
+)
 
 
 def _morton_py(x: int, y: int, bits: int) -> int:
@@ -78,3 +82,53 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     assert zx < 500 and zy < 500, (zx, zy)
     # and the data survived the round trip
     assert spark.read.parquet(z_sorted).count() == n
+
+
+def _plan_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_zorder_frame_approx_path_has_no_global_window(spark):
+    """The 100 TB default (sketch ranks) must never plan a Window — the exact
+    path's percent_rank over Window.orderBy serializes the whole table
+    through one partition per column, which is exactly what exact=False
+    exists to avoid."""
+    df = spark.range(5000).select(
+        (F.col("id") * 48271 % 65537 % 1000).alias("x"),
+        (F.col("id") * 16807 % 65537 % 1000).alias("y"),
+    )
+    approx = zorder_frame(df, ["x", "y"], bits=8)
+    assert "Window" not in _plan_str(approx)
+    exact = zorder_frame(df, ["x", "y"], bits=8, exact=True)
+    assert "Window" in _plan_str(exact)
+    # both paths produce a full-coverage z column over the same rows
+    assert approx.count() == 5000
+    assert approx.filter(F.col("__z").isNull()).count() == 0
+
+
+def test_zorder_approx_layout_prunes_2d_box(spark, tmp_path):
+    """Min/max-pruning payoff on the approx path: for a small 2-D box
+    predicate, most z-ordered files' footer ranges must not overlap the box
+    (an x-sorted layout would overlap in y for every file)."""
+    n, files = 40000, 16
+    df = spark.range(n).select(
+        (F.col("id") * 48271 % 65537 % 1000).alias("x"),
+        (F.col("id") * 16807 % 65537 % 1000).alias("y"),
+    )
+    path = os.path.join(str(tmp_path), "zapprox")
+    zorder_write(df, path, ["x", "y"], bits=10, n_files=files)  # default approx
+    xr = _file_ranges(spark, path, "x")
+    yr = _file_ranges(spark, path, "y")
+    overlapping = sum(
+        1
+        for (xlo, xhi), (ylo, yhi) in zip(xr, yr)
+        if xhi >= 100 and xlo <= 160 and yhi >= 700 and ylo <= 760
+    )
+    assert len(xr) >= files // 2
+    assert overlapping <= len(xr) // 2, (overlapping, len(xr))
