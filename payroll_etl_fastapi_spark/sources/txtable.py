@@ -202,6 +202,35 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> int | None:
+        """Transactional small-file compaction: coalesce the current
+        snapshot's data into ~target_bytes files in ONE new data directory
+        and commit it as a new version. Readers of older versions are never
+        blocked or broken (their directories are untouched until vacuum) —
+        the non-blocking OPTIMIZE bare-parquet compaction
+        (sources/compaction.py) cannot offer, because there the rewrite must
+        swap the live directory itself. Returns the new version, or None if
+        the table is already within one file of target."""
+        version = self.latest_version()
+        snap = self._read_manifest(version)
+        total = n_files = 0
+        for rel in snap.data_dirs:
+            d = os.path.join(self.root, rel)
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    n_files += 1
+                    total += os.path.getsize(os.path.join(d, name))
+        import math
+
+        n_target = max(1, math.ceil(total / target_bytes))
+        if n_files <= n_target:
+            return None
+        merged = self.snapshot(version).coalesce(n_target)
+        new_version = version + 1
+        rel = self._write_data_dir(merged, new_version)
+        self._publish(new_version, [rel], "optimize")
+        return new_version
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop data dirs referenced only by versions older than the last
         ``keep_last`` manifests, plus orphans from crashed commits. Returns

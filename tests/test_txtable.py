@@ -137,3 +137,29 @@ def test_catalog_multi_table_atomicity(spark, tmp_path):
     cat.commit({"a": va2, "b": vb})
     assert _ids(cat.read("a")) == list(range(100))
     assert _ids(cat.read("b")) == list(range(7))
+
+
+def test_optimize_compacts_without_breaking_old_readers(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "opt"))
+    t.overwrite(spark.range(2000).repartition(8))
+    t.append(spark.range(2000, 3000).repartition(8))
+    v2_df = t.snapshot()  # reader pinned to the fragmented version
+
+    def _n_files(version):
+        snap = t._read_manifest(version)
+        return sum(
+            1
+            for rel in snap.data_dirs
+            for f in os.listdir(os.path.join(t.root, rel))
+            if f.endswith(".parquet")
+        )
+
+    assert _n_files(2) == 16
+    v3 = t.optimize(target_bytes=1 << 30)
+    assert v3 == 3 and _n_files(3) == 1
+    assert _ids(t.snapshot()) == list(range(3000))
+    # the pre-optimize reader still works (snapshot isolation)
+    assert _ids(v2_df) == list(range(3000))
+    # already-compact table: no-op, no new version
+    assert t.optimize(target_bytes=1 << 30) is None
+    assert t.latest_version() == 3
