@@ -61,7 +61,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TxTable", "TxCatalog", "ConcurrentCommit"]
+__all__ = ["TxTable", "TxCatalog", "ConcurrentCommit", "write_stream_txtable"]
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -257,6 +257,72 @@ class TxTable:
             if name.startswith(".tmp-"):
                 os.unlink(os.path.join(self._tx, name))
         return removed
+
+
+def write_stream_txtable(
+    stream_df: DataFrame, table: TxTable, checkpoint: str
+) -> None:
+    """Exactly-once streaming sink into a TxTable: drain the currently
+    available input (availableNow) appending each micro-batch as one table
+    commit whose manifest records the epoch id. On restart after a crash,
+    Structured Streaming replays the last unacknowledged batch — the sink
+    sees the epoch already committed and skips it, so rows land exactly
+    once even though delivery is at-least-once. This is the idempotent
+    foreachBatch pattern Delta documents, on our manifest log: the batch id
+    rides IN the atomically-swapped manifest, so "data visible" and "batch
+    acknowledged" are one filesystem operation — no window where a crash
+    double-applies.
+
+    Scale shape: one append commit per micro-batch (no rewrite of history);
+    compact later with table.optimize(). Retention caveat (same contract as
+    Delta's txn retention): vacuum() drops old manifests and with them the
+    recorded epoch keys, so keep_last must exceed the longest possible
+    batch-replay horizon or a very late replay can re-commit."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        # epoch ids are only unique within one checkpoint lineage, so the
+        # idempotence key includes the checkpoint identity — a different
+        # query writing the same table must never be deduplicated against
+        # this one's epoch numbering
+        epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
+        for v in table._versions():
+            with open(os.path.join(table._tx, f"v{v}.json")) as fh:
+                if json.load(fh).get("epoch_key") == epoch_key:
+                    return  # replayed batch: already committed
+        base = table._versions()
+        version = (base[-1] if base else 0) + 1
+        prev = table._read_manifest(base[-1]).data_dirs if base else ()
+        rel = table._write_data_dir(batch_df, version)
+        # append-with-epoch publish (same CAS; a lost race reraises so the
+        # streaming query retries the batch, and the epoch check deduplicates)
+        os.makedirs(table._tx, exist_ok=True)
+        tmp = os.path.join(table._tx, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "operation": "stream_append",
+                    "data_dirs": [*prev, rel],
+                    "epoch_key": epoch_key,
+                },
+                fh,
+            )
+        try:
+            os.link(tmp, os.path.join(table._tx, f"v{version}.json"))
+        except FileExistsError as exc:
+            raise ConcurrentCommit(
+                f"version {version} of {table.root} was committed concurrently"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 class TxCatalog:

@@ -163,3 +163,40 @@ def test_optimize_compacts_without_breaking_old_readers(spark, tmp_path):
     # already-compact table: no-op, no new version
     assert t.optimize(target_bytes=1 << 30) is None
     assert t.latest_version() == 3
+
+
+def test_stream_sink_exactly_once(spark, tmp_path):
+    """foreachBatch sink: each micro-batch lands as one manifest commit;
+    draining the same checkpoint again commits nothing; a replayed epoch
+    (simulated by re-running _apply semantics via a fresh drain after
+    deleting the checkpoint's commit acknowledgment) is deduplicated by the
+    epoch key riding in the manifest."""
+    from payroll_etl_fastapi_spark.sources.txtable import write_stream_txtable
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    t = TxTable(spark, str(tmp_path / "sink"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    write_stream_txtable(stream, t, ckpt)
+    assert _ids(t.snapshot()) == list(range(30))
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["stream_append"] * 3
+    # re-drain with the same checkpoint: no new input, no new commits
+    write_stream_txtable(stream, t, ckpt)
+    assert t.latest_version() == 3
+    # crash-replay simulation: wipe the streaming commit log so the engine
+    # replays every batch; the sink's epoch keys must swallow all of them
+    import shutil
+
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    write_stream_txtable(stream, t, ckpt)
+    assert _ids(t.snapshot()) == list(range(30))
+    assert [h["operation"] for h in t.history()].count("stream_append") == 3
