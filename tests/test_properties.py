@@ -103,3 +103,65 @@ def test_insert_if_absent_properties(spark, base_rows, incoming_rows):
     got = {r.k: r.v for r in merged.collect()}
     expect = {**{r.k: r.v for r in incoming.collect()}, **{r.k: r.v for r in base.collect()}}
     assert got == expect  # existing wins, new keys appended
+
+
+cdc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),                      # key
+        st.integers(0, 4),                      # seq
+        st.sampled_from(["U", "D"]),            # op
+        st.integers(-50, 50),                   # payload
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(rows, cdc_rows)
+@settings(**SETTINGS)
+def test_cdc_apply_matches_python_model(spark, snap_rows, feed_rows):
+    from payroll_etl_fastapi_spark.operators.cdc import cdc_apply
+
+    snap = spark.createDataFrame(snap_rows, "k int, v int").dropDuplicates(["k"])
+    feed = spark.createDataFrame(feed_rows, "k int, v int, op string, seq int")
+    got = sorted((r.k, r.v) for r in cdc_apply(snap, feed, ["k"]).collect())
+
+    # model: per key, winner = max seq, D beats U at equal seq, then the
+    # smallest payload (the deterministic payload tiebreak)
+    win: dict[int, tuple] = {}
+    for k, v, op, seq in feed_rows:
+        cur = win.get(k)
+        # higher seq wins; tie → D beats U; tie → smaller payload wins
+        key = (seq, -(0 if op == "D" else 1), -v)
+        if cur is None or key > cur[0]:
+            win[k] = (key, op, v)
+    state = {r.k: r.v for r in snap.collect()}
+    for k, (_, op, v) in win.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == sorted(state.items())
+
+
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(-100, 100)), min_size=1, max_size=30),
+       st.integers(1, 4))
+@settings(**SETTINGS)
+def test_merge_agg_states_equals_direct(spark, data, n_splits):
+    from payroll_etl_fastapi_spark.operators.cdc import merge_agg_states
+
+    df = spark.createDataFrame(data, "g int, x int")
+    chunks = [data[i::n_splits] for i in range(n_splits)]
+    states = [
+        spark.createDataFrame(c or [(99, 0)], "g int, x int")
+        .filter(F.lit(bool(c)))
+        .groupBy("g")
+        .agg(F.sum("x").alias("s"), F.min("x").alias("mn"), F.max("x").alias("mx"))
+        for c in chunks
+    ]
+    merged = merge_agg_states(states, ["g"], {"s": "sum", "mn": "min", "mx": "max"})
+    direct = df.groupBy("g").agg(
+        F.sum("x").alias("s"), F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    as_map = lambda d: {r.g: (r.s, r.mn, r.mx) for r in d.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(direct)
