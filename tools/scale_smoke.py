@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Scale-smoke: do the heavy operator families scale linearly?
+
+Builds a 10x (default) copy of the sf0.1 documents/embeddings/events tables
+in a temp dir — id-offset unions written as multi-file parquet, so the scan
+parallelism is realistic instead of the single-file single-task shape the
+driver testdata has — then times the scale-critical operators on 1x vs Nx
+and prints one JSON line with both timings and the growth factor per op.
+
+An op whose growth factor is far above N is super-linear — the plan has a
+quadratic step, a driver collect, or a global sort that the small gate data
+was hiding. This is the experiment VERDICT r2 asked the plans to be judged
+by ("would this hold at 1000x?") run at the largest size the container
+affords.
+
+Usage: python tools/scale_smoke.py [multiplier] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from payroll_etl_fastapi_spark.session import get_spark  # noqa: E402
+from payroll_etl_fastapi_spark.operators import dedup  # noqa: E402
+from payroll_etl_fastapi_spark.operators import search  # noqa: E402
+from payroll_etl_fastapi_spark.operators import similarity as sim  # noqa: E402
+from payroll_etl_fastapi_spark.operators.asof import asof_join  # noqa: E402
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+
+def scaled(spark, table: str, id_cols: list[str], base_dir: str, mult: int) -> str:
+    """Write `mult` id-offset copies of a table as 32-file parquet."""
+    src = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+    offset = 10_000_000
+    parts = [
+        src.select(
+            *[
+                (F.col(c) + i * offset).alias(c) if c in id_cols else F.col(c)
+                for c in src.columns
+            ]
+        )
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    path = os.path.join(base_dir, f"{table}_x{mult}")
+    out.repartition(32).write.parquet(path)
+    return path
+
+
+def timed(fn) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame):
+    """op name -> zero-arg callable returning a row count (forces full exec)."""
+    queries_docs = docs.filter(F.col("doc_id") % 997 == 0)
+    qterms = queries_docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 4)
+            )
+        ).alias("term"),
+    )
+    queries_emb = emb.filter(F.col("vec_id") % 499 == 0).limit(20)
+    mins = events.select(
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).alias("ts"),
+        F.col("value"),
+    ).dropDuplicates(["user_id", "ts"])
+    return {
+        "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs).count(),
+        "dedup_simhash": lambda: dedup.simhash_pairs(docs).count(),
+        "bm25_topk": lambda: search.bm25_topk(docs, qterms, k=10).count(),
+        "ann_lsh_topk": lambda: sim.lsh_topk(emb, queries_emb, 10, dim=64).count(),
+        "embedding_near_dup": lambda: sim.embedding_near_dup_pairs(
+            emb, threshold=0.95, dim=64
+        ).count(),
+        "asof_join": lambda: asof_join(
+            events.select("event_id", "user_id", "ts"),
+            mins,
+            on=["user_id"],
+            values=["value"],
+        ).count(),
+    }
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    base = tempfile.mkdtemp(prefix="scale_smoke_")
+    results: dict[str, dict] = {}
+    try:
+        tables = {}
+        for mult in (1, MULT):
+            tables[mult] = {
+                "documents": scaled(spark, "documents", ["doc_id"], base, mult),
+                "embeddings": scaled(spark, "embeddings", ["vec_id"], base, mult),
+                "events": scaled(spark, "events", ["event_id", "user_id"], base, mult),
+            }
+        for mult in (1, MULT):
+            docs = spark.read.parquet(tables[mult]["documents"])
+            emb = spark.read.parquet(tables[mult]["embeddings"])
+            events = spark.read.parquet(tables[mult]["events"])
+            for name, fn in ops_for(spark, docs, emb, events).items():
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                sec, n = timed(fn)
+                results.setdefault(name, {})[f"x{mult}"] = {"sec": sec, "rows": n}
+                print(f"x{mult} {name}: {sec}s ({n} rows)", file=sys.stderr)
+        for name, r in results.items():
+            s1, sN = r["x1"]["sec"], r[f"x{MULT}"]["sec"]
+            r["growth"] = round(sN / s1, 1) if s1 > 0 else None
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"multiplier": MULT, "ops": results}))
+
+
+if __name__ == "__main__":
+    main()
