@@ -115,3 +115,24 @@ def test_pack_sequences_distributed_prefix_sum(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_bm25_postings_generate_explodes_a_column_ref(spark):
+    """The postings build must explode a MATERIALIZED token array: if the
+    tokenize expression itself is the generator input's sibling, the regex
+    re-runs once per output token (measured 8.9s -> 0.8s; PLANS.md
+    "Explode-recompute audit"). The Generate node's input being a plain
+    column reference is the load-bearing shape."""
+    import io
+    from contextlib import redirect_stdout
+
+    from payroll_etl_fastapi_spark.operators.search import doc_term_freqs
+    from payroll_etl_fastapi_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        doc_term_freqs(docs).explain(True)
+    plan = buf.getvalue()
+    phys = plan.split("== Physical Plan ==")[1]
+    assert re.search(r"Generate explode\(toks#\d+\)", phys), phys
