@@ -57,6 +57,7 @@ import os
 import re
 import shutil
 import uuid
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +75,7 @@ class ConcurrentCommit(RuntimeError):
 class _Snapshot:
     version: int
     data_dirs: tuple[str, ...]  # relative to the table root
+    partition_by: tuple[str, ...] = ()  # hive layout of every data dir
 
 
 class TxTable:
@@ -110,7 +112,11 @@ class TxTable:
         path = os.path.join(self._tx, f"v{version}.json")
         with open(path) as fh:
             doc = json.load(fh)
-        return _Snapshot(version=version, data_dirs=tuple(doc["data_dirs"]))
+        return _Snapshot(
+            version=version,
+            data_dirs=tuple(doc["data_dirs"]),
+            partition_by=tuple(doc.get("partition_by") or ()),
+        )
 
     def history(self) -> list[dict]:
         """Commit log, oldest first (version, operation, #data dirs)."""
@@ -136,23 +142,50 @@ class TxTable:
         snap = self._read_manifest(v)
         if not snap.data_dirs:
             raise ValueError(f"version {v} of {self.root} is empty")
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, d) for d in snap.data_dirs]
-        )
+        paths = [os.path.join(self.root, d) for d in snap.data_dirs]
+        if not snap.partition_by:
+            return self.spark.read.parquet(*paths)
+        # hive-partitioned commits: one multi-path read would make Spark's
+        # partition discovery see conflicting roots (each c<N>-uuid dir is
+        # its own discovery base), so read per directory and union — each
+        # scan still gets PartitionFilters pruning, and manifests stay short
+        # (optimize() folds history into one dir)
+        out = self.spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(self.spark.read.parquet(p))
+        return out
 
     # -- write -------------------------------------------------------------
 
-    def _write_data_dir(self, df: DataFrame, version: int) -> str:
+    def _write_data_dir(
+        self, df: DataFrame, version: int, partition_by: Sequence[str] | None = None
+    ) -> str:
         rel = os.path.join("data", f"c{version}-{uuid.uuid4().hex[:12]}")
-        df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.root, rel))
         return rel
 
-    def _publish(self, version: int, data_dirs: list[str], operation: str) -> None:
+    def _publish(
+        self,
+        version: int,
+        data_dirs: list[str],
+        operation: str,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
         """Atomic compare-and-swap commit of v<version>.json."""
         os.makedirs(self._tx, exist_ok=True)
         tmp = os.path.join(self._tx, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump({"operation": operation, "data_dirs": data_dirs}, fh)
+            json.dump(
+                {
+                    "operation": operation,
+                    "data_dirs": data_dirs,
+                    "partition_by": list(partition_by or ()),
+                },
+                fh,
+            )
         try:
             os.link(tmp, os.path.join(self._tx, f"v{version}.json"))
         except FileExistsError as exc:
@@ -162,24 +195,43 @@ class TxTable:
         finally:
             os.unlink(tmp)
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Replace the table contents; returns the committed version."""
+    def overwrite(self, df: DataFrame, partition_by: Sequence[str] | None = None) -> int:
+        """Replace the table contents; returns the committed version.
+
+        ``partition_by`` hive-partitions the data directory — readers get
+        partition-pruned multi-path scans (each manifest dir is its own
+        discovery base, so the partition columns resolve across commits)."""
         base = self._versions()
         version = (base[-1] if base else 0) + 1
-        rel = self._write_data_dir(df, version)
-        self._publish(version, [rel], "overwrite")
+        rel = self._write_data_dir(df, version, partition_by)
+        self._publish(version, [rel], "overwrite", partition_by)
         return version
 
-    def append(self, df: DataFrame, _retries: int = 5) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+        _retries: int = 5,
+    ) -> int:
         """Add rows; concurrent appends retry onto the new head (their data
-        files are already written and commute with any other append)."""
+        files are already written and commute with any other append).
+        ``partition_by`` must match the layout of earlier commits (mixing
+        partitioned and flat dirs in one manifest breaks discovery)."""
         for _ in range(_retries):
             base = self._versions()
             version = (base[-1] if base else 0) + 1
-            prev = self._read_manifest(base[-1]).data_dirs if base else ()
-            rel = self._write_data_dir(df, version)
+            prev: tuple[str, ...] = ()
+            if base:
+                head = self._read_manifest(base[-1])
+                if head.partition_by != tuple(partition_by or ()):
+                    raise ValueError(
+                        f"append layout {list(partition_by or ())} does not match "
+                        f"table layout {list(head.partition_by)}"
+                    )
+                prev = head.data_dirs
+            rel = self._write_data_dir(df, version, partition_by)
             try:
-                self._publish(version, [*prev, rel], "append")
+                self._publish(version, [*prev, rel], "append", partition_by)
                 return version
             except ConcurrentCommit:
                 # someone else took this version: our new files reference no
@@ -194,10 +246,11 @@ class TxTable:
         from payroll_etl_fastapi_spark.operators.upsert import upsert as _upsert
 
         base_version = self.latest_version()
+        layout = self._read_manifest(base_version).partition_by
         merged = _upsert(self.snapshot(base_version), updates, keys)
         version = base_version + 1
-        rel = self._write_data_dir(merged, version)
-        self._publish(version, [rel], "upsert")
+        rel = self._write_data_dir(merged, version, layout)
+        self._publish(version, [rel], "upsert", layout)
         return version
 
     # -- maintenance -------------------------------------------------------
@@ -215,11 +268,11 @@ class TxTable:
         snap = self._read_manifest(version)
         total = n_files = 0
         for rel in snap.data_dirs:
-            d = os.path.join(self.root, rel)
-            for name in os.listdir(d):
-                if name.endswith(".parquet"):
-                    n_files += 1
-                    total += os.path.getsize(os.path.join(d, name))
+            for dirpath, _dirs, files in os.walk(os.path.join(self.root, rel)):
+                for name in files:
+                    if name.endswith(".parquet"):
+                        n_files += 1
+                        total += os.path.getsize(os.path.join(dirpath, name))
         import math
 
         n_target = max(1, math.ceil(total / target_bytes))
@@ -227,8 +280,8 @@ class TxTable:
             return None
         merged = self.snapshot(version).coalesce(n_target)
         new_version = version + 1
-        rel = self._write_data_dir(merged, new_version)
-        self._publish(new_version, [rel], "optimize")
+        rel = self._write_data_dir(merged, new_version, snap.partition_by)
+        self._publish(new_version, [rel], "optimize", snap.partition_by)
         return new_version
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

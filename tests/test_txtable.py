@@ -200,3 +200,57 @@ def test_stream_sink_exactly_once(spark, tmp_path):
     write_stream_txtable(stream, t, ckpt)
     assert _ids(t.snapshot()) == list(range(30))
     assert [h["operation"] for h in t.history()].count("stream_append") == 3
+
+
+def test_partitioned_commits_prune_and_survive_appends(spark, tmp_path):
+    """Hive-partitioned data dirs across multiple commits: partition columns
+    resolve through the multi-path read, a partition predicate prunes the
+    scan to matching directories, and rows round-trip."""
+    import io
+    from contextlib import redirect_stdout
+
+    t = TxTable(spark, str(tmp_path / "parted"))
+    df1 = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("part")
+    )
+    df2 = spark.range(100, 160).select(
+        F.col("id"), (F.col("id") % 3).alias("part")
+    )
+    t.overwrite(df1, partition_by=["part"])
+    t.append(df2, partition_by=["part"])
+    snap = t.snapshot()
+    assert sorted(snap.columns) == ["id", "part"]
+    assert _ids(snap) == list(range(160))
+    got = sorted(r.id for r in snap.filter(F.col("part") == 1).collect())
+    assert got == [i for i in range(160) if i % 3 == 1]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        snap.filter(F.col("part") == 1).explain(True)
+    phys = buf.getvalue().split("== Physical Plan ==")[1]
+    assert "PartitionFilters: [isnotnull(part" in phys
+
+
+def test_partitioned_upsert_and_optimize_preserve_layout(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "pl"))
+    df = spark.range(90).select(F.col("id"), (F.col("id") % 3).alias("part"))
+    t.overwrite(df.repartition(4), partition_by=["part"])
+    t.append(
+        spark.range(90, 120).select(F.col("id"), (F.col("id") % 3).alias("part")),
+        partition_by=["part"],
+    )
+    # layout mismatch on append is rejected loudly
+    with pytest.raises(ValueError, match="layout"):
+        t.append(spark.range(5).select(F.col("id"), F.lit(0).alias("part")))
+    t.upsert(
+        spark.range(60, 70).select(F.col("id"), F.lit(9).alias("part")), ["id"]
+    )
+    assert _ids(t.snapshot()) == list(range(120))
+    assert t.snapshot().filter(F.col("part") == 9).count() == 10
+    v = t.optimize(target_bytes=1 << 30)
+    assert v is not None
+    # layout survived optimize: partition dirs exist in the new data dir
+    snap = t._read_manifest(v)
+    assert snap.partition_by == ("part",)
+    d = os.path.join(t.root, snap.data_dirs[0])
+    assert any(name.startswith("part=") for name in os.listdir(d))
+    assert _ids(t.snapshot()) == list(range(120))
