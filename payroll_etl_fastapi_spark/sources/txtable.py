@@ -76,6 +76,7 @@ class _Snapshot:
     version: int
     data_dirs: tuple[str, ...]  # relative to the table root
     partition_by: tuple[str, ...] = ()  # hive layout of every data dir
+    schema_json: str | None = None  # StructType json at this version
 
 
 class TxTable:
@@ -116,6 +117,7 @@ class TxTable:
             version=version,
             data_dirs=tuple(doc["data_dirs"]),
             partition_by=tuple(doc.get("partition_by") or ()),
+            schema_json=doc.get("schema"),
         )
 
     def history(self) -> list[dict]:
@@ -143,17 +145,52 @@ class TxTable:
         if not snap.data_dirs:
             raise ValueError(f"version {v} of {self.root} is empty")
         paths = [os.path.join(self.root, d) for d in snap.data_dirs]
+        # the manifest carries the authoritative schema: readers never pay
+        # footer-merging scans, and data dirs written BEFORE a column was
+        # added null-fill it (schema evolution, Delta-style)
+        reader = self.spark.read
+        if snap.schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
         if not snap.partition_by:
-            return self.spark.read.parquet(*paths)
+            return reader.parquet(*paths)
         # hive-partitioned commits: one multi-path read would make Spark's
         # partition discovery see conflicting roots (each c<N>-uuid dir is
         # its own discovery base), so read per directory and union — each
         # scan still gets PartitionFilters pruning, and manifests stay short
         # (optimize() folds history into one dir)
-        out = self.spark.read.parquet(paths[0])
+        out = reader.parquet(paths[0])
         for p in paths[1:]:
-            out = out.unionByName(self.spark.read.parquet(p))
+            out = out.unionByName(reader.parquet(p))
         return out
+
+    # -- schema evolution --------------------------------------------------
+
+    def _evolved_schema(self, head: _Snapshot, df: DataFrame) -> str:
+        """Validate ``df`` against the table schema and return the (possibly
+        widened) schema json. Every existing column must be present with the
+        identical type; NEW columns append and old data dirs null-fill them
+        on read via the manifest schema. Type changes and drops are rejected
+        — rewrite via overwrite() if you mean it."""
+        from pyspark.sql.types import StructType
+
+        if head.schema_json is None:
+            return df.schema.json()
+        old = StructType.fromJson(json.loads(head.schema_json))
+        incoming = {f.name: f for f in df.schema.fields}
+        for f in old.fields:
+            got = incoming.get(f.name)
+            if got is None:
+                raise ValueError(f"append is missing table column {f.name!r}")
+            if got.dataType != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r} type changed: "
+                    f"{f.dataType.simpleString()} -> {got.dataType.simpleString()}"
+                )
+        old_names = {f.name for f in old.fields}
+        extras = [f for f in df.schema.fields if f.name not in old_names]
+        return StructType(old.fields + extras).json()
 
     # -- write -------------------------------------------------------------
 
@@ -173,6 +210,7 @@ class TxTable:
         data_dirs: list[str],
         operation: str,
         partition_by: Sequence[str] | None = None,
+        schema_json: str | None = None,
     ) -> None:
         """Atomic compare-and-swap commit of v<version>.json."""
         os.makedirs(self._tx, exist_ok=True)
@@ -183,6 +221,7 @@ class TxTable:
                     "operation": operation,
                     "data_dirs": data_dirs,
                     "partition_by": list(partition_by or ()),
+                    "schema": schema_json,
                 },
                 fh,
             )
@@ -204,7 +243,7 @@ class TxTable:
         base = self._versions()
         version = (base[-1] if base else 0) + 1
         rel = self._write_data_dir(df, version, partition_by)
-        self._publish(version, [rel], "overwrite", partition_by)
+        self._publish(version, [rel], "overwrite", partition_by, df.schema.json())
         return version
 
     def append(
@@ -221,6 +260,7 @@ class TxTable:
             base = self._versions()
             version = (base[-1] if base else 0) + 1
             prev: tuple[str, ...] = ()
+            schema_json = df.schema.json()
             if base:
                 head = self._read_manifest(base[-1])
                 if head.partition_by != tuple(partition_by or ()):
@@ -229,9 +269,10 @@ class TxTable:
                         f"table layout {list(head.partition_by)}"
                     )
                 prev = head.data_dirs
+                schema_json = self._evolved_schema(head, df)
             rel = self._write_data_dir(df, version, partition_by)
             try:
-                self._publish(version, [*prev, rel], "append", partition_by)
+                self._publish(version, [*prev, rel], "append", partition_by, schema_json)
                 return version
             except ConcurrentCommit:
                 # someone else took this version: our new files reference no
@@ -246,11 +287,13 @@ class TxTable:
         from payroll_etl_fastapi_spark.operators.upsert import upsert as _upsert
 
         base_version = self.latest_version()
-        layout = self._read_manifest(base_version).partition_by
+        head = self._read_manifest(base_version)
         merged = _upsert(self.snapshot(base_version), updates, keys)
         version = base_version + 1
-        rel = self._write_data_dir(merged, version, layout)
-        self._publish(version, [rel], "upsert", layout)
+        rel = self._write_data_dir(merged, version, head.partition_by)
+        self._publish(
+            version, [rel], "upsert", head.partition_by, merged.schema.json()
+        )
         return version
 
     # -- maintenance -------------------------------------------------------
@@ -281,7 +324,9 @@ class TxTable:
         merged = self.snapshot(version).coalesce(n_target)
         new_version = version + 1
         rel = self._write_data_dir(merged, new_version, snap.partition_by)
-        self._publish(new_version, [rel], "optimize", snap.partition_by)
+        self._publish(
+            new_version, [rel], "optimize", snap.partition_by, snap.schema_json
+        )
         return new_version
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -356,6 +401,7 @@ def write_stream_txtable(
                     "operation": "stream_append",
                     "data_dirs": [*prev, rel],
                     "epoch_key": epoch_key,
+                    "schema": batch_df.schema.json(),
                 },
                 fh,
             )

@@ -254,3 +254,27 @@ def test_partitioned_upsert_and_optimize_preserve_layout(spark, tmp_path):
     d = os.path.join(t.root, snap.data_dirs[0])
     assert any(name.startswith("part=") for name in os.listdir(d))
     assert _ids(t.snapshot()) == list(range(120))
+
+
+def test_schema_evolution_add_column_nullfills_history(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "evo"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+    )
+    snap = t.snapshot()
+    assert sorted(snap.columns) == ["id", "score", "v"]
+    got = sorted((r.id, r.v, r.score) for r in snap.collect())
+    # the pre-evolution row null-fills the new column
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+    # old versions read with THEIR schema (no retroactive column)
+    assert sorted(t.snapshot(version=1).columns) == ["id", "v"]
+
+
+def test_schema_evolution_rejects_drops_and_type_changes(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "evo2"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="missing table column"):
+        t.append(spark.createDataFrame([(2,)], "id long"))
+    with pytest.raises(ValueError, match="type changed"):
+        t.append(spark.createDataFrame([(2, 3)], "id long, v long"))
