@@ -298,17 +298,34 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> int | None:
-        """Transactional small-file compaction: coalesce the current
-        snapshot's data into ~target_bytes files in ONE new data directory
-        and commit it as a new version. Readers of older versions are never
+    def optimize(
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        zorder_by: Sequence[str] | None = None,
+        zorder_bits: int = 10,
+    ) -> int | None:
+        """Transactional small-file compaction: rewrite the current
+        snapshot into ~target_bytes files in ONE new data directory and
+        commit it as a new version. Readers of older versions are never
         blocked or broken (their directories are untouched until vacuum) —
         the non-blocking OPTIMIZE bare-parquet compaction
         (sources/compaction.py) cannot offer, because there the rewrite must
-        swap the live directory itself. Returns the new version, or None if
-        the table is already within one file of target."""
+        swap the live directory itself.
+
+        ``zorder_by`` additionally Morton-clusters the rewrite on the given
+        columns (operators/zorder.zorder_frame, sketch-rank path — no global
+        window), so every output file covers a compact hyper-rectangle of
+        the key space and multi-column predicates prune on footer stats —
+        the OPTIMIZE ... ZORDER BY maintenance shape. A z-order request
+        always rewrites (layout change is the point); plain compaction
+        returns None when already within one file of target."""
         version = self.latest_version()
         snap = self._read_manifest(version)
+        if zorder_by and snap.partition_by:
+            raise NotImplementedError(
+                "z-order within hive-partitioned TxTables is not supported; "
+                "z-order the partition interior via zorder_write per partition"
+            )
         total = n_files = 0
         for rel in snap.data_dirs:
             for dirpath, _dirs, files in os.walk(os.path.join(self.root, rel)):
@@ -319,9 +336,19 @@ class TxTable:
         import math
 
         n_target = max(1, math.ceil(total / target_bytes))
-        if n_files <= n_target:
+        if n_files <= n_target and not zorder_by:
             return None
-        merged = self.snapshot(version).coalesce(n_target)
+        if zorder_by:
+            from payroll_etl_fastapi_spark.operators.zorder import zorder_frame
+
+            merged = (
+                zorder_frame(self.snapshot(version), zorder_by, bits=zorder_bits)
+                .repartitionByRange(n_target, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            merged = self.snapshot(version).coalesce(n_target)
         new_version = version + 1
         rel = self._write_data_dir(merged, new_version, snap.partition_by)
         self._publish(

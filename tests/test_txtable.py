@@ -278,3 +278,39 @@ def test_schema_evolution_rejects_drops_and_type_changes(spark, tmp_path):
         t.append(spark.createDataFrame([(2,)], "id long"))
     with pytest.raises(ValueError, match="type changed"):
         t.append(spark.createDataFrame([(2, 3)], "id long, v long"))
+
+
+def test_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY shape: after a z-ordered rewrite, per-file
+    min/max ranges are narrow in BOTH clustering columns (footer-stat
+    pruning for 2-D predicates), and the data survives."""
+    t = TxTable(spark, str(tmp_path / "zopt"))
+    n = 40000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 48271 % 65537 % 1000).alias("x"),
+        (F.col("id") * 16807 % 65537 % 1000).alias("y"),
+    )
+    t.overwrite(df.repartition(16))
+    v = t.optimize(target_bytes=30_000, zorder_by=["x", "y"])
+    assert v == 2
+    snap = t.snapshot().withColumn("__f", F.input_file_name())
+    ranges = snap.groupBy("__f").agg(
+        F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+    ).collect()
+    assert len(ranges) >= 8
+    avg_x = sum(r.xhi - r.xlo for r in ranges) / len(ranges)
+    avg_y = sum(r.yhi - r.ylo for r in ranges) / len(ranges)
+    # both dimensions well under the full 0..999 spread a 1-D sort leaves
+    # in the other column
+    assert avg_x < 600 and avg_y < 600, (avg_x, avg_y)
+    assert t.snapshot().count() == n
+    # partitioned + zorder is explicitly unsupported
+    t2 = TxTable(spark, str(tmp_path / "zopt2"))
+    t2.overwrite(
+        spark.range(30).select(F.col("id"), (F.col("id") % 3).alias("p")),
+        partition_by=["p"],
+    )
+    with pytest.raises(NotImplementedError):
+        t2.optimize(zorder_by=["id"])
