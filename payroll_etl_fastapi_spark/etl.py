@@ -163,3 +163,56 @@ class PayrollWarehouse:
         }
         dim_dept.unpersist()
         return counts
+
+
+class TxPayrollWarehouse(PayrollWarehouse):
+    """The same load with the reference's TRANSACTION semantics: the
+    reference wraps dept → employee → fact in one Postgres transaction
+    (/root/reference/src/etl.py:15), so a crash mid-load leaves the old
+    state fully intact. The base PayrollWarehouse only has per-table
+    crash-safe swaps; this variant stores each table in a TxTable and
+    publishes all three new versions with ONE TxCatalog pointer swap —
+    external readers (``read_committed``) see the whole load or none of it.
+
+    Within a load, ``read`` sees this load's own uncommitted table versions
+    (read-your-writes, as inside the reference's transaction); everything
+    else reads through the catalog pin."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        from payroll_etl_fastapi_spark.sources.txtable import TxCatalog
+
+        self.catalog = TxCatalog(spark, root)
+        self._pending: dict[str, int] = {}
+
+    def exists(self, table: str) -> bool:
+        return self.catalog.table(table).exists()
+
+    def read(self, table: str) -> DataFrame:
+        # inside a load: the freshest committed TABLE version (our own
+        # pending writes included) — the in-transaction view
+        return self.catalog.table(table).snapshot()
+
+    def read_committed(self, table: str) -> DataFrame:
+        """What an external reader sees: the catalog-pinned version."""
+        return self.catalog.read(table)
+
+    def _write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+    ) -> None:
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        self._pending[table] = self.catalog.table(table).overwrite(
+            df, partition_by=partition_by
+        )
+
+    def load_frames(self, normalized: DataFrame) -> dict[str, int]:
+        counts = super().load_frames(normalized)
+        # the single COMMIT: all three tables become visible atomically
+        self.catalog.commit({**self.catalog.current(), **self._pending})
+        self._pending = {}
+        return counts
