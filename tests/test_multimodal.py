@@ -44,11 +44,41 @@ def test_sample_frames_fanout(media_df):
     assert 3 not in by_media
 
 
-def test_resize_is_marked_unimplemented(media_df):
-    out = MM.resize_images(media_df, 8, 8)
-    assert out.schema == media_df.schema  # contract: same schema out
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        out.collect()
+def test_resize_nearest_neighbor_matches_numpy(spark):
+    """RAW_GRAY8 resize: real pixel math, checked against a plain-numpy
+    reference on a 6x4 gradient image downsampled to 3x2."""
+    import numpy as np
+
+    w0, h0 = 6, 4
+    img = np.arange(w0 * h0, dtype=np.uint8).reshape(h0, w0)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(img.tobytes()), ("raw/gray8", w0, h0, None))],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MM.resize_images(media, 3, 2)
+    assert out.schema == media.schema  # contract: same schema out
+    row = out.first()
+    assert (row.meta.width, row.meta.height) == (3, 2)
+    yi = (np.arange(2) * h0) // 2
+    xi = (np.arange(3) * w0) // 3
+    assert bytes(row.payload) == img[np.ix_(yi, xi)].tobytes()
+
+
+def test_resize_poisons_undecodable_rows(spark):
+    """Null payloads, missing dims, or contradictory lengths pass through
+    with payload=NULL instead of killing the task."""
+    rows = [
+        (1, "image", bytearray(b"x" * 12), ("raw/gray8", 4, 3, None)),   # valid
+        (2, "image", bytearray(b"x" * 5), ("raw/gray8", 4, 3, None)),    # wrong len
+        (3, "image", None, ("raw/gray8", 4, 3, None)),                    # null payload
+        (4, "image", bytearray(b"x" * 12), ("raw/gray8", None, None, None)),  # no dims
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.resize_images(media, 2, 2).collect()}
+    assert got[1].payload is not None and len(got[1].payload) == 4
+    assert got[2].payload is None and got[2].meta.width == 4
+    assert got[3].payload is None
+    assert got[4].payload is None
 
 
 def test_media_from_documents_schema(spark):
