@@ -56,6 +56,7 @@ from payroll_etl_fastapi_spark.plans import suite_search  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_binning  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_maintenance  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_txtable  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_quality  # noqa: E402,F401
 
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
@@ -145,6 +146,7 @@ _SECONDARY: tuple[str, ...] = (
     "corpus_sample_stratified",
     "corpus_distinctive_terms",
     "multimodal_binary_stats",
+    "quality_constraint_audit",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -1,0 +1,111 @@
+"""Data-quality constraint checks — the dbt-test / Delta CHECK-constraint
+analog: declarative rules evaluated in ONE aggregate pass, returning a
+violation count per rule instead of failing row-by-row.
+
+The reference enforces integrity with Postgres DDL (PRIMARY KEY, UNIQUE,
+NOT NULL, FK — /root/reference/src/models.py:7-32); Spark enforces nothing
+at write time, so a file warehouse needs the audit expressed as a query.
+
+Scale shape: every rule compiles to a conditional aggregate over one scan —
+N rules cost one pass, not N (the naive loop re-scans per rule). The two
+non-row-local rules have their own bounded shapes:
+- ``unique``: one groupBy on the key columns counting groups with >1 row —
+  a single shuffle on the key, the same exchange any dedup pays;
+- ``foreign_key``: a left-anti join against the (broadcast when small)
+  parent key set — violations are orphans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["Rule", "not_null", "in_range", "matches", "check", "unique", "foreign_key"]
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One row-local constraint: name + boolean 'row is valid' expression."""
+
+    name: str
+    valid: Column = field(compare=False)
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null_{col}", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo: float, hi: float) -> Rule:
+    """Closed-interval range check; NULLs pass (pair with not_null to
+    reject them) — the SQL three-valued-logic convention CHECK uses."""
+    c = F.col(col)
+    return Rule(
+        f"range_{col}", c.isNull() | ((c >= F.lit(lo)) & (c <= F.lit(hi)))
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    """Regex full-row check; NULLs pass, like SQL CHECK."""
+    c = F.col(col)
+    return Rule(f"matches_{col}", c.isNull() | c.rlike(pattern))
+
+
+def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """(rule, n_rows, n_violations) for every row-local rule — ONE scan,
+    one ungrouped aggregate, regardless of how many rules are checked."""
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(r.valid, 0).otherwise(1)).alias(r.name) for r in rules
+    ]
+    wide = df.agg(*aggs)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(r.name).alias("n_violations"),
+            )
+            for r in rules
+        ]
+    )
+    return wide.select(F.explode(per_rule).alias("r")).select("r.*")
+
+
+def unique(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """(n_keys, n_duplicate_keys, n_excess_rows): how badly the candidate
+    key fails. One shuffle on the key columns."""
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_duplicate_keys"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias(
+            "n_excess_rows"
+        ),
+    )
+
+
+def foreign_key(
+    child: DataFrame, child_keys: Sequence[str], parent: DataFrame,
+    parent_keys: Sequence[str],
+) -> DataFrame:
+    """(n_rows, n_orphans): child rows whose key has no parent. Left-anti
+    join against the parent key projection (broadcast when small; NULL child
+    keys count as orphans only if the anti-join says so — SQL FK semantics
+    would skip NULLs, so they are excluded explicitly)."""
+    pairs = list(zip(child_keys, parent_keys))
+    sel = child.select(*[F.col(c) for c in child_keys])
+    non_null = sel
+    for c in child_keys:
+        non_null = non_null.filter(F.col(c).isNotNull())
+    orphans = non_null.join(
+        parent.select(*[F.col(p).alias(c) for c, p in pairs]).distinct(),
+        on=list(child_keys),
+        how="left_anti",
+    )
+    return child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    )

@@ -1,0 +1,48 @@
+"""Unit tests for operators/quality.py on hand-built frames."""
+
+from __future__ import annotations
+
+import pytest
+
+from payroll_etl_fastapi_spark.operators import quality as Q
+
+
+def _by_rule(df):
+    return {r.rule: (r.n_rows, r.n_violations) for r in df.collect()}
+
+
+def test_row_local_rules_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (None, -5.0, "ok"), (3, 50.0, "bad!"), (4, None, None)],
+        "k int, x double, s string",
+    )
+    got = _by_rule(
+        Q.check(
+            df,
+            [Q.not_null("k"), Q.in_range("x", 0, 100), Q.matches("s", "^[a-z]+$")],
+        )
+    )
+    assert got == {
+        "not_null_k": (4, 1),
+        "range_x": (4, 1),        # nulls pass range
+        "matches_s": (4, 1),      # nulls pass regex
+    }
+    with pytest.raises(ValueError, match="no rules"):
+        Q.check(df, [])
+
+
+def test_unique_counts_excess_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 1), (2, 1), (3, 1), (3, 2)], "a int, b int"
+    )
+    r = Q.unique(df, ["a", "b"]).first()
+    # keys: (1,1)x3 (2,1) (3,1) (3,2) → 4 keys, 1 duplicated, 2 excess rows
+    assert (r.n_keys, r.n_duplicate_keys, r.n_excess_rows) == (4, 1, 2)
+
+
+def test_foreign_key_orphans_and_null_skip(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = Q.foreign_key(child, ["fk"], parent, ["pk"]).first()
+    # 9 is an orphan; NULL fk is skipped per SQL FK semantics
+    assert (r.n_rows, r.n_orphans) == (4, 1)
