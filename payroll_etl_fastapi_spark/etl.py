@@ -185,13 +185,24 @@ class TxPayrollWarehouse(PayrollWarehouse):
         self.catalog = TxCatalog(spark, root)
         self._pending: dict[str, int] = {}
 
+    def _visible_version(self, table: str) -> int | None:
+        """This load's transaction view: its OWN pending write if it made
+        one, else the catalog-pinned version — never bare table-latest,
+        which could belong to a previously ABORTED load (tables committed,
+        catalog swap never reached) and would silently resurrect that
+        load's data as the merge base."""
+        if table in self._pending:
+            return self._pending[table]
+        return self.catalog.current().get(table)
+
     def exists(self, table: str) -> bool:
-        return self.catalog.table(table).exists()
+        return self._visible_version(table) is not None
 
     def read(self, table: str) -> DataFrame:
-        # inside a load: the freshest committed TABLE version (our own
-        # pending writes included) — the in-transaction view
-        return self.catalog.table(table).snapshot()
+        v = self._visible_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table!r} not committed in {self.root}")
+        return self.catalog.table(table).snapshot(version=v)
 
     def read_committed(self, table: str) -> DataFrame:
         """What an external reader sees: the catalog-pinned version."""
@@ -211,6 +222,9 @@ class TxPayrollWarehouse(PayrollWarehouse):
         )
 
     def load_frames(self, normalized: DataFrame) -> dict[str, int]:
+        # a failed earlier load must not leak its pending versions into this
+        # transaction's read view
+        self._pending = {}
         counts = super().load_frames(normalized)
         # the single COMMIT: all three tables become visible atomically
         self.catalog.commit({**self.catalog.current(), **self._pending})

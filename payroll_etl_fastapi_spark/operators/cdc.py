@@ -62,15 +62,34 @@ def cdc_apply(
             f"columns {sorted(snapshot.columns)}"
         )
 
+    # deterministic payload tiebreak for same-(key, seq, op) rows — without
+    # it the surviving payload is whichever row the shuffle ordered first
+    # (the nondeterminism upsert() fixed; ADVICE r2). Only ORDERABLE payload
+    # types can join the sort: a map column would fail analysis, so
+    # non-orderable columns are excluded (their ties stay nondeterministic —
+    # the pre-fix behavior — rather than breaking previously-valid feeds).
+    feed_types = dict(zip(feed.columns, [f.dataType for f in feed.schema.fields]))
+
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        return True
+
+    tiebreak = [
+        F.col(c)
+        for c in sorted(c for c in payload_cols if c not in key_list)
+        if _orderable(feed_types[c])
+    ]
     w = Window.partitionBy(*key_list).orderBy(
         F.col(seq_col).desc(),
-        # deterministic tiebreak: at equal seq a delete outranks an upsert,
-        # and two same-(key, seq, op) rows with different payloads fall back
-        # to the payload columns — without this the surviving payload is
-        # whichever row the shuffle happened to order first (the same
-        # nondeterminism upsert() fixed; ADVICE r2)
         F.when(F.col(op_col) == "D", F.lit(0)).otherwise(F.lit(1)),
-        *[F.col(c) for c in sorted(c for c in payload_cols if c not in key_list)],
+        *tiebreak,
     )
     winners = (
         feed.withColumn("__rn", F.row_number().over(w))

@@ -163,7 +163,16 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             out_payload: list = []
             out_meta: list = []
-            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                # only image rows are resize candidates: audio/video rows in
+                # a mixed media frame pass through UNTOUCHED (poisoning them
+                # would destroy every non-image payload in the pipeline, and
+                # a video whose byte length happens to equal w*h would be
+                # "resized" into gray8 garbage)
+                if kind != "image":
+                    out_payload.append(payload)
+                    out_meta.append(meta)
+                    continue
                 w0 = meta.get("width") if meta is not None else None
                 h0 = meta.get("height") if meta is not None else None
                 ok = (

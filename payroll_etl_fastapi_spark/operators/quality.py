@@ -58,8 +58,11 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     one ungrouped aggregate, regardless of how many rules are checked."""
     if not rules:
         raise ValueError("no rules given")
+    # coalesce: F.sum over zero rows is NULL, and an empty table must audit
+    # as 0 violations, not NULL (None != 0 would fail a health gate)
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.when(r.valid, 0).otherwise(1)).alias(r.name) for r in rules
+        F.coalesce(F.sum(F.when(r.valid, 0).otherwise(1)), F.lit(0)).alias(r.name)
+        for r in rules
     ]
     wide = df.agg(*aggs)
     per_rule = F.array(
@@ -81,10 +84,12 @@ def unique(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     return per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_duplicate_keys"),
-        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias(
-            "n_excess_rows"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)), F.lit(0)
+        ).alias("n_duplicate_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)), F.lit(0)
+        ).alias("n_excess_rows"),
     )
 
 

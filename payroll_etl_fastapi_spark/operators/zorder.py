@@ -60,7 +60,7 @@ def zvalue_sql(exprs: Sequence[str], bits: int) -> str:
 def zorder_frame(
     df: DataFrame,
     cols: Sequence[str],
-    bits: int = 16,
+    bits: int = 10,
     exact: bool = False,
 ) -> DataFrame:
     """``df`` plus a ``__z`` Morton key over rank-normalized ``cols`` (rank,
@@ -74,11 +74,21 @@ def zorder_frame(
       for the assignment. NO global window anywhere in the plan — the exact
       path's percent_rank over Window.orderBy funnels the whole table
       through ONE partition per column, which is a scale-killer (VERDICT r2).
-      Use bits <= 12 here: the sketch's 1e-4 rank error swamps finer codes,
-      and file-level pruning saturates around 2**10 cells per dimension.
+      The default is bits=10 (1024 cells/dimension): the sketch's 1e-4 rank
+      error swamps finer codes, file-level pruning saturates around 2**10
+      cells, and the edge arrays stay small enough to inline as literals —
+      bits=16 here would build 65535-element literal arrays into the plan.
+      All columns' edges come from ONE combined aggregate (one input scan,
+      not one per column).
     - ``exact=True`` — deterministic percent_rank path, kept for tests and
       small tooling runs where bit-reproducible codes matter.
     """
+    if not exact and bits > 12:
+        raise ValueError(
+            f"bits={bits} on the sketch path is beyond the sketch's rank "
+            "error and inlines 2**bits-element literal arrays; use <= 12 "
+            "(or exact=True if you really need finer codes)"
+        )
     scale = (1 << bits) - 1
     zcols = []
     work = df
@@ -90,13 +100,21 @@ def zorder_frame(
             work = work.withColumn(f"__rk_{c}", F.floor(r * scale).cast("long"))
             zcols.append(F.col(f"__rk_{c}"))
     else:
-        from payroll_etl_fastapi_spark.operators.binning import quantile_bins
-
+        n_bins = 1 << bits
+        ps = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+        edge_row = df.agg(
+            *[
+                F.approx_percentile(F.col(c), ps, F.lit(10000)).alias(c)
+                for c in cols
+            ]
+        ).first()
         for c in cols:
-            work = quantile_bins(
-                work, F.col(c), 1 << bits, bin_col=f"__rk_{c}", exact=False
+            arr = F.array(*[F.lit(float(e)) for e in edge_row[c]])
+            work = work.withColumn(
+                f"__rk_{c}",
+                F.size(F.filter(arr, lambda e: F.col(c) > e)).cast("long"),
             )
-            zcols.append(F.col(f"__rk_{c}").cast("long"))
+            zcols.append(F.col(f"__rk_{c}"))
     return work.withColumn("__z", zvalue(zcols, bits)).drop(
         *[f"__rk_{c}" for c in cols]
     )
@@ -106,7 +124,7 @@ def zorder_write(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
-    bits: int = 16,
+    bits: int = 10,
     n_files: int | None = None,
     exact: bool = False,
 ) -> None:

@@ -71,6 +71,26 @@ class ConcurrentCommit(RuntimeError):
     """Another writer committed the version this commit was based on."""
 
 
+def _cas_publish(log_dir: str, version: int, payload: dict, what: str) -> None:
+    """THE commit primitive: write a tmp manifest, hard-link it to its
+    versioned name (atomic create — EEXIST means another writer won the
+    version), unlink the tmp. Every publish path (table commits, stream
+    epochs, catalog pointers) goes through here so the protocol can only
+    evolve in one place."""
+    os.makedirs(log_dir, exist_ok=True)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    try:
+        os.link(tmp, os.path.join(log_dir, f"v{version}.json"))
+    except FileExistsError as exc:
+        raise ConcurrentCommit(
+            f"version {version} of {what} was committed concurrently"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+
+
 @dataclass(frozen=True)
 class _Snapshot:
     version: int
@@ -211,28 +231,21 @@ class TxTable:
         operation: str,
         partition_by: Sequence[str] | None = None,
         schema_json: str | None = None,
+        extra: dict | None = None,
     ) -> None:
         """Atomic compare-and-swap commit of v<version>.json."""
-        os.makedirs(self._tx, exist_ok=True)
-        tmp = os.path.join(self._tx, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "operation": operation,
-                    "data_dirs": data_dirs,
-                    "partition_by": list(partition_by or ()),
-                    "schema": schema_json,
-                },
-                fh,
-            )
-        try:
-            os.link(tmp, os.path.join(self._tx, f"v{version}.json"))
-        except FileExistsError as exc:
-            raise ConcurrentCommit(
-                f"version {version} of {self.root} was committed concurrently"
-            ) from exc
-        finally:
-            os.unlink(tmp)
+        _cas_publish(
+            self._tx,
+            version,
+            {
+                "operation": operation,
+                "data_dirs": data_dirs,
+                "partition_by": list(partition_by or ()),
+                "schema": schema_json,
+                **(extra or {}),
+            },
+            self.root,
+        )
 
     def overwrite(self, df: DataFrame, partition_by: Sequence[str] | None = None) -> int:
         """Replace the table contents; returns the committed version.
@@ -356,31 +369,53 @@ class TxTable:
         )
         return new_version
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 1, min_orphan_age_seconds: float = 24 * 3600
+    ) -> list[str]:
         """Drop data dirs referenced only by versions older than the last
-        ``keep_last`` manifests, plus orphans from crashed commits. Returns
-        removed relative dirs. Readers of vacuumed versions break — the same
-        retention contract as Delta VACUUM."""
+        ``keep_last`` manifests, plus STALE orphans from crashed commits.
+        Returns removed relative dirs. Readers of vacuumed versions break —
+        the same retention contract as Delta VACUUM.
+
+        An UNREFERENCED dir is not necessarily garbage: a concurrent writer
+        writes its data dir (a Spark job that can take minutes) BEFORE
+        publishing the manifest that references it. Deleting young orphans
+        would corrupt that in-flight commit, so orphans (and stray tmp
+        manifests) are only removed once older than
+        ``min_orphan_age_seconds`` — Delta's retention-threshold rule.
+        Dirs referenced by a superseded manifest are removed regardless of
+        age (that is the documented keep_last contract)."""
+        import time
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        cutoff = time.time() - min_orphan_age_seconds
         versions = self._versions()
         keep = versions[-keep_last:]
         live: set[str] = set()
         for v in keep:
             live.update(self._read_manifest(v).data_dirs)
+        dropped_refs: set[str] = set()
+        for v in versions[:-keep_last]:
+            dropped_refs.update(self._read_manifest(v).data_dirs)
         removed = []
         if os.path.isdir(self._data):
             for name in sorted(os.listdir(self._data)):
                 rel = os.path.join("data", name)
-                if rel not in live:
-                    shutil.rmtree(os.path.join(self.root, rel))
+                full = os.path.join(self.root, rel)
+                if rel in live:
+                    continue
+                if rel in dropped_refs or os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full)
                     removed.append(rel)
         for v in versions[:-keep_last]:
             os.unlink(os.path.join(self._tx, f"v{v}.json"))
-        # tmp manifests from crashed publishes are invisible; sweep them too
+        # stale tmp manifests from crashed publishes are invisible; a YOUNG
+        # one may belong to a publisher between write and link — leave it
         for name in os.listdir(self._tx) if os.path.isdir(self._tx) else []:
-            if name.startswith(".tmp-"):
-                os.unlink(os.path.join(self._tx, name))
+            full = os.path.join(self._tx, name)
+            if name.startswith(".tmp-") and os.path.getmtime(full) < cutoff:
+                os.unlink(full)
         return removed
 
 
@@ -404,42 +439,52 @@ def write_stream_txtable(
     recorded epoch keys, so keep_last must exceed the longest possible
     batch-replay horizon or a very late replay can re-commit."""
 
+    if table.exists() and table._read_manifest(table.latest_version()).partition_by:
+        raise ValueError(
+            "write_stream_txtable appends flat data dirs; streaming into a "
+            "hive-partitioned TxTable would mix layouts in one manifest "
+            "(the same mismatch append() rejects) — use an unpartitioned "
+            "table or compact+repartition downstream"
+        )
+
+    # manifests are immutable, so scan the committed epoch keys ONCE per
+    # drain instead of re-reading every manifest on every micro-batch
+    # (O(versions) driver IO per batch, quadratic per drain); keys from
+    # other checkpoints never match ours, and same-checkpoint concurrent
+    # writers are excluded by the streaming engine's checkpoint lock
+    seen_epochs: set[str] = set()
+    for v in table._versions():
+        with open(os.path.join(table._tx, f"v{v}.json")) as fh:
+            key = json.load(fh).get("epoch_key")
+        if key:
+            seen_epochs.add(key)
+
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         # epoch ids are only unique within one checkpoint lineage, so the
         # idempotence key includes the checkpoint identity — a different
         # query writing the same table must never be deduplicated against
         # this one's epoch numbering
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
-        for v in table._versions():
-            with open(os.path.join(table._tx, f"v{v}.json")) as fh:
-                if json.load(fh).get("epoch_key") == epoch_key:
-                    return  # replayed batch: already committed
+        if epoch_key in seen_epochs:
+            return  # replayed batch: already committed
         base = table._versions()
         version = (base[-1] if base else 0) + 1
         prev = table._read_manifest(base[-1]).data_dirs if base else ()
         rel = table._write_data_dir(batch_df, version)
         # append-with-epoch publish (same CAS; a lost race reraises so the
         # streaming query retries the batch, and the epoch check deduplicates)
-        os.makedirs(table._tx, exist_ok=True)
-        tmp = os.path.join(table._tx, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "operation": "stream_append",
-                    "data_dirs": [*prev, rel],
-                    "epoch_key": epoch_key,
-                    "schema": batch_df.schema.json(),
-                },
-                fh,
-            )
-        try:
-            os.link(tmp, os.path.join(table._tx, f"v{version}.json"))
-        except FileExistsError as exc:
-            raise ConcurrentCommit(
-                f"version {version} of {table.root} was committed concurrently"
-            ) from exc
-        finally:
-            os.unlink(tmp)
+        _cas_publish(
+            table._tx,
+            version,
+            {
+                "operation": "stream_append",
+                "data_dirs": [*prev, rel],
+                "epoch_key": epoch_key,
+                "schema": batch_df.schema.json(),
+            },
+            table.root,
+        )
+        seen_epochs.add(epoch_key)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -491,20 +536,11 @@ class TxCatalog:
 
     def commit(self, table_versions: dict[str, int]) -> int:
         """Atomically publish a new catalog state (full map, not a delta)."""
-        os.makedirs(self._cat, exist_ok=True)
         vs = self._versions()
         version = (vs[-1] if vs else 0) + 1
-        tmp = os.path.join(self._cat, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump({"tables": table_versions}, fh)
-        try:
-            os.link(tmp, os.path.join(self._cat, f"v{version}.json"))
-        except FileExistsError as exc:
-            raise ConcurrentCommit(
-                f"catalog version {version} was committed concurrently"
-            ) from exc
-        finally:
-            os.unlink(tmp)
+        _cas_publish(
+            self._cat, version, {"tables": table_versions}, f"catalog {self.root}"
+        )
         return version
 
     def read(self, name: str) -> DataFrame:

@@ -147,3 +147,16 @@ def test_cdc_apply_same_seq_upsert_payload_tiebreak_deterministic(spark):
         for _ in range(3)
     }
     assert outs == {((1, "a"),)}
+
+
+def test_cdc_apply_tolerates_non_orderable_payload_types(spark):
+    """A map payload column must not join the tiebreak sort (MapType is not
+    orderable) — the feed still applies; only same-(key,seq,op) ties among
+    map payloads stay engine-ordered."""
+    snap = spark.createDataFrame([(1, {"a": "old"})], "k int, props map<string,string>")
+    feed = spark.createDataFrame(
+        [(1, {"a": "new"}, "U", 5), (2, {"b": "x"}, "U", 1)],
+        "k int, props map<string,string>, op string, seq int",
+    )
+    got = {r.k: dict(r.props) for r in cdc_apply(snap, feed, ["k"]).collect()}
+    assert got == {1: {"a": "new"}, 2: {"b": "x"}}

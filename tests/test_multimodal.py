@@ -96,3 +96,18 @@ def test_null_payload_flows_through(spark):
     feats = MM.extract_features(df).collect()
     assert feats[0].n_bytes == 0  # null payload treated as empty, no crash
     assert MM.sample_frames(df).count() == 0
+
+
+def test_resize_passes_non_image_rows_untouched(spark):
+    rows = [
+        (1, "image", bytearray(b"x" * 12), ("raw/gray8", 4, 3, None)),
+        (2, "audio", bytearray(b"y" * 12), ("audio/pcm", None, None, 1000)),
+        (3, "video", bytearray(b"z" * 12), ("video/raw", 4, 3, 2000)),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.resize_images(media, 2, 2).collect()}
+    assert len(got[1].payload) == 4 and got[1].meta.width == 2
+    # audio/video payloads and meta come through byte-identical — even the
+    # video whose len(payload) == width*height must NOT be "resized"
+    assert bytes(got[2].payload) == b"y" * 12 and got[2].meta.duration_ms == 1000
+    assert bytes(got[3].payload) == b"z" * 12 and got[3].meta.width == 4

@@ -46,3 +46,11 @@ def test_foreign_key_orphans_and_null_skip(spark):
     r = Q.foreign_key(child, ["fk"], parent, ["pk"]).first()
     # 9 is an orphan; NULL fk is skipped per SQL FK semantics
     assert (r.n_rows, r.n_orphans) == (4, 1)
+
+
+def test_empty_table_audits_zero_not_null(spark):
+    empty = spark.createDataFrame([], "k int, x double")
+    got = _by_rule(Q.check(empty, [Q.not_null("k"), Q.in_range("x", 0, 1)]))
+    assert got == {"not_null_k": (0, 0), "range_x": (0, 0)}
+    r = Q.unique(empty, ["k"]).first()
+    assert (r.n_keys, r.n_duplicate_keys, r.n_excess_rows) == (0, 0, 0)

@@ -52,3 +52,23 @@ def test_crash_before_catalog_commit_leaves_old_state(spark, tmp_path, monkeypat
     wh.load_csv(REF_CSV)
     assert wh.read_committed("fact_payroll").count() == before
     assert wh.catalog.current()["fact_payroll"] >= 3
+
+
+def test_reads_never_see_an_aborted_loads_table_versions(spark, tmp_path):
+    """An aborted load leaves table versions committed but no catalog swap;
+    the NEXT load's read view must be the catalog-pinned state, not bare
+    table-latest — otherwise the aborted transaction's data silently becomes
+    the merge base and gets durably committed (code-review finding r3)."""
+    wh = TxPayrollWarehouse(spark, str(tmp_path / "wh"))
+    wh.load_csv(REF_CSV)
+    pinned = wh.catalog.current()["fact_payroll"]
+    # poison: a table version beyond the pin, with no catalog commit (an
+    # aborted load's leftover)
+    poisoned = wh.catalog.table("fact_payroll")
+    poisoned.overwrite(
+        wh.read_committed("fact_payroll").limit(1)
+    )
+    assert poisoned.latest_version() > pinned
+    # the warehouse view must ignore it
+    assert wh.read("fact_payroll").count() == wh.read_committed("fact_payroll").count()
+    assert wh.read("fact_payroll").count() == 5526

@@ -107,7 +107,11 @@ def test_crash_leftovers_invisible_and_vacuumed(spark, table):
         fh.write("{}")
     # readers see only committed state
     assert _ids(table.snapshot()) == list(range(10))
-    removed = table.vacuum(keep_last=1)
+    # a YOUNG orphan may be a concurrent writer's in-flight commit: the
+    # default retention must NOT delete it
+    assert table.vacuum(keep_last=1) == []
+    assert os.path.exists(orphan)
+    removed = table.vacuum(keep_last=1, min_orphan_age_seconds=0)
     assert "data/c9-deadbeef" in removed
     assert not os.path.exists(orphan)
     assert _ids(table.snapshot()) == list(range(10))
@@ -314,3 +318,18 @@ def test_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         t2.optimize(zorder_by=["id"])
+
+
+def test_stream_sink_rejects_partitioned_table(spark, tmp_path):
+    from payroll_etl_fastapi_spark.sources.txtable import write_stream_txtable
+
+    t = TxTable(spark, str(tmp_path / "ps"))
+    t.overwrite(
+        spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by=["p"],
+    )
+    src = str(tmp_path / "src")
+    spark.range(5).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("id long").parquet(src)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        write_stream_txtable(stream, t, str(tmp_path / "ck"))

@@ -132,3 +132,9 @@ def test_zorder_approx_layout_prunes_2d_box(spark, tmp_path):
     )
     assert len(xr) >= files // 2
     assert overlapping <= len(xr) // 2, (overlapping, len(xr))
+
+
+def test_zorder_sketch_path_rejects_oversized_bits(spark):
+    df = spark.range(10).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    with pytest.raises(ValueError, match="sketch"):
+        zorder_frame(df, ["x", "y"], bits=16)
