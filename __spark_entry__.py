@@ -58,6 +58,7 @@ from payroll_etl_fastapi_spark.plans import suite_maintenance  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_txtable  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_quality  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_skew  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_bucketing  # noqa: E402,F401
 
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
@@ -149,6 +150,7 @@ _SECONDARY: tuple[str, ...] = (
     "multimodal_binary_stats",
     "quality_constraint_audit",
     "skew_salted_rollup",
+    "bucketed_join_rollup",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,
