@@ -309,6 +309,29 @@ class TxTable:
         )
         return version
 
+    def delete(self, condition) -> int:
+        """Copy-on-write DELETE: rewrite the snapshot without the matching
+        rows as a new version (old versions stay time-travelable until
+        vacuum). ``condition`` is a Column predicate selecting the rows to
+        REMOVE. Same optimistic-concurrency contract as upsert: a concurrent
+        commit between the snapshot read and the publish raises rather than
+        resurrecting the other writer's rows."""
+        from pyspark.sql import functions as F
+
+        base_version = self.latest_version()
+        head = self._read_manifest(base_version)
+        # SQL DELETE semantics: only rows where the predicate is TRUE go;
+        # a bare ~condition would also drop NULL-predicate rows (3VL)
+        remaining = self.snapshot(base_version).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
+        version = base_version + 1
+        rel = self._write_data_dir(remaining, version, head.partition_by)
+        self._publish(
+            version, [rel], "delete", head.partition_by, head.schema_json
+        )
+        return version
+
     # -- maintenance -------------------------------------------------------
 
     def optimize(

@@ -333,3 +333,20 @@ def test_stream_sink_rejects_partitioned_table(spark, tmp_path):
     stream = spark.readStream.schema("id long").parquet(src)
     with pytest.raises(ValueError, match="hive-partitioned"):
         write_stream_txtable(stream, t, str(tmp_path / "ck"))
+
+
+def test_delete_copy_on_write(spark, table):
+    v = table.delete(F.col("id") % 2 == 0)
+    assert v == 2
+    assert _ids(table.snapshot()) == [1, 3, 5, 7, 9]
+    # old version still time-travelable; history records the operation
+    assert _ids(table.snapshot(version=1)) == list(range(10))
+    assert [h["operation"] for h in table.history()] == ["overwrite", "delete"]
+    # NULL-predicate rows are KEPT (filter(~cond) drops only true matches)
+    t2 = TxTable(spark, table.root + "2")
+    t2.overwrite(
+        spark.createDataFrame([(1, 5), (2, None), (3, 20)], "id long, x int")
+    )
+    t2.delete(F.col("x") > 10)
+    got = sorted(r.id for r in t2.snapshot().collect())
+    assert got == [1, 2]
