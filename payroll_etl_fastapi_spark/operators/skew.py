@@ -32,8 +32,17 @@ def salted_sum(
 
     `sums` maps input column → output alias. Sums (and counts via a lit(1)
     column) are the decomposable aggregates this pattern supports; avg/median
-    need their own decompositions."""
-    salted = df.withColumn("_salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    need their own decompositions.
+
+    The salt is a DETERMINISTIC per-row hash, not rand(): a non-deterministic
+    partitioning expression re-salts rows when a stage is recomputed after a
+    fetch failure, double-counting or dropping partial sums (the classic
+    SPARK-23207-class hazard). Hashing every column spreads a hot key across
+    buckets as long as its rows differ anywhere; fully identical rows share
+    a bucket, which skews balance but never correctness."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).cast("int")
+    )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(c).alias(f"_p_{a}") for c, a in sums.items()]
     )
@@ -64,7 +73,11 @@ def replicated_salt_join(
             f"replicated_salt_join supports inner/left/semi/anti joins, not {how!r}: "
             "the replicated small side would duplicate unmatched right-side rows"
         )
-    b = big.withColumn("_salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    # deterministic per-row salt (see salted_sum): retry-safe under stage
+    # recomputation, unlike rand()
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int")
+    )
     s = small.crossJoin(
         F.broadcast(
             b.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))

@@ -48,7 +48,13 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bucketing converts every future join/groupBy on the key
     into shuffle-free plans for one up-front bucketed write — the 100 TB
     trade this gate exercises end to end."""
-    n = next(_counter)
+    import uuid
+
+    # uuid suffix, not a process-local counter: a counter restarts at 0 in
+    # every fresh process, so a killed run's higher-numbered scratch tables
+    # would never be reclaimed, and two processes sharing a warehouse would
+    # overwrite each other's table 0
+    n = f"{next(_counter)}_{uuid.uuid4().hex[:8]}"
     t_orders, t_li = f"gate_bkt_orders_{n}", f"gate_bkt_li_{n}"
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -61,6 +67,11 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("l_extendedprice"))).alias("line_cents"),
         )
     )
+    # the gate data is tiny, so without this the join would BROADCAST and
+    # the bucketed sort-merge path — the thing under test — would be dead
+    # code in the gate
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         write_bucketed(orders, t_orders, ["o_orderkey"], _BUCKETS)
         write_bucketed(li, t_li, ["l_orderkey"], _BUCKETS)
@@ -79,6 +90,7 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for t in (t_orders, t_li):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     schema = T.StructType(
