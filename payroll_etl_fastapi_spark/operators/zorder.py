@@ -22,8 +22,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 __all__ = ["zvalue", "zvalue_sql", "zorder_frame", "zorder_write"]
+
+_NUMERIC_TYPES = (NumericType,)
 
 _MAX_TOTAL_BITS = 63  # stay inside a signed 64-bit long
 
@@ -89,6 +92,22 @@ def zorder_frame(
             "error and inlines 2**bits-element literal arrays; use <= 12 "
             "(or exact=True if you really need finer codes)"
         )
+    # fail fast with the column NAMED: the sketch path ranks via
+    # approx_percentile, which is numeric-only — a string/date/timestamp
+    # column (or a typo) would otherwise die mid-maintenance inside
+    # table.optimize() with an opaque float()/NULL-iteration error
+    by_name = {f.name: f for f in df.schema.fields}
+    for c in cols:
+        f_def = by_name.get(c)
+        if f_def is None:
+            raise ValueError(f"zorder column {c!r} does not exist")
+        if not exact and not isinstance(f_def.dataType, _NUMERIC_TYPES):
+            raise ValueError(
+                f"zorder column {c!r} has non-numeric type "
+                f"{f_def.dataType.simpleString()}; the sketch path needs "
+                "numeric columns — cast first, or use exact=True for any "
+                "orderable type"
+            )
     scale = (1 << bits) - 1
     zcols = []
     work = df
@@ -109,6 +128,13 @@ def zorder_frame(
             ]
         ).first()
         for c in cols:
+            if edge_row[c] is None:
+                # all-NULL column: the sketch has no edges; every row takes
+                # the degenerate rank 0 (the column contributes no pruning
+                # power, but maintenance must not crash on it)
+                work = work.withColumn(f"__rk_{c}", F.lit(0).cast("long"))
+                zcols.append(F.col(f"__rk_{c}"))
+                continue
             arr = F.array(*[F.lit(float(e)) for e in edge_row[c]])
             work = work.withColumn(
                 f"__rk_{c}",

@@ -81,12 +81,27 @@ def _cas_publish(log_dir: str, version: int, payload: dict, what: str) -> None:
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
+        # durability, not just atomicity: without the fsync a power/OS crash
+        # after the link can leave a published v<N>.json whose BYTES never
+        # reached disk — latest_version() would then resolve to a truncated
+        # manifest and every read fails (process-crash was safe, power-crash
+        # was not). Same commit-durability order as Delta/Iceberg: data,
+        # manifest bytes, directory entry.
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
         os.link(tmp, os.path.join(log_dir, f"v{version}.json"))
     except FileExistsError as exc:
         raise ConcurrentCommit(
             f"version {version} of {what} was committed concurrently"
         ) from exc
+    else:
+        # persist the directory entry for the link before acknowledging
+        dirfd = os.open(log_dir, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
     finally:
         os.unlink(tmp)
 
@@ -269,6 +284,7 @@ class TxTable:
         files are already written and commute with any other append).
         ``partition_by`` must match the layout of earlier commits (mixing
         partitioned and flat dirs in one manifest breaks discovery)."""
+        rel: str | None = None
         for _ in range(_retries):
             base = self._versions()
             version = (base[-1] if base else 0) + 1
@@ -283,7 +299,15 @@ class TxTable:
                     )
                 prev = head.data_dirs
                 schema_json = self._evolved_schema(head, df)
-            rel = self._write_data_dir(df, version, partition_by)
+            if rel is None:
+                # the data files commute with every other append, so the
+                # Spark write job runs ONCE; a lost CAS race retries only the
+                # head re-read + manifest publish. (The c<version> prefix in
+                # the dir name can go stale after a lost race — it is purely
+                # cosmetic, the uuid suffix guarantees uniqueness.) The old
+                # write-inside-the-loop shape re-ran the full job per race
+                # and stranded each loser's directory as an orphan.
+                rel = self._write_data_dir(df, version, partition_by)
             try:
                 self._publish(version, [*prev, rel], "append", partition_by, schema_json)
                 return version
@@ -332,6 +356,128 @@ class TxTable:
         )
         return version
 
+    def update(self, condition, assignments: dict) -> int:
+        """Copy-on-write ``UPDATE ... SET``: rewrite the snapshot with
+        ``assignments`` (column name → Column expression over the OLD row —
+        all right-hand sides see pre-update values, SQL UPDATE semantics)
+        applied to rows where ``condition`` is TRUE; NULL-predicate rows are
+        untouched (3VL, same rule as delete). Assigned expressions are cast
+        to the existing column type — UPDATE never changes the table schema.
+        Completes the DML family the reference's ON CONFLICT ... DO UPDATE
+        load maps onto (/root/reference/src/etl.py:36-77): upsert/append/
+        overwrite/delete/update/merge, each one atomic commit."""
+        from pyspark.sql import functions as F
+
+        base_version = self.latest_version()
+        head = self._read_manifest(base_version)
+        snap = self.snapshot(base_version)
+        unknown = sorted(set(assignments) - set(snap.columns))
+        if unknown:
+            raise ValueError(f"UPDATE assigns to unknown columns: {unknown}")
+        cond = F.coalesce(condition, F.lit(False))
+        by_name = {f.name: f for f in snap.schema.fields}
+        updated = snap.select(
+            *[
+                F.when(cond, assignments[c].cast(by_name[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in snap.columns
+            ]
+        )
+        version = base_version + 1
+        rel = self._write_data_dir(updated, version, head.partition_by)
+        self._publish(
+            version, [rel], "update", head.partition_by, head.schema_json
+        )
+        return version
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched_delete=None,
+        update_matched: bool = True,
+        insert_not_matched: bool = True,
+    ) -> int:
+        """Copy-on-write MERGE: update, insert, and delete in ONE atomic
+        commit — the three-clause shape ``MERGE INTO t USING s ON keys WHEN
+        MATCHED [AND cond] THEN DELETE / WHEN MATCHED THEN UPDATE SET * /
+        WHEN NOT MATCHED THEN INSERT *``.
+
+        Row rules, evaluated per key:
+        - target-only rows are kept as-is;
+        - matched rows are DELETED when ``when_matched_delete`` (a Column
+          over the key/target columns) is TRUE, else replaced by the source
+          row when ``update_matched`` (UPDATE SET *), else kept;
+        - source-only rows are INSERTED when ``insert_not_matched``.
+
+        One full-outer shuffle join on the keys + one data-dir rewrite —
+        exactly the Delta/Iceberg COW MERGE plan shape. Source schema goes
+        through the same evolution contract as append(): extra source
+        columns widen the table (old rows null-fill), missing/retyped
+        columns raise. Optimistic concurrency: a commit racing between the
+        snapshot read and the publish raises ConcurrentCommit."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        base_version = self.latest_version()
+        head = self._read_manifest(base_version)
+        merged_schema_json = self._evolved_schema(head, source)
+        merged_schema = StructType.fromJson(json.loads(merged_schema_json))
+        for k in keys:
+            if k not in merged_schema.names:
+                raise ValueError(f"merge key {k!r} is not a table column")
+        target = self.snapshot(base_version).withColumn("__t", F.lit(True))
+        src = source.withColumn("__s", F.lit(True))
+        # join USING the keys: key columns coalesce into single output cols
+        joined = target.alias("t").join(src.alias("s"), keys, "full_outer")
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        src_only = F.col("__t").isNull()
+        take_source = src_only | (matched & F.lit(update_matched))
+        t_names = {f.name for f in target.schema.fields}
+        s_names = {f.name for f in src.schema.fields}
+        out_cols = []
+        for f in merged_schema.fields:
+            if f.name in keys:
+                out_cols.append(F.col(f.name))
+                continue
+            s_val = (
+                F.col(f"s.{f.name}")
+                if f.name in s_names
+                else F.lit(None).cast(f.dataType)
+            )
+            t_val = (
+                F.col(f"t.{f.name}")
+                if f.name in t_names
+                else F.lit(None).cast(f.dataType)
+            )
+            out_cols.append(
+                F.when(take_source, s_val).otherwise(t_val).alias(f.name)
+            )
+        keep = F.when(
+            matched,
+            ~F.coalesce(
+                when_matched_delete
+                if when_matched_delete is not None
+                else F.lit(False),
+                F.lit(False),
+            ),
+        ).otherwise(F.lit(insert_not_matched) | F.col("__t").isNotNull())
+        result = joined.filter(keep).select(*out_cols)
+        version = base_version + 1
+        rel = self._write_data_dir(result, version, head.partition_by)
+        self._publish(
+            version,
+            [rel],
+            "merge",
+            head.partition_by,
+            merged_schema_json,
+            extra={"merge_keys": list(keys)},
+        )
+        return version
+
     # -- maintenance -------------------------------------------------------
 
     def optimize(
@@ -358,10 +504,13 @@ class TxTable:
         version = self.latest_version()
         snap = self._read_manifest(version)
         if zorder_by and snap.partition_by:
-            raise NotImplementedError(
-                "z-order within hive-partitioned TxTables is not supported; "
-                "z-order the partition interior via zorder_write per partition"
-            )
+            overlap = sorted(set(zorder_by) & set(snap.partition_by))
+            if overlap:
+                raise ValueError(
+                    f"z-order columns {overlap} are hive partition columns — "
+                    "they are constant within every file already; z-order "
+                    "the partition interior on other columns"
+                )
         total = n_files = 0
         for rel in snap.data_dirs:
             for dirpath, _dirs, files in os.walk(os.path.join(self.root, rel)):
@@ -375,14 +524,32 @@ class TxTable:
         if n_files <= n_target and not zorder_by:
             return None
         if zorder_by:
+            from pyspark.sql import functions as F
+
             from payroll_etl_fastapi_spark.operators.zorder import zorder_frame
 
-            merged = (
-                zorder_frame(self.snapshot(version), zorder_by, bits=zorder_bits)
-                .repartitionByRange(n_target, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            zf = zorder_frame(self.snapshot(version), zorder_by, bits=zorder_bits)
+            if snap.partition_by:
+                # hive-partitioned interior z-order, ONE write + ONE commit:
+                # range-partition on (partition cols, __z) so each task holds
+                # contiguous z-runs of few hive partitions, then sort within —
+                # every file the partitioned writer emits covers one compact
+                # z-range INSIDE its partition directory. The sketch edges
+                # are global (rank order is partition-independent), so codes
+                # stay comparable across partitions.
+                merged = (
+                    zf.repartitionByRange(
+                        n_target, *snap.partition_by, F.col("__z")
+                    )
+                    .sortWithinPartitions(*snap.partition_by, "__z")
+                    .drop("__z")
+                )
+            else:
+                merged = (
+                    zf.repartitionByRange(n_target, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
         else:
             merged = self.snapshot(version).coalesce(n_target)
         new_version = version + 1
@@ -492,7 +659,17 @@ def write_stream_txtable(
             return  # replayed batch: already committed
         base = table._versions()
         version = (base[-1] if base else 0) + 1
-        prev = table._read_manifest(base[-1]).data_dirs if base else ()
+        prev: tuple[str, ...] = ()
+        schema_json = batch_df.schema.json()
+        if base:
+            head = table._read_manifest(base[-1])
+            prev = head.data_dirs
+            # the SAME evolution contract as append(): a batch missing a
+            # table column or changing a type raises instead of stamping the
+            # narrower/conflicting batch schema as the table read schema
+            # (which would make previously-evolved columns' data invisible
+            # on every subsequent read)
+            schema_json = table._evolved_schema(head, batch_df)
         rel = table._write_data_dir(batch_df, version)
         # append-with-epoch publish (same CAS; a lost race reraises so the
         # streaming query retries the batch, and the epoch check deduplicates)
@@ -503,7 +680,7 @@ def write_stream_txtable(
                 "operation": "stream_append",
                 "data_dirs": [*prev, rel],
                 "epoch_key": epoch_key,
-                "schema": batch_df.schema.json(),
+                "schema": schema_json,
             },
             table.root,
         )
