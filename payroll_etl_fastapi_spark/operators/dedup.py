@@ -123,14 +123,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: pairs (a < b) with
-    |A∩B| / |A∪B| ≥ threshold.
+    """Exact n-gram Jaccard similarity: pairs (a < b) with
+    |A∩B| / |A∪B| ≥ threshold, as (id_a, id_b, common, na, nb, jaccard).
 
-    Plan: explode shingles → self-equi-join on shingle → count intersections →
-    join per-doc set sizes. The shingle join is the quadratic-risk step; at
-    scale prefer minhash_lsh_pairs and use this as the verify stage on
-    candidates only."""
+    Two shapes, identical output on the pairs both can see:
+
+    - ``candidates=None`` — corpus-wide all-pairs: explode shingles →
+      self-equi-join on shingle → count intersections → join per-doc set
+      sizes. The shingle self-join is the quadratic-risk step: this shape
+      is the exact ORACLE for small corpora and pytest verification, never
+      the 100 TB path.
+    - ``candidates`` = (id_a, id_b) frame (e.g. from minhash LSH banding) —
+      THE production shape: the shingle frame is joined once against the
+      melted candidate list and intersections/unions come from grouped
+      counts per candidate pair, so work is linear in |candidates| × doc
+      length and the corpus-wide shingle self-join never materializes."""
     # .distinct() is a semantic no-op here (shingles are per-doc distinct
     # already) but its exchange is load-bearing: hash-partitioned on
     # (id, shingle) it is balanced even when one shingle is hot, and all
@@ -141,6 +150,37 @@ def ngram_jaccard_pairs(
     # kept for the 100 TB case where a hot shingle would gut the
     # shingle-partitioned variant. (Pre-fix the gap was 16-19s / 36-39s /
     # 21-24s because each consumer re-ran the O(len²·n) explode.)
+    if candidates is not None:
+        # candidate-restricted exact verify (same melt-join shape as
+        # minhash_verified_pairs' counts path, but emitting the full
+        # common/na/nb accounting): per-doc shingles are distinct, so in the
+        # per-(pair, shingle) count c==2 ⟺ both docs contain the shingle,
+        # and the number of groups is |A∪B| — intersection and union in one
+        # aggregate, no shingle self-join anywhere in the plan
+        sh = shingles(df, text_col, id_col, n)
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        melt = candidates.select("id_a", "id_b").withColumn(
+            "id", F.explode(F.array(F.col("id_a"), F.col("id_b")))
+        )
+        stats = (
+            melt.join(sh, "id")
+            .groupBy("id_a", "id_b", "shingle")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("union_sz"),
+                F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("common"),
+            )
+        )
+        return (
+            stats.join(
+                sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "na"}), "id_a"
+            )
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "nb"}), "id_b")
+            .withColumn("jaccard", F.col("common") / F.col("union_sz"))
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "common", "na", "nb", "jaccard")
+        )
     sh = shingles(df, text_col, id_col, n).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")

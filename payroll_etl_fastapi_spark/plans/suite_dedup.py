@@ -103,34 +103,79 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("representative")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+def _ngram_verified_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """LSH candidates + exact jaccard verify WITH the full common/na/nb
+    accounting — the oracle for the scale-safe dedup_ngram_jaccard gate."""
+    coeffs = dedup.minhash_coefficients(num_hashes)
+    p = dedup.MERSENNE_P
+    h = _SQL_H28.format(col="s")
+    mins = ",\n               ".join(
+        f"min(({a} * {h} + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
     WITH {_sql_corpus(mutated=True)},
     {_SQL_SHINGLES},
+    mh AS (
+        SELECT id, {mins}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+    ),
     sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
     common AS (
-        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-        GROUP BY a.id, b.id
+        SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cand c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b AND sa.s = sb.s
+        GROUP BY c.id_a, c.id_b
     )
-    SELECT id_a, id_b,
-           floor((common * 1.0 / (sa.n_shingles + sb.n_shingles - common)) * 1000000 + 0.5) / 1000000 AS jaccard
+    SELECT common.id_a, common.id_b, common.common AS common,
+           sa.n_shingles AS na, sb.n_shingles AS nb,
+           {_sql_r6('common.common * 1.0 / (sa.n_shingles + sb.n_shingles - common.common)')} AS jaccard
     FROM common
     JOIN sizes sa ON common.id_a = sa.id
     JOIN sizes sb ON common.id_b = sb.id
-    WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= 0.5
+    WHERE common.common * 1.0 / (sa.n_shingles + sb.n_shingles - common.common) >= {threshold}
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_verified_oracle())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity join (operators.dedup.ngram_jaccard_pairs):
-    each doc pairs with its 3-token-appended copy at jaccard ≈ n/(n+3)."""
+    """Exact n-gram Jaccard verification in its 100 TB SHAPE: MinHash-LSH
+    banded candidates (operators.dedup._lsh_candidates) fed into the
+    candidate-restricted ngram_jaccard_pairs — the corpus-wide shingle
+    self-join NEVER runs (VERDICT r3 #2: the driver-verified plan is now
+    the one you'd run at scale; the all-pairs shape remains the pytest
+    oracle for the verify math, tests/test_dedup.py). Each doc pairs with
+    its 3-token-appended copy at jaccard ≈ n/(n+3), and the gate reports
+    the full |A∩B| / |A| / |B| accounting per pair."""
     corpus = _spark_corpus(spark, sf_dir, mutated=True)
-    out = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
-    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard")).orderBy(
-        "id_a", "id_b"
+    sig = dedup.minhash_signatures(corpus, "text", "doc_id", n=3, num_hashes=16)
+    cand = dedup._lsh_candidates(sig, num_hashes=16, bands=4)
+    out = dedup.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5, candidates=cand
     )
+    return out.select(
+        "id_a", "id_b", "common", "na", "nb", _r6(F.col("jaccard")).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, min_est: float = 0.5) -> str:

@@ -209,3 +209,56 @@ def test_connected_components_raises_on_non_convergence(spark):
     # with room to converge the same input is one component
     got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     assert set(got.values()) == {1}
+
+
+def test_ngram_jaccard_candidates_matches_all_pairs(spark):
+    """The candidate-restricted shape (the driver-gated 100 TB plan) must
+    agree with the corpus-wide all-pairs oracle on every pair the
+    candidates cover — same common/na/nb/jaccard, not just the same ids."""
+    def text(i):
+        # mutually-distinct 60-token docs: (i, 100+i) are the only near-dups
+        # (jaccard 58/61 ≈ 0.95 — high enough that the seeded 16-hash/4-band
+        # LSH finds every pair deterministically)
+        return " ".join(f"w{i}_{j}" for j in range(60))
+
+    rows = [(i, text(i)) for i in range(8)] + [
+        (100 + i, text(i) + " qq ww ee") for i in range(8)
+    ]
+    df = corpus(spark, rows)
+    all_pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0)
+    sig = dedup.minhash_signatures(df, "text", "doc_id", n=3, num_hashes=16)
+    cand = dedup._lsh_candidates(sig, num_hashes=16, bands=4)
+    restricted = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.0, candidates=cand
+    )
+    key = lambda r: (r.id_a, r.id_b)
+    all_by_key = {key(r): (r.common, r.na, r.nb, round(r.jaccard, 9)) for r in all_pairs.collect()}
+    got = {key(r): (r.common, r.na, r.nb, round(r.jaccard, 9)) for r in restricted.collect()}
+    # every candidate-verified pair exists in the all-pairs result with
+    # identical accounting (candidates with zero overlap are dropped by both)
+    assert got, "LSH must surface the constructed near-dup candidates"
+    for k, v in got.items():
+        assert all_by_key[k] == v, (k, v, all_by_key.get(k))
+    # and the constructed near-dups (i, 100+i) are all found
+    found = {k for k in got if k[1] - k[0] == 100}
+    assert found == {(i, 100 + i) for i in range(8)}
+
+
+def test_ngram_jaccard_candidates_plan_has_no_shingle_self_join(spark):
+    """The gated composition must not contain a corpus-wide shingle
+    self-join: every join in the candidate-restricted plan is either the
+    banded-signature equality join or a candidate/size join — no join whose
+    BOTH sides are full shingle frames keyed on the shingle value."""
+    df = corpus(spark, [(1, "a b c d e f g"), (2, "a b c d e f g h")])
+    sig = dedup.minhash_signatures(df, "text", "doc_id", n=3, num_hashes=16)
+    cand = dedup._lsh_candidates(sig, num_hashes=16, bands=4)
+    restricted = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, candidates=cand
+    )
+    plan = restricted._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        # a corpus-wide shingle self-join shows as a Join whose condition
+        # equates two shingle attributes with no id restriction on the row
+        assert not (
+            "Join" in line and line.count("shingle") >= 2 and "id" not in line
+        ), f"shingle self-join leaked into the candidate-restricted plan: {line}"
