@@ -11,21 +11,30 @@ registry the driver imports.
 Registration order is CURATED, not historical: the driver's correctness gate
 covers exactly the first 50 registered queries (verified round 2 — the 19
 queries registered past position 50 got no CORRECTNESS row despite passing
-the identical local gate). ``_WINDOW`` below is the hand-picked first-50 —
-every SURVEY.md §2 reference operator gate plus the flagship query of every
-extension family (TPC-H joins, windows, set ops, dedup, ANN, text, BM25,
-corpus prep, streaming, as-of, OLAP, CDC/SCD2, profile, binning, z-order,
-compaction, multimodal, pipeline). ``_SECONDARY`` holds family near-twins and
-breadth queries that already earned a green driver row in round 2
-(CORRECTNESS_r02.json) — they stay registered, locally gated by
-tools/check_oracle.py, but sit past the driver's window. ``_ARCHIVED`` are
-four redundant twins retired from the driver registry on the round-2 judge's
-direction (each remains implemented, pytest-covered, and checked by the
-local oracle gate): median_by_group (exact-percentile semantics already
-gated by kpi_anomalies_mad + feature_quantile_bins), dedup_minhash_verified
-(superseded by the single-pass dedup_minhash_verified_counts),
-events_hourly_rollup and events_sessionization (batch twins of the
-hash-identical streaming_hourly_rollup / streaming_session_rollup gates).
+the identical local gate). ``_WINDOW`` below is the hand-picked first-50.
+
+ROUND-4 ROTATION (VERDICT r3 #1): the 20 round-3 ``_SECONDARY`` queries —
+including the three round-3 gates (`quality_constraint_audit`,
+`skew_salted_rollup`, `bucketed_join_rollup`) that had never earned a driver
+row — rotate INTO the window, plus the new `streaming_session_filesink`
+gate; 21 stable near-twins rotate out to ``_SECONDARY``, every one holding a
+green rows+schema+hash row in CORRECTNESS_r03.json (they stay registered and
+locally gated by tools/check_oracle.py). After this round every registered
+query has at least one historical driver-green correctness row. The window
+still covers every SURVEY.md §2 semantic family: the §2 gates that rotated
+out are those whose semantics remain pinned by an in-window sibling
+(topk_orders → kpi_anomalies_mad's TakeOrderedAndProject + topk_per_group;
+pivot_segment_balances → pivot_conditional_agg; join_anti → join_semi) or by
+golden pytest + the local oracle.
+
+``_ARCHIVED`` are four redundant twins retired from the driver registry on
+the round-2 judge's direction (each remains implemented, pytest-covered, and
+checked by the local oracle gate): median_by_group (exact-percentile
+semantics already gated by kpi_anomalies_mad + feature_quantile_bins),
+dedup_minhash_verified (superseded by the single-pass
+dedup_minhash_verified_counts), events_hourly_rollup and
+events_sessionization (batch twins of the hash-identical
+streaming_hourly_rollup / streaming_session_rollup gates).
 """
 
 from __future__ import annotations
@@ -62,7 +71,7 @@ from payroll_etl_fastapi_spark.plans import suite_bucketing  # noqa: E402,F401
 
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
-    # reference SURVEY.md §2 core (KPI plans + ingest/upsert/topk/scalar gates)
+    # reference SURVEY.md §2 core (KPI plans + ingest/upsert/scalar gates)
     "kpi_summary_month",
     "kpi_rollup_by_nation",
     "kpi_delta_months",
@@ -72,85 +81,85 @@ _WINDOW: tuple[str, ...] = (
     "dedupe_keep_first",
     "upsert_composite_key",
     "insert_if_absent",
-    "topk_orders",
     "events_json_extract",
-    # relational breadth (TPC-H shapes, join/window/set-op flagships)
+    # relational breadth (joins, per-group top-K, OLAP grouping, scalar fns)
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
     "join_semi_urgent_customers",
-    "join_anti_no_urgent_customers",
-    "window_customer_running_totals",
-    "set_ops_nation_coverage",
     "scalar_subquery_above_brand_avg",
     "topk_per_group_orders",
-    "pivot_segment_balances",
-    # dedup family
-    "dedup_exact",
+    "similarity_edit_distance",
+    "cube_priority_status",
+    "grouping_sets_nation_segment",
+    # dedup family (scale-safe shapes: LSH-verify, counts path, components)
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_minhash_verified_counts",
     "dedup_connected_components",
     # similarity / ANN family
-    "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_kmeans_topk",
-    "dedup_embedding_cosine",
-    # text / search / corpus flagships
-    "text_language_id",
-    "search_bm25_topk",
-    "corpus_contamination",
-    "corpus_passage_scrub",
-    # streaming flagships
-    "streaming_hourly_rollup",
-    "streaming_session_rollup",
-    "streaming_dedup",
-    # as-of / range join
-    "events_asof_join",
-    "events_range_join",
-    # OLAP flagship
-    "rollup_returnflag_status",
-    # CDC family
-    "cdc_apply_orders",
-    "scd2_customer_segments",
-    "rollup_incremental_merge",
-    # profiling / binning / layout / maintenance / transactional storage
-    "profile_customer_columns",
-    "feature_quantile_bins",
-    "zorder_values",
-    "compaction_stats",
-    "txtable_acid_ops",
-    # multimodal + end-to-end pipeline flagships
-    "multimodal_features",
-    "pipeline_training_data",
-)
-
-# Registered past the driver's window; every one of these has a green
-# rows+schema+hash row in CORRECTNESS_r02.json and stays in the local gate.
-_SECONDARY: tuple[str, ...] = (
-    # moved out of the window for the txtable_acid_ops gate (round 3): the
-    # relational family keeps 6 in-window flagships; edit distance is its
-    # scalar-function extra
-    "similarity_edit_distance",
     "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    # text analysis family
     "text_quality_stats",
     "text_token_stats",
-    "vocab_top_tokens",
     "text_fingerprint",
     "text_repetition_stats",
     "text_scrub_stats",
-    "events_sliding_window",
-    "streaming_hourly_filesink",
-    "cube_priority_status",
-    "grouping_sets_nation_segment",
+    "vocab_top_tokens",
+    # search / corpus prep
+    "search_bm25_topk",
+    "corpus_contamination",
     "corpus_train_val_test",
     "corpus_pack_sequences",
     "corpus_sample_stratified",
     "corpus_distinctive_terms",
-    "multimodal_binary_stats",
+    # streaming (incremental rollup + both exactly-once file sinks)
+    "streaming_hourly_rollup",
+    "streaming_hourly_filesink",
+    "streaming_session_filesink",
+    # windows / as-of
+    "events_sliding_window",
+    "events_asof_join",
+    # OLAP flagship
+    "rollup_returnflag_status",
+    # CDC flagship
+    "cdc_apply_orders",
+    # transactional storage / quality / skew / bucketing
+    "txtable_acid_ops",
     "quality_constraint_audit",
     "skew_salted_rollup",
     "bucketed_join_rollup",
+    # multimodal + end-to-end pipeline flagships
+    "multimodal_binary_stats",
+    "multimodal_features",
+    "pipeline_training_data",
+)
+
+# Registered past the driver's window (round-4 rotation): every one of these
+# holds a green rows+schema+hash row in CORRECTNESS_r03.json and stays in the
+# local oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
+_SECONDARY: tuple[str, ...] = (
+    "topk_orders",
+    "tpch_q5_local_supplier_volume",
+    "join_anti_no_urgent_customers",
+    "window_customer_running_totals",
+    "set_ops_nation_coverage",
+    "pivot_segment_balances",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_language_id",
+    "corpus_passage_scrub",
+    "streaming_session_rollup",
+    "streaming_dedup",
+    "events_range_join",
+    "scd2_customer_segments",
+    "rollup_incremental_merge",
+    "profile_customer_columns",
+    "feature_quantile_bins",
+    "zorder_values",
+    "compaction_stats",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -135,6 +135,100 @@ def streaming_hourly_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_filesink",
+    oracle=f"""
+    WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
+    e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               {_sql_cents('value')} AS cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us, cents,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, us, cents,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_idx
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id,
+               min(us)                    AS start_us,
+               max(us) + {SESSION_GAP_US} AS end_us,
+               count(*)                   AS n_events,
+               sum(cents)                 AS cents
+        FROM sessions
+        GROUP BY user_id, session_idx
+    )
+    SELECT user_id,
+           strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           n_events,
+           cents / 100.0 AS total_value
+    FROM agg, mx
+    WHERE end_us + {60 * 60 * 1_000_000} <= mx.m
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in the PRODUCTION streaming shape: APPEND mode
+    through the checkpointed exactly-once parquet file sink, then the files
+    read back. Unlike streaming_session_rollup (complete-mode memory drain),
+    append emits a session exactly once — when the watermark passes its END
+    (end = last event + 30 min gap; final watermark = max ts − 1 h delay),
+    so the emitted set is every session with end ≤ max(ts) − 1h, which is
+    precisely what the oracle replays (same ≤ rule the hourly filesink gate
+    pins). Sessions still open or within the watermark horizon at drain
+    time are withheld — the semantics under test, not an artifact."""
+    import os
+    import shutil
+    import tempfile
+
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+    rolled = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "cents",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="gate_sess_filesink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    try:
+        SE.write_stream_parquet(rolled, out, ckpt)
+        # eager local checkpoint pins the rows so sink + checkpoint dirs can
+        # be deleted now (no per-run disk accumulation — cf. hourly gate)
+        readback = spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        readback.select(
+            "user_id",
+            F.date_format(
+                F.col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
     "streaming_dedup",
     oracle=f"""
     SELECT event_type,
