@@ -362,12 +362,20 @@ def embedding_near_dup_pairs(
     )
     # norm is precomputed per ROW, not per candidate pair — the value is
     # bit-identical (same fold, same sqrt), it just runs |corpus| times
-    # instead of |candidates| times
+    # instead of |candidates| times. The lazy checkpoint matters: BOTH
+    # re-attach joins consume this frame, and without it each join re-scans
+    # the source (and re-runs whatever built it — the gate's mutated-copy
+    # transform runs over every 64-float array per consumer). Interleaved
+    # A/B at sf0.1 (round 4, fresh-cache runs): uncheckpointed 9.7/9.9 s
+    # cold · 3.4-4.1 s warm vs checkpointed 4.1 s cold · 3.2-3.5 s warm —
+    # this was the real cause of the r2→r3 bench drift (4.88→5.87 s), not
+    # the bare-ids band join itself, which stays (narrow rows through the
+    # band exchange is the 100 TB shape).
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
-    )
+    ).localCheckpoint(eager=False)
     scored = cand.join(
         vecs.select(
             F.col("id").alias("id_a"),
