@@ -113,15 +113,14 @@ _WINDOW: tuple[str, ...] = (
     "corpus_pack_sequences",
     "corpus_sample_stratified",
     "corpus_distinctive_terms",
-    # streaming (incremental rollup + both exactly-once file sinks)
-    "streaming_hourly_rollup",
+    # streaming (exactly-once file sinks, stream-stream join, CDC merge)
     "streaming_hourly_filesink",
     "streaming_session_filesink",
+    "streaming_stream_join",
+    "streaming_cdc_txtable",
     # windows / as-of
     "events_sliding_window",
     "events_asof_join",
-    # OLAP flagship
-    "rollup_returnflag_status",
     # CDC flagship
     "cdc_apply_orders",
     # transactional storage / quality / skew / bucketing
@@ -139,6 +138,12 @@ _WINDOW: tuple[str, ...] = (
 # holds a green rows+schema+hash row in CORRECTNESS_r03.json and stays in the
 # local oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
 _SECONDARY: tuple[str, ...] = (
+    # r1-r3 driver-green flagships that ceded their round-4 slots to the
+    # two NEW streaming gates (stream-stream join, CDC merge): the hourly
+    # rollup's stronger filesink twin stays in-window, and OLAP keeps
+    # cube + grouping-sets
+    "streaming_hourly_rollup",
+    "rollup_returnflag_status",
     "topk_orders",
     "tpch_q5_local_supplier_volume",
     "join_anti_no_urgent_customers",

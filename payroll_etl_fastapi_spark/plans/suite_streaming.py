@@ -273,6 +273,167 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_join",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               {_sql_cents('value')} AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, event_id AS view_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+        SELECT p.user_id, p.purchase_id, v.view_id, p.cents
+        FROM p JOIN v ON p.user_id = v.user_id
+         AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+         AND v.view_ts <= p.purchase_ts
+    )
+    SELECT user_id,
+           count(*)                    AS n_attributions,
+           count(DISTINCT purchase_id) AS n_purchases,
+           CAST(sum(cents) AS BIGINT)  AS attributed_cents
+    FROM j
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — purchase attribution: each purchase
+    joins every view by the same user in the preceding hour, both sides
+    incremental streams over the events source (a watermarked self-join,
+    the ad-attribution shape). The time-range condition plus both
+    watermarks bound the join state: a view's row is evicted once the
+    watermark passes view_ts + 1h, so state holds one hour of views per
+    user, not the stream's history. Drained append-mode; the rollup over
+    the drained pairs is a batch query (single-stateful-operator graph).
+    The oracle replays the identical interval join in batch SQL — inner
+    joins emit every matching pair, so the drained set is exactly the
+    batch answer."""
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            _cents(F.col("value")).alias("cents"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND "
+            "view_ts >= purchase_ts - INTERVAL 1 HOUR AND "
+            "view_ts <= purchase_ts"
+        ),
+    )
+    name = f"t_gate_ssjoin_{next(_counter)}"
+    SE.run_available_now(joined, name, "append")
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributions"),
+            F.count_distinct(F.col("purchase_id")).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_cdc_txtable",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_id, user_id, {_sql_cents('value')} AS cents FROM events
+    ),
+    -- initial table = even event_ids; the stream MERGEs every event with
+    -- cents+5: matched evens update (or delete when user_id%17=0),
+    -- unmatched odds insert
+    final AS (
+        SELECT event_id, user_id, cents + 5 AS cents
+        FROM src
+        WHERE NOT (event_id % 2 = 0 AND user_id % 17 = 0)
+    )
+    SELECT count(*)                     AS n_rows,
+           CAST(sum(cents) AS BIGINT)   AS sum_cents,
+           count(DISTINCT user_id)      AS n_users
+    FROM final
+    """,
+)
+def streaming_cdc_txtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply into the transactional table: an update stream
+    MERGEd into a TxTable micro-batch by micro-batch
+    (sources/txtable.merge_stream_txtable) — update matched, insert
+    unmatched, delete matched where user_id%17=0 — with the epoch id
+    riding in each merge commit's manifest for exactly-once application
+    under at-least-once delivery. This is the reference's ON CONFLICT DO
+    UPDATE load (/root/reference/src/etl.py:36-77) as a stream, landing on
+    the ACID storage layer instead of Postgres. The gate reads the FINAL
+    table state back through its manifest and aggregates; one lost update,
+    double-applied batch, or resurrected deleted row flips the row."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from payroll_etl_fastapi_spark.sources.txtable import (
+        TxTable,
+        merge_stream_txtable,
+    )
+
+    from payroll_etl_fastapi_spark.plans.suite import _t
+
+    initial = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id", _cents(F.col("value")).alias("cents"))
+    )
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10).select(
+        "event_id", "user_id", (_cents(F.col("value")) + 5).alias("cents")
+    )
+    base = tempfile.mkdtemp(prefix="gate_cdc_tx_")
+    try:
+        t = TxTable(spark, os.path.join(base, "t"))
+        t.overwrite(initial)
+        merge_stream_txtable(
+            stream,
+            t,
+            os.path.join(base, "ckpt"),
+            keys=["event_id"],
+            when_matched_delete=F.col("user_id") % 17 == 0,
+        )
+        agg = t.snapshot().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.count_distinct(F.col("user_id")).alias("u"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+            T.StructField("n_users", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame([(agg["n"], agg["s"], agg["u"])], schema)
+
+
+@query(
     "streaming_session_rollup",
     oracle=f"""
     WITH e AS (

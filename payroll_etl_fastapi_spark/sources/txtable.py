@@ -62,7 +62,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TxTable", "TxCatalog", "ConcurrentCommit", "write_stream_txtable"]
+__all__ = [
+    "TxTable",
+    "TxCatalog",
+    "ConcurrentCommit",
+    "write_stream_txtable",
+    "merge_stream_txtable",
+]
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -400,6 +406,7 @@ class TxTable:
         when_matched_delete=None,
         update_matched: bool = True,
         insert_not_matched: bool = True,
+        manifest_extra: dict | None = None,
     ) -> int:
         """Copy-on-write MERGE: update, insert, and delete in ONE atomic
         commit — the three-clause shape ``MERGE INTO t USING s ON keys WHEN
@@ -408,8 +415,10 @@ class TxTable:
 
         Row rules, evaluated per key:
         - target-only rows are kept as-is;
-        - matched rows are DELETED when ``when_matched_delete`` (a Column
-          over the key/target columns) is TRUE, else replaced by the source
+        - matched rows are DELETED when ``when_matched_delete`` — a Column
+          over the TARGET row (keys + current values; it is evaluated on
+          the pre-merge snapshot, so plain column names resolve without
+          target/source ambiguity) — is TRUE, else replaced by the source
           row when ``update_matched`` (UPDATE SET *), else kept;
         - source-only rows are INSERTED when ``insert_not_matched``.
 
@@ -430,6 +439,17 @@ class TxTable:
             if k not in merged_schema.names:
                 raise ValueError(f"merge key {k!r} is not a table column")
         target = self.snapshot(base_version).withColumn("__t", F.lit(True))
+        # the delete predicate binds to the TARGET frame BEFORE the join:
+        # non-key column names would otherwise be t/s-ambiguous afterwards
+        target = target.withColumn(
+            "__del",
+            F.coalesce(
+                when_matched_delete
+                if when_matched_delete is not None
+                else F.lit(False),
+                F.lit(False),
+            ),
+        )
         src = source.withColumn("__s", F.lit(True))
         # join USING the keys: key columns coalesce into single output cols
         joined = target.alias("t").join(src.alias("s"), keys, "full_outer")
@@ -456,15 +476,9 @@ class TxTable:
             out_cols.append(
                 F.when(take_source, s_val).otherwise(t_val).alias(f.name)
             )
-        keep = F.when(
-            matched,
-            ~F.coalesce(
-                when_matched_delete
-                if when_matched_delete is not None
-                else F.lit(False),
-                F.lit(False),
-            ),
-        ).otherwise(F.lit(insert_not_matched) | F.col("__t").isNotNull())
+        keep = F.when(matched, ~F.col("__del")).otherwise(
+            F.lit(insert_not_matched) | F.col("__t").isNotNull()
+        )
         result = joined.filter(keep).select(*out_cols)
         version = base_version + 1
         rel = self._write_data_dir(result, version, head.partition_by)
@@ -474,7 +488,7 @@ class TxTable:
             "merge",
             head.partition_by,
             merged_schema_json,
-            extra={"merge_keys": list(keys)},
+            extra={"merge_keys": list(keys), **(manifest_extra or {})},
         )
         return version
 
@@ -690,6 +704,67 @@ def write_stream_txtable(
         stream_df.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def merge_stream_txtable(
+    stream_df: DataFrame,
+    table: TxTable,
+    checkpoint: str,
+    keys: list[str],
+    when_matched_delete=None,
+) -> None:
+    """Exactly-once streaming CDC apply: drain the currently-available input
+    (availableNow), applying each micro-batch to the TxTable as ONE
+    three-clause MERGE commit (update matched, insert unmatched, optionally
+    delete matched where the predicate holds). The epoch id rides in the
+    merge commit's manifest exactly as in write_stream_txtable, so a
+    crash-replayed batch is recognized as already committed and skipped —
+    upserts land exactly once even though Structured Streaming's delivery
+    is at-least-once. This is the streaming half of the reference's ON
+    CONFLICT ... DO UPDATE load (/root/reference/src/etl.py:36-77): the
+    same merge semantics, fed by a stream instead of one CSV.
+
+    Determinism contract: batches apply in trigger order; a key updated in
+    two different micro-batches takes the later batch's value (CDC apply
+    order), and a key appearing twice in ONE batch must be pre-reduced by
+    the caller (e.g. latest-per-key) — merge joins the batch as-is.
+
+    Scale shape: one COW rewrite per micro-batch (full-outer key join), so
+    size triggers for throughput (maxFilesPerTrigger) and compact history
+    with optimize(); an append-heavy workload belongs in
+    write_stream_txtable instead."""
+    if not table.exists():
+        raise FileNotFoundError(
+            f"merge_stream_txtable needs an existing table at {table.root}; "
+            "overwrite() an initial snapshot first"
+        )
+    seen_epochs: set[str] = set()
+    for v in table._versions():
+        with open(os.path.join(table._tx, f"v{v}.json")) as fh:
+            key = json.load(fh).get("epoch_key")
+        if key:
+            seen_epochs.add(key)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
+        if epoch_key in seen_epochs:
+            return  # replayed batch: already merged
+        table.merge(
+            batch_df,
+            keys,
+            when_matched_delete=when_matched_delete,
+            manifest_extra={"epoch_key": epoch_key},
+        )
+        seen_epochs.add(epoch_key)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

@@ -519,3 +519,59 @@ def test_cas_publish_manifest_bytes_are_durable(tmp_path, monkeypatch):
     monkeypatch.setattr(tx.os, "fsync", lambda fd: (synced.append(fd), real_fsync(fd))[1])
     tx._cas_publish(str(tmp_path / "_tx"), 1, {"data_dirs": []}, "t")
     assert len(synced) == 2  # file bytes + directory entry
+
+
+def test_merge_stream_exactly_once_and_replay(spark, tmp_path):
+    """Streaming CDC apply: each micro-batch lands as ONE merge commit;
+    re-draining the same checkpoint commits nothing; a crash-replay (wiped
+    streaming commit log) is swallowed by the epoch keys in the manifests."""
+    import shutil
+
+    from payroll_etl_fastapi_spark.sources.txtable import merge_stream_txtable
+
+    src = str(tmp_path / "src")
+    # two batches of upserts: ids 0-9 (update evens table), 10-19 (inserts)
+    spark.range(0, 10).selectExpr("id", "id * 10 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.range(10, 20).selectExpr("id", "id * 10 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(0, 10).filter("id % 2 = 0").selectExpr("id", "id AS v")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    merge_stream_txtable(
+        stream, t, ckpt, keys=["id"], when_matched_delete=F.col("id") == 4
+    )
+    got = {r.id: r.v for r in t.snapshot().collect()}
+    # evens 0-8 updated to id*10 except 4 deleted; odds + 10-19 inserted
+    exp = {i: i * 10 for i in range(20) if i != 4}
+    assert got == exp
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["overwrite", "merge", "merge"]
+    v_final = t.latest_version()
+    # idempotent re-drain: no new input, no new commits
+    merge_stream_txtable(stream, t, ckpt, keys=["id"])
+    assert t.latest_version() == v_final
+    # crash-replay: wipe the engine's commit log; every batch replays and
+    # every one must be recognized as already merged
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    merge_stream_txtable(
+        stream, t, ckpt, keys=["id"], when_matched_delete=F.col("id") == 4
+    )
+    assert t.latest_version() == v_final
+    assert {r.id: r.v for r in t.snapshot().collect()} == exp
+    # a fresh checkpoint is a DIFFERENT query: it must re-apply rather than
+    # be deduped against the first query's epochs — and re-applying history
+    # to the mutated table RESURRECTS the deleted id=4 (it is unmatched now,
+    # so the insert clause fires): exactly why the idempotence key includes
+    # the checkpoint identity and replay protection never crosses queries
+    merge_stream_txtable(stream, t, str(tmp_path / "ckpt2"), keys=["id"])
+    assert {r.id: r.v for r in t.snapshot().collect()} == {**exp, 4: 40}
