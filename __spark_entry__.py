@@ -165,6 +165,9 @@ _SECONDARY: tuple[str, ...] = (
     "feature_quantile_bins",
     "zorder_values",
     "compaction_stats",
+    # NEW in round 4 (post-rotation): locally oracle-verified; round-5
+    # window-rotation candidate
+    "text_lm_score",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -218,3 +218,57 @@ def repetition_metrics(text: Column) -> dict[str, Column]:
         "g3_distinct": F.size(F.array_distinct(g3)).cast("long"),
         "top2_count": max_multiplicity(g2),
     }
+
+
+def unigram_lm_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    snap_micros: bool = False,
+):
+    """Per-document negative log-likelihood under the corpus's own unigram
+    language model with add-alpha smoothing — the classic LM-based quality
+    signal (CCNet/RedPajama-style filtering, reduced to the unigram case so
+    it is exactly SQL-replayable): documents full of rare or garbage tokens
+    score HIGH (surprising), plain prose scores LOW.
+
+    Output: (id, n_tokens, avg_neg_log_prob) — one row per document with at
+    least one token; p(tok) = (count(tok) + α) / (N + α·V) over the whole
+    corpus (N = total tokens, V = vocabulary size).
+
+    Plan shape (100 TB): one explode pass over the corpus; ONE token-keyed
+    aggregate builds the vocabulary; N and V ride in as a broadcast 1-row
+    cross join (never a driver collect); the token→count attach is a plain
+    shuffle join on the token key — the vocab side is 1 row per token so
+    there is no row amplification, and hot-token partitions are AQE
+    skew-split. No Python anywhere.
+
+    ``snap_micros=True`` snaps each token's neg-log-p to integer
+    microunits BEFORE the per-doc sum (the suite's determinism convention:
+    cross-row double sums are order-dependent; integer sums are not), then
+    derives the average with fixed op order — the oracle-replayable mode."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    neg_log_p = -F.log(
+        (F.col("cnt") + F.lit(alpha)) / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+    )
+    joined = toks.join(vocab, "tok").crossJoin(F.broadcast(totals))
+    if snap_micros:
+        per_tok = F.floor(neg_log_p * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return joined.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(per_tok) / F.count(F.lit(1)) / F.lit(1e6)
+            ).alias("avg_neg_log_prob"),
+        )
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(neg_log_p).alias("avg_neg_log_prob"),
+    )

@@ -402,3 +402,59 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SQL_NORM_TEXT = _SQL_NORM.format(col="text")
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(string_split({_SQL_NORM_TEXT}, ' ')) AS tok
+        FROM documents
+        WHERE {_SQL_NORM_TEXT} <> ''
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (
+        SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+               CAST(count(*) AS DOUBLE) AS v_size
+        FROM vocab
+    ),
+    per AS (
+        SELECT id,
+               CAST(floor(-ln((cnt + 1.0) / (n_total + 1.0 * v_size))
+                          * 1000000 + 0.5) AS BIGINT) AS nlp_u
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    )
+    SELECT id AS doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(nlp_u) AS BIGINT) / count(*) / 1000000.0, 6)
+               AS avg_neg_log_prob
+    FROM per
+    GROUP BY id
+    ORDER BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (operators.text.unigram_lm_scores,
+    snap_micros mode): per-document average negative log-probability under
+    the corpus's own add-one-smoothed unigram model — the LM-based quality
+    filter signal (rare/garbage tokens score high, common prose low). The
+    per-token scores are snapped to integer microunits before the per-doc
+    sum, so aggregation order cannot perturb the result and DuckDB replays
+    it exactly. NEW in round 4 (registered past the driver window;
+    locally oracle-verified at sf0.01 + sf0.1, round-5 rotation
+    candidate)."""
+    from payroll_etl_fastapi_spark.plans.suite import _r6
+
+    docs = _t(spark, sf_dir, "documents")
+    out = T.unigram_lm_scores(docs, "text", "doc_id", alpha=1.0, snap_micros=True)
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            _r6(F.col("avg_neg_log_prob")).alias("avg_neg_log_prob"),
+        )
+        .orderBy("doc_id")
+    )
