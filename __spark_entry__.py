@@ -166,8 +166,9 @@ _SECONDARY: tuple[str, ...] = (
     "zorder_values",
     "compaction_stats",
     # NEW in round 4 (post-rotation): locally oracle-verified; round-5
-    # window-rotation candidate
+    # window-rotation candidates
     "text_lm_score",
+    "embedding_dim_stats",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

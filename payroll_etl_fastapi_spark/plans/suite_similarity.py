@@ -393,3 +393,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    ),
+    snapped AS (
+        SELECT dim, v, CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS vu FROM e
+    )
+    SELECT dim,
+           count(*)                                   AS n,
+           CAST(sum(vu) AS BIGINT)                    AS sum_micros,
+           CAST(sum(vu * vu) AS BIGINT)               AS sumsq_micros2,
+           min(v)                                     AS min_v,
+           max(v)                                     AS max_v
+    FROM snapped
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (operators.embedding.
+    dim_stats): integer-snapped exact sums and sums of squares plus raw
+    min/max per dimension — dead-dimension / scale-drift / clipping
+    detection, and the building block the PCA covariance pass
+    (operators/embedding.covariance_stats, numpy-verified in
+    tests/test_embedding_pca.py) generalizes to d×d. One posexplode + one
+    64-group map-side-combined aggregate. NEW in round 4 (registered past
+    the driver window; locally oracle-verified, round-5 rotation
+    candidate)."""
+    from payroll_etl_fastapi_spark.operators import embedding as E
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return E.dim_stats(emb, "embedding", "vec_id").orderBy("dim")
