@@ -1,12 +1,14 @@
-"""Transactional-table gate query: the full TxTable lifecycle — overwrite,
-append, copy-on-write upsert, time travel — run for real every round and
-checksummed against a DuckDB oracle that replays the same three logical
-states from the source table.
+"""Transactional-table gate query: the full TxTable DML lifecycle —
+overwrite, append, copy-on-write upsert, DELETE, UPDATE, and a
+three-clause MERGE — run for real every round and checksummed against a
+DuckDB oracle that replays the same six logical states from the source
+table.
 
 The reference gets atomicity from Postgres (one transaction wraps the whole
-load, /root/reference/src/etl.py:15); sources/txtable.py supplies it on
-files. This gate makes the commit protocol driver-verified: losing a row in
-the upsert rewrite, double-reading after a partial commit, or time-travel
+load, /root/reference/src/etl.py:15) and its DML from ON CONFLICT ... DO
+UPDATE (/root/reference/src/etl.py:36-77); sources/txtable.py supplies both
+on files. This gate makes the commit protocol driver-verified: losing a row
+in any rewrite, double-reading after a partial commit, or time-travel
 resolving the wrong manifest all flip the correctness row.
 """
 
@@ -42,28 +44,53 @@ from payroll_etl_fastapi_spark.sources.txtable import TxTable
                CASE WHEN l_orderkey % 10 = 0 THEN price_cents * 2
                     ELSE price_cents END AS price_cents
         FROM v2
+    ),
+    -- DELETE WHERE l_orderkey % 3 = 2
+    v4 AS (SELECT * FROM v3 WHERE NOT (l_orderkey % 3 = 2)),
+    -- UPDATE SET price_cents = price_cents + 7 WHERE l_orderkey % 7 = 0
+    v5 AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey % 7 = 0 THEN price_cents + 7
+                    ELSE price_cents END AS price_cents
+        FROM v4
+    ),
+    -- MERGE: source = (v5 rows with %11=0, price+100) ∪ (li rows with %5=2);
+    -- matched+%13=0 deleted, matched updated to source, unmatched inserted
+    v6 AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey % 11 = 0 THEN price_cents + 100
+                    ELSE price_cents END AS price_cents
+        FROM v5
+        WHERE NOT (l_orderkey % 11 = 0 AND l_orderkey % 13 = 0)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, price_cents FROM li
+        WHERE l_orderkey % 5 = 2
     )
     SELECT 1 AS version, count(*) AS n_rows,
            CAST(sum(price_cents) AS BIGINT) AS sum_price_cents FROM a
-    UNION ALL
-    SELECT 2, count(*), CAST(sum(price_cents) AS BIGINT) FROM v2
-    UNION ALL
-    SELECT 3, count(*), CAST(sum(price_cents) AS BIGINT) FROM v3
+    UNION ALL SELECT 2, count(*), CAST(sum(price_cents) AS BIGINT) FROM v2
+    UNION ALL SELECT 3, count(*), CAST(sum(price_cents) AS BIGINT) FROM v3
+    UNION ALL SELECT 4, count(*), CAST(sum(price_cents) AS BIGINT) FROM v4
+    UNION ALL SELECT 5, count(*), CAST(sum(price_cents) AS BIGINT) FROM v5
+    UNION ALL SELECT 6, count(*), CAST(sum(price_cents) AS BIGINT) FROM v6
     ORDER BY version
     """,
 )
 def txtable_acid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run overwrite → append → upsert on a TxTable and report
-    (version, n_rows, sum_price_cents) for all three versions via TIME
-    TRAVEL after the fact — versions 1 and 2 are read back through their
-    manifests after version 3 exists, so the row only matches if old
-    snapshots stay intact under later commits and the upsert rewrote
-    exactly the doubled keys.
+    """Run overwrite → append → upsert → DELETE → UPDATE → MERGE on a
+    TxTable and report (version, n_rows, sum_price_cents) for all SIX
+    versions via TIME TRAVEL after the fact — every older version is read
+    back through its manifest after version 6 exists, so the row only
+    matches if old snapshots stay intact under later commits, the upsert
+    rewrote exactly the doubled keys, DELETE/UPDATE touched exactly the
+    predicate rows, and the MERGE applied its delete/update/insert clauses
+    in one commit.
 
     Scale shape: every read is one multi-path parquet FileScan over the
     manifest's directory list (pushdown/pruning intact); commits are one
     new data directory + one O(#dirs) driver-side JSON swap — no Spark job
-    touches the log. See sources/txtable.py."""
+    touches the log. The MERGE is one full-outer key join + one rewrite,
+    the Delta/Iceberg COW plan shape. See sources/txtable.py."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey", "l_linenumber")
@@ -80,8 +107,24 @@ def txtable_acid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("price_cents", F.col("price_cents") * 2)
         )
         t.upsert(doubled, ["l_orderkey", "l_linenumber"])
+        t.delete(F.col("l_orderkey") % 3 == 2)
+        t.update(
+            F.col("l_orderkey") % 7 == 0,
+            {"price_cents": F.col("price_cents") + 7},
+        )
+        merge_src = (
+            t.snapshot()
+            .filter(F.col("l_orderkey") % 11 == 0)
+            .withColumn("price_cents", F.col("price_cents") + 100)
+            .unionByName(li.filter(F.col("l_orderkey") % 5 == 2))
+        )
+        t.merge(
+            merge_src,
+            ["l_orderkey", "l_linenumber"],
+            when_matched_delete=F.col("l_orderkey") % 13 == 0,
+        )
         rows = []
-        for v in (1, 2, 3):
+        for v in (1, 2, 3, 4, 5, 6):
             agg = (
                 t.snapshot(version=v)
                 .agg(
