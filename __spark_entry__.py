@@ -169,6 +169,7 @@ _SECONDARY: tuple[str, ...] = (
     # window-rotation candidates
     "text_lm_score",
     "embedding_dim_stats",
+    "sketch_cms_token_counts",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -458,3 +458,70 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sketch_cms_token_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_SQL_NORM_TEXT}, ' ')) AS tok
+        FROM documents
+        WHERE {_SQL_NORM_TEXT} <> ''
+    ),
+    vocab AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+    top AS (
+        SELECT tok, exact_cnt FROM vocab ORDER BY exact_cnt DESC, tok LIMIT 20
+    ),
+    rows AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+        SELECT rows.row,
+               CAST(('0x' || substr(md5('cms' || CAST(rows.row AS VARCHAR)
+                    || ':' || tok), 1, 7)) AS BIGINT) % 1024 AS bucket
+        FROM toks, rows
+    ),
+    sketch AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY row, bucket),
+    probe AS (
+        SELECT top.tok, top.exact_cnt, rows.row,
+               CAST(('0x' || substr(md5('cms' || CAST(rows.row AS VARCHAR)
+                    || ':' || top.tok), 1, 7)) AS BIGINT) % 1024 AS bucket
+        FROM top, rows
+    )
+    SELECT probe.tok AS token,
+           CAST(max(probe.exact_cnt) AS BIGINT) AS exact_cnt,
+           CAST(min(coalesce(sketch.cnt, 0)) AS BIGINT) AS cms_count
+    FROM probe LEFT JOIN sketch USING (row, bucket)
+    GROUP BY probe.tok
+    ORDER BY exact_cnt DESC, token
+    """,
+)
+def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators.sketch): build a
+    4×1024 md5-salted CMS over every token occurrence, then estimate the
+    exact top-20 tokens' counts from the sketch alone — (token, exact_cnt,
+    cms_count) with cms_count ≥ exact_cnt by construction. The oracle
+    replays the SKETCH itself bit-for-bit (same salted hashes, same
+    min-bucket estimate), not just the exact counts — a bucket-assignment
+    or merge bug flips the row. The sketch is ≤ depth·width rows total
+    regardless of corpus size and merges bucket-wise (operators.sketch.
+    cms_merge) — the distributed/streaming heavy-hitters shape. NEW in
+    round 4 (past the driver window; locally oracle-verified, round-5
+    rotation candidate)."""
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = vocab.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(20)
+    cms = SK.cms_build(toks, "tok")
+    est = SK.cms_estimate(cms, top, "tok")
+    return (
+        top.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            F.col("exact_cnt"),
+            F.col("cms_count"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
