@@ -310,8 +310,15 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drained pairs is a batch query (single-stateful-operator graph).
     The oracle replays the identical interval join in batch SQL — inner
     joins emit every matching pair, so the drained set is exactly the
-    batch answer."""
-    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+    batch answer.
+
+    max_files_per_trigger is deliberately large here: the gate's oracle is
+    the COMPLETE inner join, and if a future testdata generator ships
+    events as many files, a multi-batch drain could evict view state
+    between batches and drop cross-batch matches — correct streaming
+    semantics, but not what this gate pins (the eviction semantics have
+    their own test, tests/test_streaming_watermark.py)."""
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=1000)
     purchases = (
         stream.filter(F.col("event_type") == "purchase")
         .select(

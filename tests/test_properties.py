@@ -165,3 +165,49 @@ def test_merge_agg_states_equals_direct(spark, data, n_splits):
     )
     as_map = lambda d: {r.g: (r.s, r.mn, r.mx) for r in d.collect()}  # noqa: E731
     assert as_map(merged) == as_map(direct)
+
+
+@given(rows, rows)
+@settings(**SETTINGS)
+def test_txtable_merge_properties(spark, base_rows, src_rows):
+    """MERGE == the pure-Python three-clause model: matched rows with
+    target v%3==0 delete, other matched rows take the source value,
+    source-only keys insert, target-only keys survive untouched — and the
+    pre-merge version stays time-travel-readable."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    base = spark.createDataFrame(base_rows, "k int, v int").dropDuplicates(["k"])
+    src = spark.createDataFrame(src_rows, "k int, v int").dropDuplicates(["k"])
+    b = {r.k: r.v for r in base.collect()}
+    s = {r.k: r.v for r in src.collect()}
+    if not b:
+        return  # merge requires an existing table; empty-base is append's job
+    scratch = tempfile.mkdtemp(prefix="merge_prop_")
+    try:
+        t = TxTable(spark, scratch + "/t")
+        t.overwrite(base)
+        t.merge(
+            src, ["k"],
+            when_matched_delete=F.coalesce(F.col("v") % 3 == 0, F.lit(False)),
+        )
+        got = {r.k: r.v for r in t.snapshot().collect()}
+        expect = {}
+        for k, v in b.items():
+            if k in s:
+                if v is not None and v % 3 == 0:
+                    continue  # matched + delete predicate on TARGET value
+                expect[k] = s[k]
+            else:
+                expect[k] = v
+        for k, v in s.items():
+            if k not in b:
+                expect[k] = v
+        assert got == expect
+        assert {r.k: r.v for r in t.snapshot(version=1).collect()} == b
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
