@@ -170,6 +170,7 @@ _SECONDARY: tuple[str, ...] = (
     "text_lm_score",
     "embedding_dim_stats",
     "sketch_cms_token_counts",
+    "ann_pq_adc_topk",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

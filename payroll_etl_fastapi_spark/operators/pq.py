@@ -1,0 +1,239 @@
+"""Product quantization (PQ): compress embeddings to a few bytes per vector
+and search them without decompression — the FAISS IVF-PQ storage/search
+format that makes billion-vector ANN affordable. Each vector splits into
+``m`` sub-blocks; each block quantizes to its nearest of ``k`` per-block
+centroids, so a 64-float vector becomes ``m`` small codes. Asymmetric
+distance computation (ADC) scores a query against CODES only: per query a
+(block, code) → distance TABLE of m·k entries, and a vector's distance is
+the sum of its m table lookups.
+
+Determinism contract (the gate's SQL oracle replays every step):
+
+- distances are pure fixed-order *,-,+ chains over doubles — IEEE-exact in
+  any engine, no transcendentals;
+- encode argmin breaks ties toward the smaller code via struct-min;
+- ADC table entries are snapped to integer micros BEFORE the per-vector
+  sum (4 integers sum exactly; 4 doubles would be order-sensitive), and
+  ranking orders by (micros, id) — fully integer-deterministic.
+
+Scale shape (100 TB of vectors):
+
+- `pq_encode` is a pure projection (m·k fixed-order distance expressions
+  inside one WholeStageCodegen stage) — no shuffle, no Python;
+- `pq_adc_topk` joins the exploded codes against a BROADCAST per-query
+  table (|queries|·m·k rows — tiny by construction), then one grouped sum
+  and a per-query top-k window: the corpus is scanned once and shuffled
+  only on (query, vector) partial sums. A Pandas-UDF table-lookup variant
+  would trade the join for in-process arrays; this shape keeps the gate
+  JVM-only and oracle-replayable;
+- `pq_train_codebooks` runs the deterministic per-block Lloyd iterations
+  (same snapped-integer-mean convention as the IVF k-means trainer).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PQ_SEED",
+    "pq_codebooks_random",
+    "pq_train_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+]
+
+PQ_SEED = 77
+SNAP = 1 << 20  # trainer mean snap (matches similarity.SNAP convention)
+
+
+def pq_codebooks_random(
+    m: int, k: int, dim: int, seed: int = PQ_SEED
+) -> list[list[list[float]]]:
+    """m blocks × k centroids × (dim/m) values of seeded literals, rounded
+    to 6 decimals so the SQL oracle embeds the EXACT same doubles. A fixed
+    random codebook is the oracle-friendly stand-in for a trained one —
+    the encode/ADC math is identical (cf. ivf_topk's literal centroids vs
+    ann_ivf_kmeans's trained ones)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} blocks")
+    rng = random.Random(seed)
+    dsub = dim // m
+    return [
+        [[round(rng.uniform(-0.5, 0.5), 6) for _ in range(dsub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def _block_dist(vec: Column, off: int, centroid: list[float]) -> Column:
+    """Squared L2 distance of vec[off : off+len] to a literal centroid as a
+    LEFT-ASSOCIATIVE +-chain — the fixed evaluation order both engines
+    share, making the double bit-identical."""
+    out: Column | None = None
+    for i, c in enumerate(centroid):
+        t = F.element_at(vec, off + i + 1).cast("double") - F.lit(float(c))
+        sq = t * t
+        out = sq if out is None else out + sq
+    assert out is not None
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, c0 … c{m-1}): each block's nearest-centroid code (squared-L2
+    argmin, ties to the smaller code via (dist, code) struct-min). Pure
+    projection — the 100 TB path encodes in one scan."""
+    vec = F.col(vec_col)
+    dsub = len(codebooks[0][0])
+    cols = [F.col(id_col).alias("id")]
+    for j, book in enumerate(codebooks):
+        cells = F.array(
+            *[
+                F.struct(
+                    _block_dist(vec, j * dsub, c).alias("d"),
+                    F.lit(ci).alias("i"),
+                )
+                for ci, c in enumerate(book)
+            ]
+        )
+        cols.append(F.array_min(cells).getField("i").alias(f"c{j}"))
+    return df.select(*cols)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_micros, rank): top-k nearest corpus
+    vectors per query by ADC — sum over blocks of the query's snapped
+    distance-table entry for the vector's code. Self-matches excluded, the
+    usual ANN-gate convention."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    melted = codes.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("block"), F.col(f"c{j}").alias("code"))
+                    for j in range(m)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "bc.block", "bc.code")
+    qvec = F.col(vec_col)
+    entries = [
+        F.struct(
+            F.lit(j).alias("block"),
+            F.lit(ci).alias("code"),
+            F.floor(_block_dist(qvec, j * dsub, c) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("du"),
+        )
+        for j, book in enumerate(codebooks)
+        for ci, c in enumerate(book)
+    ]
+    table = (
+        queries.select(F.col(id_col).alias("query_id"), F.explode(F.array(*entries)).alias("e"))
+        .select("query_id", "e.block", "e.code", "e.du")
+    )
+    scored = (
+        melted.join(F.broadcast(table), ["block", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("du").alias("adc_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_micros"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "adc_micros",
+            "rank",
+        )
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-block deterministic Lloyd k-means: init = the k lowest-id
+    vectors' block slices; assignment = the same struct-min argmin encode
+    uses; update = integer-snapped per-dimension means (empty clusters keep
+    their centroid). Each iteration per block is one broadcast-free
+    projection + one (code, dim) grouped aggregate — the driver touches
+    only k·dsub doubles per block."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} blocks")
+    dsub = dim // m
+    vec = F.col(vec_col)
+    init = (
+        df.select(F.col(id_col).alias("id"), vec.alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors to init {k} centroids, got {len(init)}")
+    books: list[list[list[float]]] = [
+        [[float(r.v[j * dsub + d]) for d in range(dsub)] for r in init]
+        for j in range(m)
+    ]
+    for _ in range(n_iters):
+        for j in range(m):
+            book = books[j]
+            cells = F.array(
+                *[
+                    F.struct(
+                        _block_dist(vec, j * dsub, c).alias("d"),
+                        F.lit(ci).alias("i"),
+                    )
+                    for ci, c in enumerate(book)
+                ]
+            )
+            block_vals = F.slice(vec, j * dsub + 1, dsub)
+            stats = (
+                df.select(
+                    F.array_min(cells).getField("i").alias("code"),
+                    F.posexplode(block_vals).alias("pos", "val"),
+                )
+                .groupBy("code", "pos")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * SNAP + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("c"),
+                )
+                .collect()
+            )
+            by_code: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_code.setdefault(int(r.code), {})[int(r.pos)] = (
+                    float(r.s) / int(r.c) / float(SNAP)
+                )
+            books[j] = [
+                [d[p] for p in sorted(d)] if (d := by_code.get(ci)) else old
+                for ci, old in enumerate(book)
+            ]
+    return books

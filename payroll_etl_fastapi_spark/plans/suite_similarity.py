@@ -430,3 +430,106 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return E.dim_stats(emb, "embedding", "vec_id").orderBy("dim")
+
+
+def _pq_oracle(m: int = 4, kc: int = 8, dim: int = DIM, n_q: int = 8, topk: int = 5) -> str:
+    """Full SQL replay of PQ encode + ADC search with the literal seeded
+    codebooks — bit-exact: distances are fixed-order *,-,+ chains (IEEE
+    ops, no transcendentals), table entries snap to integer micros before
+    the 4-term sum, ranking is integer-deterministic."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    books = PQ.pq_codebooks_random(m, kc, dim)
+    dsub = dim // m
+
+    def dist(col: str, j: int, cent: list[float]) -> str:
+        return " + ".join(
+            f"(CAST({col}[{j * dsub + i + 1}] AS DOUBLE) - ({v!r})) * "
+            f"(CAST({col}[{j * dsub + i + 1}] AS DOUBLE) - ({v!r}))"
+            for i, v in enumerate(cent)
+        )
+
+    d_cols = ",\n               ".join(
+        f"{dist('embedding', j, c)} AS d_{j}_{ci}"
+        for j, book in enumerate(books)
+        for ci, c in enumerate(book)
+    )
+    m_cols = ",\n               ".join(
+        "least(" + ", ".join(f"d_{j}_{ci}" for ci in range(kc)) + f") AS m_{j}"
+        for j in range(m)
+    )
+    code_cols = ",\n               ".join(
+        "CASE "
+        + " ".join(f"WHEN d_{j}_{ci} = m_{j} THEN {ci}" for ci in range(kc))
+        + f" END AS c_{j}"
+        for j in range(m)
+    )
+    melt_case = "CASE b.block " + " ".join(
+        f"WHEN {j} THEN c_{j}" for j in range(m)
+    ) + " END"
+    qtab = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id AS query_id, {j} AS block, {ci} AS code, "
+        f"CAST(floor(({dist('embedding', j, c)}) * 1000000 + 0.5) AS BIGINT) AS du "
+        f"FROM q"
+        for j, book in enumerate(books)
+        for ci, c in enumerate(book)
+    )
+    blocks_list = ", ".join(str(j) for j in range(m))
+    return f"""
+    WITH enc_d AS (
+        SELECT vec_id, {d_cols}
+        FROM embeddings
+    ),
+    enc_m AS (
+        SELECT *, {m_cols}
+        FROM enc_d
+    ),
+    enc AS (
+        SELECT vec_id, {code_cols}
+        FROM enc_m
+    ),
+    melted AS (
+        SELECT vec_id AS id, b.block, {melt_case} AS code
+        FROM enc, (SELECT unnest([{blocks_list}]) AS block) b
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_q}),
+    qtab AS (
+{qtab}
+    ),
+    scored AS (
+        SELECT qtab.query_id, melted.id, CAST(sum(qtab.du) AS BIGINT) AS adc_micros
+        FROM melted JOIN qtab ON melted.block = qtab.block AND melted.code = qtab.code
+        WHERE melted.id <> qtab.query_id
+        GROUP BY qtab.query_id, melted.id
+    ),
+    ranked AS (
+        SELECT query_id, id AS neighbor_id, adc_micros,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_micros, id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_micros, rank
+    FROM ranked WHERE rank <= {topk}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_pq_adc_topk", oracle=_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators.pq): encode every corpus
+    vector to 4 codes (8 centroids/block, seeded literal codebooks — the
+    oracle-friendly stand-in for trained ones, same split as ann_ivf_topk
+    vs ann_ivf_kmeans_topk), build each query's (block, code) distance
+    table, and rank neighbors by the micro-snapped table-lookup sum. The
+    oracle replays encode AND search bit-for-bit: distances are fixed-order
+    IEEE chains, so the integer ADC scores must match exactly. The trained
+    per-block k-means path is numpy-verified in tests/test_pq.py. NEW in
+    round 4 (past the driver window; locally oracle-verified, round-5
+    rotation candidate)."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = PQ.pq_codebooks_random(4, 8, DIM)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return PQ.pq_adc_topk(emb, queries, books, k=5).orderBy("query_id", "rank")

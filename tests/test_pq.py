@@ -1,0 +1,81 @@
+"""Tests for operators.pq: encode == numpy argmin, trained codebooks ==
+an exact python replica of the snapped Lloyd steps, and ADC retrieves the
+true nearest cluster on separated data."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import pq as PQ
+
+
+def _frame(spark, X):
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_encode_matches_numpy_argmin(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 8))
+    books = PQ.pq_codebooks_random(m=2, k=4, dim=8, seed=5)
+    out = {r.id: (r.c0, r.c1) for r in PQ.pq_encode(_frame(spark, X), books).collect()}
+    for i in range(60):
+        for j, book in enumerate(books):
+            block = X[i, j * 4 : (j + 1) * 4]
+            dists = [float(np.sum((block - np.array(c)) ** 2)) for c in book]
+            exp = int(np.argmin(dists))  # numpy argmin = first min = small code
+            assert out[i][j] == exp, (i, j)
+
+
+def test_trained_codebooks_match_python_replica(spark):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 8))
+    df = _frame(spark, X)
+    got = PQ.pq_train_codebooks(df, m=2, k=3, dim=8, n_iters=2)
+
+    books = [[list(X[r, j * 4 : (j + 1) * 4]) for r in range(3)] for j in range(2)]
+    for _ in range(2):
+        for j in range(2):
+            block = X[:, j * 4 : (j + 1) * 4]
+            codes = []
+            for row in block:
+                dists = [sum((row[d] - c[d]) ** 2 for d in range(4)) for c in books[j]]
+                codes.append(dists.index(min(dists)))
+            new = []
+            for ci in range(3):
+                members = [r for r, c in enumerate(codes) if c == ci]
+                if not members:
+                    new.append(books[j][ci])
+                    continue
+                cent = []
+                for d in range(4):
+                    s = sum(
+                        math.floor(block[r, d] * PQ.SNAP + 0.5) for r in members
+                    )
+                    cent.append(float(s) / len(members) / float(PQ.SNAP))
+                new.append(cent)
+            books[j] = new
+    for j in range(2):
+        for ci in range(3):
+            assert got[j][ci] == pytest.approx(books[j][ci], abs=0), (j, ci)
+
+
+def test_adc_finds_the_true_cluster(spark):
+    # three well-separated clusters; ADC top-1 for a query must come from
+    # the query's own cluster
+    rng = np.random.default_rng(21)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [0.0] * 8])
+    X = np.vstack([c + rng.normal(scale=0.1, size=(20, 8)) for c in centers])
+    df = _frame(spark, X)
+    books = PQ.pq_train_codebooks(df, m=2, k=4, dim=8, n_iters=2)
+    queries = df.filter(F.col("vec_id").isin(0, 20, 40))
+    out = PQ.pq_adc_topk(df, queries, books, k=3).collect()
+    for r in out:
+        assert r.neighbor_id // 20 == r.query_id // 20, (
+            r.query_id,
+            r.neighbor_id,
+        )
