@@ -16,11 +16,14 @@ the identical local gate). ``_WINDOW`` below is the hand-picked first-50.
 ROUND-4 ROTATION (VERDICT r3 #1): the 20 round-3 ``_SECONDARY`` queries —
 including the three round-3 gates (`quality_constraint_audit`,
 `skew_salted_rollup`, `bucketed_join_rollup`) that had never earned a driver
-row — rotate INTO the window, plus the new `streaming_session_filesink`
-gate; 21 stable near-twins rotate out to ``_SECONDARY``, every one holding a
-green rows+schema+hash row in CORRECTNESS_r03.json (they stay registered and
-locally gated by tools/check_oracle.py). After this round every registered
-query has at least one historical driver-green correctness row. The window
+row — rotate INTO the window, along with the SEVEN gates built new in
+round 4 (`streaming_session_filesink`, `streaming_stream_join`,
+`streaming_cdc_txtable`, `text_lm_score`, `embedding_dim_stats`,
+`sketch_cms_token_counts`, `ann_pq_adc_topk`); 27 stable near-twins rotate
+out to ``_SECONDARY``, every one holding a green rows+schema+hash row in
+CORRECTNESS_r03.json or earlier (they stay registered and locally gated by
+tools/check_oracle.py). After this round EVERY registered query holds a
+driver-green row from round 4 or earlier — no rotation debt. The window
 still covers every SURVEY.md §2 semantic family: the §2 gates that rotated
 out are those whose semantics remain pinned by an in-window sibling
 (topk_orders → kpi_anomalies_mad's TakeOrderedAndProject + topk_per_group;
@@ -83,22 +86,21 @@ _WINDOW: tuple[str, ...] = (
     "insert_if_absent",
     "events_json_extract",
     # relational breadth (joins, per-group top-K, OLAP grouping, scalar fns)
-    "tpch_q3_shipping_priority",
     "join_semi_urgent_customers",
     "scalar_subquery_above_brand_avg",
     "topk_per_group_orders",
     "similarity_edit_distance",
     "cube_priority_status",
     "grouping_sets_nation_segment",
-    # dedup family (scale-safe shapes: LSH-verify, counts path, components)
+    # dedup family (scale-safe shapes: LSH-verify + counts path)
     "dedup_ngram_jaccard",
     "dedup_minhash_verified_counts",
-    "dedup_connected_components",
-    # similarity / ANN family
+    # similarity / ANN family (LSH, IVF, PQ-ADC, near-dup)
     "ann_lsh_topk",
-    "ann_ivf_kmeans_topk",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
     "dedup_embedding_cosine",
+    "embedding_dim_stats",
     # text analysis family
     "text_quality_stats",
     "text_token_stats",
@@ -106,9 +108,10 @@ _WINDOW: tuple[str, ...] = (
     "text_repetition_stats",
     "text_scrub_stats",
     "vocab_top_tokens",
+    "text_lm_score",
+    "sketch_cms_token_counts",
     # search / corpus prep
     "search_bm25_topk",
-    "corpus_contamination",
     "corpus_train_val_test",
     "corpus_pack_sequences",
     "corpus_sample_stratified",
@@ -139,11 +142,19 @@ _WINDOW: tuple[str, ...] = (
 # local oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
 _SECONDARY: tuple[str, ...] = (
     # r1-r3 driver-green flagships that ceded their round-4 slots to the
-    # two NEW streaming gates (stream-stream join, CDC merge): the hourly
-    # rollup's stronger filesink twin stays in-window, and OLAP keeps
-    # cube + grouping-sets
+    # NEW gates (stream-stream join, CDC merge, LM score, dim stats, CMS,
+    # PQ-ADC): every family keeps in-window representation — hourly rollup
+    # → hourly filesink; OLAP → cube + grouping-sets; TPC-H joins →
+    # semi-join/top-k-per-group/cube; ANN keeps LSH+IVF+PQ (the k-means
+    # trainer twin ann_ivf_kmeans_topk holds r2+r3 rows); corpus keeps 4;
+    # dedup keeps the recast verify shapes (connected components holds
+    # r1-r3 rows)
     "streaming_hourly_rollup",
     "rollup_returnflag_status",
+    "tpch_q3_shipping_priority",
+    "corpus_contamination",
+    "ann_ivf_kmeans_topk",
+    "dedup_connected_components",
     "topk_orders",
     "tpch_q5_local_supplier_volume",
     "join_anti_no_urgent_customers",
@@ -165,12 +176,6 @@ _SECONDARY: tuple[str, ...] = (
     "feature_quantile_bins",
     "zorder_values",
     "compaction_stats",
-    # NEW in round 4 (post-rotation): locally oracle-verified; round-5
-    # window-rotation candidates
-    "text_lm_score",
-    "embedding_dim_stats",
-    "sketch_cms_token_counts",
-    "ann_pq_adc_topk",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,
