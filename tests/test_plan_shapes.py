@@ -193,3 +193,15 @@ def test_txtable_merge_is_key_join_not_nested_loop(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"SortMergeJoin .*FullOuter|ShuffledHashJoin .*FullOuter", plan)
+
+
+def test_pq_adc_broadcasts_the_distance_table(spark):
+    """ann_pq_adc_topk: the per-query (block, code) distance table attaches
+    via BroadcastHashJoin (it is |queries|*m*k rows by construction) — a
+    sort-merge join here would shuffle the full exploded code table; and
+    the whole encode/ADC pipeline stays JVM-side."""
+    plan = _plan(spark, "ann_pq_adc_topk")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
