@@ -71,6 +71,7 @@ from payroll_etl_fastapi_spark.plans import suite_txtable  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_quality  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_skew  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_bucketing  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_bloom  # noqa: E402,F401
 
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
@@ -176,6 +177,9 @@ _SECONDARY: tuple[str, ...] = (
     "feature_quantile_bins",
     "zorder_values",
     "compaction_stats",
+    # NEW in the round-4 tail (registered after the rotation commit; each
+    # is locally oracle-verified and a round-5 window rotation candidate)
+    "join_bloom_filtered",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,
