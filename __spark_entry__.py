@@ -180,6 +180,7 @@ _SECONDARY: tuple[str, ...] = (
     # NEW in the round-4 tail (registered after the rotation commit; each
     # is locally oracle-verified and a round-5 window rotation candidate)
     "join_bloom_filtered",
+    "sketch_hll_distinct",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

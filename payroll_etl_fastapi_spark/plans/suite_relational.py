@@ -496,3 +496,75 @@ def pivot_segment_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return renamed.orderBy("nationkey")
+
+
+def _hll_oracle() -> str:
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    num = 2.0 * SK.hll_alpha_m2()  # alpha_m * m^2 * 2^(WBITS+1), one literal
+    return f"""
+    WITH h AS (
+        SELECT o_orderpriority AS priority,
+               CAST(('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+                    1, 7)) AS BIGINT) AS hv
+        FROM orders
+    ),
+    b AS (
+        SELECT priority, hv % {SK.HLL_M} AS bucket,
+               CASE WHEN (hv // {SK.HLL_M}) = 0 THEN {SK.HLL_WBITS + 1}
+                    ELSE {SK.HLL_WBITS + 1} - length(bin(hv // {SK.HLL_M}))
+               END AS rho
+        FROM h
+    ),
+    reg AS (
+        SELECT priority, bucket, max(rho) AS rho FROM b GROUP BY priority, bucket
+    ),
+    est AS (
+        SELECT priority,
+               floor({num!r} / CAST(
+                   sum(CAST(1 AS BIGINT) << ({SK.HLL_WBITS + 1} - rho))
+                   + ({SK.HLL_M} - count(*)) * {1 << (SK.HLL_WBITS + 1)}
+                   AS DOUBLE) * 1000000 + 0.5) / 1000000 AS hll_est,
+               CAST(count(*) AS BIGINT) AS n_buckets_used
+        FROM reg GROUP BY priority
+    )
+    SELECT e.priority,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           e.hll_est,
+           e.n_buckets_used
+    FROM est e
+    JOIN (
+        SELECT o_orderpriority AS priority,
+               count(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY o_orderpriority
+    ) x USING (priority)
+    ORDER BY priority
+    """
+
+
+@query("sketch_hll_distinct", oracle=_hll_oracle())
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators.sketch.hll_*): per-order-
+    priority registers (<= 256 rows per group whatever the input), raw-HLL
+    estimate from one integer harmonic sum + one IEEE division, reported
+    beside the exact COUNT(DISTINCT). The oracle replays the REGISTERS and
+    the estimate bit-for-bit — a hash, bucket-split, rho, or harmonic-sum
+    bug flips the row, not just "estimate looks close". Register merge
+    (bucket-wise MAX across partitions/days) is pinned lossless in
+    tests/test_sketch_hll.py. NEW in round 4 (registered past the rotation
+    commit; locally oracle-verified, round-5 rotation candidate)."""
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    reg = SK.hll_registers(orders, "o_custkey", ["priority"])
+    est = SK.hll_estimate(reg, ["priority"])
+    exact = orders.groupBy("priority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(F.broadcast(exact), "priority")
+        .select("priority", "exact_distinct", "hll_est", "n_buckets_used")
+        .orderBy("priority")
+    )

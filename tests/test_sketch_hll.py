@@ -1,0 +1,69 @@
+"""HyperLogLog sketch (operators/sketch.py hll_*): register construction
+vs a Python replica, lossless merge, estimator accuracy at raw-HLL error
+bounds, and determinism of the scaled-integer harmonic sum."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import sketch as SK
+
+
+def _py_register(keys) -> dict[int, int]:
+    reg: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(f"hll:{k}".encode()).hexdigest()[:7], 16)
+        bucket, w = h % SK.HLL_M, h >> SK.HLL_P
+        rho = SK.HLL_WBITS + 1 if w == 0 else SK.HLL_WBITS + 1 - w.bit_length()
+        reg[bucket] = max(reg.get(bucket, 0), rho)
+    return reg
+
+
+def test_registers_match_python_replica(spark):
+    keys = [str(i) for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        (r.bucket, r.rho) for r in SK.hll_registers(df, "k").collect()
+    }
+    assert got == set(_py_register(keys).items())
+
+
+def test_merge_is_lossless(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    whole = SK.hll_registers(df, "k")
+    a = SK.hll_registers(df.filter(F.col("k") % 2 == 0), "k")
+    b = SK.hll_registers(df.filter(F.col("k") % 2 == 1), "k")
+    merged = SK.hll_merge(a, b)
+    assert {(r.bucket, r.rho) for r in merged.collect()} == {
+        (r.bucket, r.rho) for r in whole.collect()
+    }
+    # and the merged estimate equals the single-pass estimate exactly
+    e1 = SK.hll_estimate(whole).collect()[0]
+    e2 = SK.hll_estimate(merged).collect()[0]
+    assert (e1.hll_est, e1.n_buckets_used) == (e2.hll_est, e2.n_buckets_used)
+
+
+def test_estimate_within_raw_hll_error(spark):
+    # raw HLL at m=256: relative error ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+    for n in (2000, 10000):
+        df = spark.createDataFrame([(f"key{i}",) for i in range(n)], "k string")
+        est = SK.hll_estimate(SK.hll_registers(df, "k")).collect()[0].hll_est
+        assert abs(est - n) / n < 0.26, (n, est)
+
+
+def test_estimate_matches_python_formula(spark):
+    keys = [str(i) for i in range(3000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    reg = _py_register(keys)
+    scale = 1 << (SK.HLL_WBITS + 1)
+    s_int = sum(1 << (SK.HLL_WBITS + 1 - r) for r in reg.values()) + (
+        SK.HLL_M - len(reg)
+    ) * scale
+    import math
+
+    expect = math.floor(2.0 * SK.hll_alpha_m2() / float(s_int) * 1e6 + 0.5) / 1e6
+    got = SK.hll_estimate(SK.hll_registers(df, "k")).collect()[0]
+    assert got.hll_est == expect
+    assert got.n_buckets_used == len(reg)
