@@ -181,6 +181,7 @@ _SECONDARY: tuple[str, ...] = (
     # is locally oracle-verified and a round-5 window rotation candidate)
     "join_bloom_filtered",
     "sketch_hll_distinct",
+    "ann_ivf_pq_topk",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

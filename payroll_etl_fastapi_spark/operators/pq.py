@@ -43,6 +43,8 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_adc_topk",
+    "ivf_centroids_random",
+    "ivf_pq_topk",
 ]
 
 PQ_SEED = 77
@@ -85,13 +87,14 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, c0 … c{m-1}): each block's nearest-centroid code (squared-L2
-    argmin, ties to the smaller code via (dist, code) struct-min). Pure
-    projection — the 100 TB path encodes in one scan."""
+    """(id, [keep...,] c0 … c{m-1}): each block's nearest-centroid code
+    (squared-L2 argmin, ties to the smaller code via (dist, code)
+    struct-min). Pure projection — the 100 TB path encodes in one scan."""
     vec = F.col(vec_col)
     dsub = len(codebooks[0][0])
-    cols = [F.col(id_col).alias("id")]
+    cols = [F.col(id_col).alias("id"), *[F.col(c) for c in keep]]
     for j, book in enumerate(codebooks):
         cells = F.array(
             *[
@@ -237,3 +240,132 @@ def pq_train_codebooks(
                 for ci, old in enumerate(book)
             ]
     return books
+
+
+def ivf_centroids_random(
+    nlist: int, dim: int, seed: int = PQ_SEED + 1
+) -> list[list[float]]:
+    """nlist coarse-quantizer centroids of seeded literals rounded to 6
+    decimals — the data-free oracle-friendly stand-in for a trained coarse
+    quantizer (same convention as pq_codebooks_random; the trained path is
+    similarity.train_centroids_kmeans)."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-0.5, 0.5), 6) for _ in range(dim)]
+        for _ in range(nlist)
+    ]
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS billion-vector index shape — a coarse quantizer
+    routes each vector to an inverted list, PQ codes compress the RESIDUAL
+    (vector − its list's centroid), and a query ADC-scans only its
+    ``n_probe`` nearest lists.
+
+    (query_id, neighbor_id, adc_micros, rank), self-matches excluded.
+
+    Determinism (the gate's oracle replays every step): coarse assignment
+    is the same struct-min L2 argmin as pq_encode (ties → smaller list id);
+    residuals subtract in a fixed per-dimension order (zip_with, double);
+    probe selection sorts (distance, list_id) structs with array_sort — no
+    window, no shuffle; ADC entries snap to integer micros before the sum.
+
+    Scale shape: encode is one scan (assignment argmin + residual zip_with
+    + block argmins inside a single projection, no shuffle); search joins
+    the exploded codes against a BROADCAST (list_id, block, code) table of
+    |queries|·n_probe·m·k rows, so only vectors in probed lists produce
+    join matches — the corpus-side work is one scan + one (query, vector)
+    partial-sum shuffle, and the inverted-list restriction happens in the
+    join, not a per-list scan loop."""
+    nlist = len(centroids)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+
+    cent2d = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    assign_cells = F.array(
+        *[
+            F.struct(_block_dist(vec, 0, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    list_id = F.array_min(assign_cells).getField("i")
+    res = F.zip_with(
+        vec,
+        F.element_at(cent2d, list_id + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    enc_in = corpus.select(
+        F.col(id_col), list_id.alias("list_id"), res.alias("res")
+    )
+    codes = pq_encode(enc_in, codebooks, id_col=id_col, vec_col="res", keep=("list_id",))
+    melted = codes.select(
+        "id",
+        "list_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("block"), F.col(f"c{j}").alias("code"))
+                    for j in range(m)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "list_id", "bc.block", "bc.code")
+
+    # probe selection: sort the (distance, list_id) structs, keep n_probe
+    probed = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            vec.alias("qv"),
+            F.explode(
+                F.slice(F.array_sort(assign_cells), 1, n_probe)
+            ).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p.i").alias("list_id"))
+    )
+    qres = F.zip_with(
+        F.col("qv"),
+        F.element_at(cent2d, F.col("list_id") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    probed_res = probed.select("query_id", "list_id", qres.alias("qres"))
+    entries = [
+        F.struct(
+            F.lit(j).alias("block"),
+            F.lit(ci).alias("code"),
+            F.floor(
+                _block_dist(F.col("qres"), j * dsub, c) * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("du"),
+        )
+        for j, book in enumerate(codebooks)
+        for ci, c in enumerate(book)
+    ]
+    table = probed_res.select(
+        "query_id", "list_id", F.explode(F.array(*entries)).alias("e")
+    ).select("query_id", "list_id", "e.block", "e.code", "e.du")
+
+    scored = (
+        melted.join(F.broadcast(table), ["list_id", "block", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("du").alias("adc_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_micros"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "adc_micros", "rank")
+    )

@@ -533,3 +533,170 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = PQ.pq_codebooks_random(4, 8, DIM)
     queries = emb.filter(F.col("vec_id") < 8)
     return PQ.pq_adc_topk(emb, queries, books, k=5).orderBy("query_id", "rank")
+
+
+def _ivf_pq_oracle(
+    nlist: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    kc: int = 8,
+    dim: int = DIM,
+    n_q: int = 5,
+    topk: int = 5,
+) -> str:
+    """SQL twin of operators.pq.ivf_pq_topk: coarse assignment, residual,
+    residual-PQ encode, probe selection, per-(query, probe) ADC tables, and
+    ranking — all replayed on the same literal centroids/codebooks."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    cents = PQ.ivf_centroids_random(nlist, dim)
+    books = PQ.pq_codebooks_random(m, kc, dim)
+    dsub = dim // m
+    cent2d = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in cents
+    ) + "]"
+
+    def fdist(col: str, cent: list[float]) -> str:
+        return " + ".join(
+            f"(CAST({col}[{i + 1}] AS DOUBLE) - ({v!r})) * "
+            f"(CAST({col}[{i + 1}] AS DOUBLE) - ({v!r}))"
+            for i, v in enumerate(cent)
+        )
+
+    def rdist(col: str, j: int, cent: list[float]) -> str:
+        return " + ".join(
+            f"(CAST({col}[{j * dsub + i + 1}] AS DOUBLE) - ({v!r})) * "
+            f"(CAST({col}[{j * dsub + i + 1}] AS DOUBLE) - ({v!r}))"
+            for i, v in enumerate(cent)
+        )
+
+    ad_cols = ",\n               ".join(
+        f"{fdist('embedding', c)} AS ad_{l}" for l, c in enumerate(cents)
+    )
+    ad_case = "CASE " + " ".join(
+        f"WHEN ad_{l} = am THEN {l}" for l in range(nlist)
+    ) + " END"
+    probe_case = "CASE l.list_id " + " ".join(
+        f"WHEN {l} THEN ad_{l}" for l in range(nlist)
+    ) + " END"
+    res_expr = (
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) - ({cent2d})[list_id + 1][i])"
+    )
+    d_cols = ",\n               ".join(
+        f"{rdist('res', j, c)} AS d_{j}_{ci}"
+        for j, book in enumerate(books)
+        for ci, c in enumerate(book)
+    )
+    m_cols = ",\n               ".join(
+        "least(" + ", ".join(f"d_{j}_{ci}" for ci in range(kc)) + f") AS m_{j}"
+        for j in range(m)
+    )
+    code_cols = ",\n               ".join(
+        "CASE "
+        + " ".join(f"WHEN d_{j}_{ci} = m_{j} THEN {ci}" for ci in range(kc))
+        + f" END AS c_{j}"
+        for j in range(m)
+    )
+    melt_case = "CASE b.block " + " ".join(
+        f"WHEN {j} THEN c_{j}" for j in range(m)
+    ) + " END"
+    blocks_list = ", ".join(str(j) for j in range(m))
+    lists_list = ", ".join(str(l) for l in range(nlist))
+    qtab = "\n        UNION ALL\n".join(
+        f"        SELECT query_id, list_id, {j} AS block, {ci} AS code, "
+        f"CAST(floor(({rdist('res', j, c)}) * 1000000 + 0.5) AS BIGINT) AS du "
+        f"FROM qres"
+        for j, book in enumerate(books)
+        for ci, c in enumerate(book)
+    )
+    return f"""
+    WITH a_d AS (
+        SELECT vec_id, embedding, {ad_cols}
+        FROM embeddings
+    ),
+    a_m AS (
+        SELECT *, least({", ".join(f"ad_{l}" for l in range(nlist))}) AS am
+        FROM a_d
+    ),
+    assign AS (
+        SELECT vec_id, embedding, {ad_case} AS list_id FROM a_m
+    ),
+    resv AS (
+        SELECT vec_id, list_id, {res_expr} AS res FROM assign
+    ),
+    enc_d AS (
+        SELECT vec_id, list_id, {d_cols}
+        FROM resv
+    ),
+    enc_m AS (
+        SELECT *, {m_cols}
+        FROM enc_d
+    ),
+    enc AS (
+        SELECT vec_id, list_id, {code_cols}
+        FROM enc_m
+    ),
+    melted AS (
+        SELECT vec_id AS id, list_id, b.block, {melt_case} AS code
+        FROM enc, (SELECT unnest([{blocks_list}]) AS block) b
+    ),
+    q_d AS (
+        SELECT vec_id, embedding, {ad_cols}
+        FROM embeddings WHERE vec_id < {n_q}
+    ),
+    probed AS (
+        SELECT vec_id AS query_id, embedding, l.list_id
+        FROM q_d, (SELECT unnest([{lists_list}]) AS list_id) l
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY {probe_case}, l.list_id
+        ) <= {n_probe}
+    ),
+    qres AS (
+        SELECT query_id, list_id, {res_expr} AS res FROM probed
+    ),
+    qtab AS (
+{qtab}
+    ),
+    scored AS (
+        SELECT qtab.query_id, melted.id, CAST(sum(qtab.du) AS BIGINT) AS adc_micros
+        FROM melted
+        JOIN qtab ON melted.list_id = qtab.list_id
+                 AND melted.block = qtab.block AND melted.code = qtab.code
+        WHERE melted.id <> qtab.query_id
+        GROUP BY qtab.query_id, melted.id
+    ),
+    ranked AS (
+        SELECT query_id, id AS neighbor_id, adc_micros,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_micros, id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_micros, rank
+    FROM ranked WHERE rank <= {topk}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (operators.pq.ivf_pq_topk) — the FAISS
+    billion-vector shape run end to end: a seeded literal coarse quantizer
+    (8 lists, the oracle-friendly stand-in for train_centroids_kmeans)
+    routes every vector to an inverted list, PQ codes compress the
+    RESIDUAL (4 blocks × 8 centroids), and each query ADC-scans only its 2
+    nearest lists via one broadcast (list, block, code) table join. The
+    oracle replays assignment, residual arithmetic, encode, probe
+    selection, and the micro-snapped ADC ranking bit-for-bit. NEW in
+    round 4 (registered past the rotation commit; locally oracle-verified,
+    round-5 rotation candidate)."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = PQ.ivf_centroids_random(8, DIM)
+    books = PQ.pq_codebooks_random(4, 8, DIM)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return PQ.ivf_pq_topk(
+        emb, queries, cents, books, k=5, n_probe=2
+    ).orderBy("query_id", "rank")

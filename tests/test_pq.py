@@ -79,3 +79,47 @@ def test_adc_finds_the_true_cluster(spark):
             r.query_id,
             r.neighbor_id,
         )
+
+
+def test_ivf_pq_zero_centroid_equals_plain_pq(spark):
+    # one inverted list whose centroid is the origin: residual == vector,
+    # probe always hits the single list -> IVF-PQ must equal plain PQ-ADC
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 8))
+    df = _frame(spark, X)
+    books = PQ.pq_codebooks_random(m=2, k=4, dim=8, seed=5)
+    queries = df.filter(F.col("vec_id") < 3)
+    plain = PQ.pq_adc_topk(df, queries, books, k=4).collect()
+    ivf = PQ.ivf_pq_topk(
+        df, queries, [[0.0] * 8], books, k=4, n_probe=1
+    ).collect()
+    key = lambda rs: sorted((r.query_id, r.neighbor_id, r.adc_micros, r.rank) for r in rs)
+    assert key(ivf) == key(plain)
+
+
+def test_ivf_pq_assignment_spreads_and_probe_restricts(spark):
+    rng = np.random.default_rng(12)
+    # two well-separated clusters around +/-5; centroids at the cluster means
+    X = np.concatenate(
+        [rng.normal(5, 0.1, size=(20, 8)), rng.normal(-5, 0.1, size=(20, 8))]
+    )
+    df = _frame(spark, X)
+    cents = [[5.0] * 8, [-5.0] * 8]
+    books = PQ.pq_codebooks_random(m=2, k=4, dim=8, seed=5)
+    queries = df.filter(F.col("vec_id") == 0)  # in the +5 cluster
+    out = PQ.ivf_pq_topk(df, queries, cents, books, k=40, n_probe=1).collect()
+    # n_probe=1 from a +5-cluster query: candidates only from list 0
+    assert out, "no candidates returned"
+    assert {r.neighbor_id for r in out} <= set(range(1, 20))
+    # probing both lists reaches the other cluster too
+    out2 = PQ.ivf_pq_topk(df, queries, cents, books, k=40, n_probe=2).collect()
+    assert {r.neighbor_id for r in out2} == set(range(1, 40))
+
+
+def test_pq_encode_keep_carries_columns(spark):
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(10, 8))
+    df = _frame(spark, X).withColumn("tag", F.col("vec_id") * 2)
+    books = PQ.pq_codebooks_random(m=2, k=4, dim=8, seed=5)
+    out = PQ.pq_encode(df, books, keep=("tag",)).collect()
+    assert all(r.tag == r.id * 2 for r in out)
