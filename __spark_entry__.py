@@ -182,6 +182,7 @@ _SECONDARY: tuple[str, ...] = (
     "join_bloom_filtered",
     "sketch_hll_distinct",
     "ann_ivf_pq_topk",
+    "dedup_semantic_clusters",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

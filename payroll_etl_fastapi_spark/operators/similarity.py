@@ -651,3 +651,65 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with a coarse quantizer, then
+    compare pairs ONLY within a cluster and drop every vector that has a
+    lower-id cluster-mate with cosine >= threshold (the keep-lowest-id
+    representative rule). Returns (id, cluster_id, is_dropped[0/1]) for
+    every corpus vector.
+
+    Clustering is what makes semantic dedup tractable: the quadratic pair
+    comparison runs per cluster, so with k clusters the work is
+    sum(|cluster|^2) ≈ n^2/k instead of n^2 — at 100 TB you raise k until
+    clusters fit the budget (SemDeDup used 50k clusters for LAION), and the
+    shuffle is a plain hash partition on cluster_id. Cross-cluster
+    near-dups are missed BY DESIGN — that recall trade is the published
+    algorithm's, not an implementation shortcut.
+
+    Determinism: assignment is the same literal-centroid struct-min L2
+    argmin as operators.pq (ties -> smaller cluster id); the in-cluster
+    cosine is the shared fold-ordered bit-exact cosine, so a SQL oracle
+    replays assignment, pairing, and verdicts exactly."""
+    from payroll_etl_fastapi_spark.operators.pq import _block_dist
+
+    vec = F.col(vec_col)
+    cells = F.array(
+        *[
+            F.struct(_block_dist(vec, 0, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        F.array_min(cells).getField("i").alias("cluster_id"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b.id") < F.col("a.id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            "id",
+            "cluster_id",
+            F.coalesce(F.col("is_dropped"), F.lit(0)).alias("is_dropped"),
+        )
+    )

@@ -700,3 +700,87 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivf_pq_topk(
         emb, queries, cents, books, k=5, n_probe=2
     ).orderBy("query_id", "rank")
+
+
+def _semdedup_oracle(nlist: int = 16, threshold: float = 0.85) -> str:
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    cents = PQ.ivf_centroids_random(nlist, DIM, seed=PQ.PQ_SEED + 2)
+
+    def fdist(col: str, cent: list[float]) -> str:
+        return " + ".join(
+            f"(CAST({col}[{i + 1}] AS DOUBLE) - ({v!r})) * "
+            f"(CAST({col}[{i + 1}] AS DOUBLE) - ({v!r}))"
+            for i, v in enumerate(cent)
+        )
+
+    ad_cols = ",\n               ".join(
+        f"{fdist('embedding', c)} AS ad_{l}" for l, c in enumerate(cents)
+    )
+    ad_case = "CASE " + " ".join(
+        f"WHEN ad_{l} = am THEN {l}" for l in range(nlist)
+    ) + " END"
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CASE WHEN (i - 1) % 7 = 0 THEN CAST(0.0 AS FLOAT)
+                             ELSE embedding[i] END) AS embedding
+        FROM embeddings
+    ),
+    a_d AS (
+        SELECT vec_id, embedding, {ad_cols}
+        FROM corpus
+    ),
+    a_m AS (
+        SELECT *, least({", ".join(f"ad_{l}" for l in range(nlist))}) AS am
+        FROM a_d
+    ),
+    assign AS (
+        SELECT vec_id AS id, embedding AS v, {ad_case} AS cluster_id FROM a_m
+    ),
+    dropped AS (
+        SELECT DISTINCT a.id
+        FROM assign a
+        JOIN assign b ON a.cluster_id = b.cluster_id AND b.id < a.id
+        WHERE {_sql_cosine('a.v', 'b.v')} >= {threshold!r}
+    )
+    SELECT assign.id AS vec_id, assign.cluster_id,
+           CAST(CASE WHEN dropped.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_dropped
+    FROM assign LEFT JOIN dropped ON assign.id = dropped.id
+    ORDER BY vec_id
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semdedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators.similarity.semantic_dedup;
+    Abbas et al. 2023): cluster corpus ∪ mutated-copy with 16 literal
+    centroids (oracle-friendly stand-in for trained k-means, same split as
+    the ANN family), then drop any vector with a lower-id cluster-mate at
+    cosine >= 0.85 — the published cluster-then-prune shape whose pairwise
+    cost is n²/k, tuned by raising k at scale. Positive path by
+    construction: each 7th-element-zeroed copy sits at cosine ≈ 0.92 from
+    its source and is dropped when co-clustered (cross-cluster misses are
+    the algorithm's own recall trade, replayed identically by the oracle).
+    NEW in round 4 (registered past the rotation commit; locally
+    oracle-verified, round-5 rotation candidate)."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i % 7 == 0, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copy)
+    cents = PQ.ivf_centroids_random(16, DIM, seed=PQ.PQ_SEED + 2)
+    out = sim.semantic_dedup(corpus, cents, threshold=0.85)
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster_id", F.col("is_dropped").cast("long")
+    ).orderBy("vec_id")
