@@ -30,6 +30,15 @@ out are those whose semantics remain pinned by an in-window sibling
 pivot_segment_balances → pivot_conditional_agg; join_anti → join_semi) or by
 golden pytest + the local oracle.
 
+ROUND-4 TAIL SWAP: the four gates built after the rotation commit
+(`join_bloom_filtered`, `sketch_hll_distinct`, `ann_ivf_pq_topk`,
+`dedup_semantic_clusters`) took the window slots of four gates that already
+hold green r3-or-earlier driver rows (`join_semi_urgent_customers`,
+`scalar_subquery_above_brand_avg`, `ann_lsh_topk`,
+`dedup_minhash_verified_counts`) — so the no-rotation-debt invariant holds
+for the whole 81-query registry at round-4 end: every registered query
+either gets its driver row this round or already holds one.
+
 ``_ARCHIVED`` are four redundant twins retired from the driver registry on
 the round-2 judge's direction (each remains implemented, pytest-covered, and
 checked by the local oracle gate): median_by_group (exact-percentile
@@ -87,17 +96,17 @@ _WINDOW: tuple[str, ...] = (
     "insert_if_absent",
     "events_json_extract",
     # relational breadth (joins, per-group top-K, OLAP grouping, scalar fns)
-    "join_semi_urgent_customers",
-    "scalar_subquery_above_brand_avg",
+    "join_bloom_filtered",
+    "sketch_hll_distinct",
     "topk_per_group_orders",
     "similarity_edit_distance",
     "cube_priority_status",
     "grouping_sets_nation_segment",
-    # dedup family (scale-safe shapes: LSH-verify + counts path)
+    # dedup family (scale-safe shapes: LSH-verify + semantic clusters)
     "dedup_ngram_jaccard",
-    "dedup_minhash_verified_counts",
-    # similarity / ANN family (LSH, IVF, PQ-ADC, near-dup)
-    "ann_lsh_topk",
+    "dedup_semantic_clusters",
+    # similarity / ANN family (IVF, PQ-ADC, IVF-PQ, near-dup)
+    "ann_ivf_pq_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "dedup_embedding_cosine",
@@ -177,12 +186,19 @@ _SECONDARY: tuple[str, ...] = (
     "feature_quantile_bins",
     "zorder_values",
     "compaction_stats",
-    # NEW in the round-4 tail (registered after the rotation commit; each
-    # is locally oracle-verified and a round-5 window rotation candidate)
-    "join_bloom_filtered",
-    "sketch_hll_distinct",
-    "ann_ivf_pq_topk",
-    "dedup_semantic_clusters",
+    # ceded their slots to the round-4-tail gates (bloom join, HLL, IVF-PQ,
+    # SemDeDup) — each holds a green r3 (or earlier) driver row and keeps an
+    # in-window family sibling: semi-join → bloom-filtered join +
+    # bucketed/CDC joins; scalar subquery → kpi constant-folded twins (P11
+    # mapping); LSH ANN → IVF/PQ-ADC/IVF-PQ; minhash-verified counts →
+    # the recast dedup_ngram_jaccard (same LSH-verify composition)
+    "join_semi_urgent_customers",
+    "scalar_subquery_above_brand_avg",
+    "ann_lsh_topk",
+    "dedup_minhash_verified_counts",
+    # NEW after the tail swap (locally oracle-verified; round-5 rotation
+    # candidate)
+    "streaming_sketch_cms",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -505,3 +505,109 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "streaming_sketch_cms",
+    oracle="""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    vocab AS (SELECT k, count(*) AS exact_cnt FROM keys GROUP BY k),
+    top AS (
+        SELECT k, exact_cnt FROM vocab ORDER BY exact_cnt DESC, k LIMIT 20
+    ),
+    rows AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+        SELECT rows.row,
+               CAST(('0x' || substr(md5('cms' || CAST(rows.row AS VARCHAR)
+                    || ':' || k), 1, 7)) AS BIGINT) % 1024 AS bucket
+        FROM keys, rows
+    ),
+    sketch AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY row, bucket),
+    probe AS (
+        SELECT top.k, top.exact_cnt, rows.row,
+               CAST(('0x' || substr(md5('cms' || CAST(rows.row AS VARCHAR)
+                    || ':' || top.k), 1, 7)) AS BIGINT) % 1024 AS bucket
+        FROM top, rows
+    )
+    SELECT probe.k AS user_key,
+           CAST(max(probe.exact_cnt) AS BIGINT) AS exact_cnt,
+           CAST(min(coalesce(sketch.cnt, 0)) AS BIGINT) AS cms_count
+    FROM probe LEFT JOIN sketch USING (row, bucket)
+    GROUP BY probe.k
+    ORDER BY exact_cnt DESC, user_key
+    """,
+)
+def streaming_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters sketch: each micro-batch is reduced to a
+    count-min sketch (operators.sketch.cms_build) INSIDE the exactly-once
+    TxTable sink's epoch guard (write_stream_txtable transform=), appending
+    one fixed-size sketch delta per batch; the read side merges all deltas
+    with one bucket-wise SUM — CMS linearity means the merged streaming
+    sketch is BIT-IDENTICAL to the single-pass batch sketch, which is
+    exactly what the oracle replays (it never sees a stream, a batch
+    boundary, or the table). A double-applied replay, lost batch, or merge
+    bug shifts bucket counts and flips the hash. The sketch stays ≤
+    depth×width rows per batch regardless of stream volume — the
+    streaming-state analog of the CMS contract. NEW in round 4 (registered
+    past the tail-swap; locally oracle-verified, round-5 rotation
+    candidate)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+    from payroll_etl_fastapi_spark.plans.suite import _t
+    from payroll_etl_fastapi_spark.sources.txtable import (
+        TxTable,
+        write_stream_txtable,
+    )
+
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10).select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    base = tempfile.mkdtemp(prefix="gate_cms_stream_")
+    try:
+        t = TxTable(spark, os.path.join(base, "t"))
+        write_stream_txtable(
+            stream,
+            t,
+            os.path.join(base, "ckpt"),
+            transform=lambda b: SK.cms_build(b, "k"),
+        )
+        merged = (
+            t.snapshot().groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
+        events = _t(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("k")
+        )
+        top = (
+            events.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("exact_cnt"))
+            .orderBy(F.col("exact_cnt").desc(), "k")
+            .limit(20)
+        )
+        est = SK.cms_estimate(merged, top, "k")
+        rows = (
+            top.join(est, "k")
+            .select(
+                F.col("k").alias("user_key"),
+                F.col("exact_cnt"),
+                F.col("cms_count"),
+            )
+            .orderBy(F.col("exact_cnt").desc(), "user_key")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("user_key", T.StringType()),
+            T.StructField("exact_cnt", T.LongType()),
+            T.StructField("cms_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(r.user_key, r.exact_cnt, r.cms_count) for r in rows], schema
+    )

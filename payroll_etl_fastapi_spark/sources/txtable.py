@@ -624,7 +624,10 @@ class TxTable:
 
 
 def write_stream_txtable(
-    stream_df: DataFrame, table: TxTable, checkpoint: str
+    stream_df: DataFrame,
+    table: TxTable,
+    checkpoint: str,
+    transform=None,
 ) -> None:
     """Exactly-once streaming sink into a TxTable: drain the currently
     available input (availableNow) appending each micro-batch as one table
@@ -636,6 +639,10 @@ def write_stream_txtable(
     rides IN the atomically-swapped manifest, so "data visible" and "batch
     acknowledged" are one filesystem operation — no window where a crash
     double-applies.
+
+    ``transform``, when given, maps each micro-batch DataFrame to the rows
+    actually committed (e.g. a per-batch mergeable sketch) — it runs inside
+    the epoch guard, so replays skip the recompute too.
 
     Scale shape: one append commit per micro-batch (no rewrite of history);
     compact later with table.optimize(). Retention caveat (same contract as
@@ -671,6 +678,12 @@ def write_stream_txtable(
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
         if epoch_key in seen_epochs:
             return  # replayed batch: already committed
+        if transform is not None:
+            # per-batch reduction BEFORE the commit (e.g. a mergeable
+            # sketch of the batch): runs inside the epoch guard, so a
+            # replayed batch is skipped before any recompute, and the
+            # commit still lands the transformed rows exactly once
+            batch_df = transform(batch_df)
         base = table._versions()
         version = (base[-1] if base else 0) + 1
         prev: tuple[str, ...] = ()

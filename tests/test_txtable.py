@@ -575,3 +575,68 @@ def test_merge_stream_exactly_once_and_replay(spark, tmp_path):
     # the checkpoint identity and replay protection never crosses queries
     merge_stream_txtable(stream, t, str(tmp_path / "ckpt2"), keys=["id"])
     assert {r.id: r.v for r in t.snapshot().collect()} == {**exp, 4: 40}
+
+
+def test_stream_sink_transform_sketch_exactly_once(spark, tmp_path):
+    """write_stream_txtable(transform=): each micro-batch is reduced to a
+    CMS delta inside the epoch guard; the bucket-wise merge of the
+    committed deltas equals the single-pass batch sketch BIT-FOR-BIT, and
+    a re-drain (fresh reader, same checkpoint) or crash-replay (wiped
+    streaming commit log) double-counts nothing."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+    from payroll_etl_fastapi_spark.sources.txtable import write_stream_txtable
+
+    src = str(tmp_path / "src")
+    spark.range(0, 300).selectExpr("CAST(id % 37 AS STRING) AS k").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.range(300, 500).selectExpr("CAST(id % 37 AS STRING) AS k").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        write_stream_txtable(
+            stream, t, ck, transform=lambda b: SK.cms_build(b, "k")
+        )
+
+    drain()
+    versions_after_first = t.latest_version()
+    assert versions_after_first >= 2  # one sketch-delta commit per batch
+
+    def merged():
+        return {
+            (r.row, r.bucket): r.cnt
+            for r in t.snapshot()
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+
+    single_pass = {
+        (r.row, r.bucket): r.cnt
+        for r in SK.cms_build(
+            spark.range(0, 500).selectExpr("CAST(id % 37 AS STRING) AS k"), "k"
+        ).collect()
+    }
+    assert merged() == single_pass
+
+    # idempotent re-drain: nothing new to read, nothing committed
+    drain()
+    assert t.latest_version() == versions_after_first
+    # crash-replay: wipe the streaming commit log -> batches replay, but
+    # the epoch keys in the manifests swallow them (no double counts)
+    shutil.rmtree(ck)
+    drain()
+    assert merged() == single_pass
