@@ -199,6 +199,7 @@ _SECONDARY: tuple[str, ...] = (
     # NEW after the tail swap (locally oracle-verified; round-5 rotation
     # candidate)
     "streaming_sketch_cms",
+    "vocab_bpe_merges",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

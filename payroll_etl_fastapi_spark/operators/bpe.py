@@ -1,0 +1,113 @@
+"""Distributed BPE vocabulary training (Sennrich et al. 2016) — learn the
+merge table for a subword tokenizer from the corpus itself, the way
+production tokenizer training actually scales: ONE distributed pass
+reduces the corpus to a (word, count) table, and every Lloyd-style merge
+iteration then runs on that DISTINCT-WORD table (bounded by vocabulary
+size, ~millions of rows at 100 TB — not by corpus size). This is the
+HuggingFace-tokenizers word-count-first strategy expressed in Spark.
+
+Per iteration:
+
+1. adjacent-pair counts: explode each word's (tok[i], tok[i+1]) pairs
+   weighted by the word count — one grouped SUM with map-side combine;
+2. best pair: global argmax with a total tie order (count DESC, then
+   (left, right) ASC) — a LIMIT-1 collect, the only driver transfer
+   (one row per iteration);
+3. apply the merge: a JVM-side aggregate() fold rebuilds each token array,
+   merging LEFTMOST-FIRST non-overlapping occurrences (the classic BPE
+   rule): acc + x, except when last(acc) == left and x == right, where the
+   last element is replaced by left||right. The fold's merged token is
+   immediately shielded from re-merging (left||right != left), exactly the
+   textbook semantics. The word table is localCheckpoint'd each iteration
+   so lineage stays flat across K data-dependent steps.
+
+Determinism: counts are exact integers; the tie order is total; the fold
+order is the array order — so the merge table is a pure function of the
+corpus, and the gate's DuckDB oracle RE-TRAINS the whole thing in SQL
+(pair counts from string_split, argmax with the same tie order, merges
+applied with a boundary-wrapped string replace that is provably equivalent
+to the fold: each token rides as '|tok|', a merge rewrites '|L||R|' →
+'|LR|', and because the replacement restores both boundary bars, adjacent
+occurrences match exactly like the fold's leftmost scan).
+
+Vocabulary alphabet: callers pass words already restricted to a
+separator-free alphabet (the gate filters tokens to ^[a-z]+$); '|' is only
+an ORACLE encoding artifact, the Spark side never serializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_counts", "train_bpe"]
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over whitespace-normalized lowercase tokens restricted to
+    pure-alpha words — the single corpus-wide pass; everything after runs
+    on this table."""
+    from payroll_etl_fastapi_spark.operators.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _apply_merge(seq_col, left: str, right: str):
+    """Fold that merges leftmost-first non-overlapping (left, right)
+    adjacencies in a token array — pure JVM higher-order functions."""
+    merged = left + right
+    return F.aggregate(
+        seq_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(words: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Run ``n_merges`` BPE iterations over a (word, n) table; returns the
+    merge table [(step, lhs, rhs, pair_count)]. Stops early if no adjacent
+    pair remains. The returned list IS the trained artifact — apply it in
+    order to tokenize new text."""
+    df = words.select(
+        "n", F.filter(F.split(F.col("word"), ""), lambda c: c != "").alias("seq")
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            df.filter(F.size("seq") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("seq") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("seq"), i).alias("lhs"),
+                            F.element_at(F.col("seq"), i + 1).alias("rhs"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "lhs", "rhs").limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append((step, b.lhs, b.rhs, int(b.cnt)))
+        df = df.select(
+            "n", _apply_merge(F.col("seq"), b.lhs, b.rhs).alias("seq")
+        ).localCheckpoint(eager=False)
+    return merges

@@ -525,3 +525,85 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
+
+
+def _bpe_oracle(n_merges: int = 12) -> str:
+    """SQL re-training of operators.bpe.train_bpe: K chained iterations,
+    each a pair-count + argmax + merge-application level. Words ride as
+    boundary-wrapped strings ('|t||o||k|'); a merge rewrites '|L||R|' →
+    '|LR|' — the restored boundary bars make SQL replace() scan exactly
+    like the engine's leftmost-first fold (verified for the adjacent-
+    occurrence case '|a||a||a||a|' → '|aa||aa|'). CTEs are MATERIALIZED so
+    each level evaluates once despite double references."""
+    parts = [
+        f"""toks AS (
+        SELECT unnest(string_split({_SQL_NORM_TEXT}, ' ')) AS tok
+        FROM documents
+        WHERE {_SQL_NORM_TEXT} <> ''
+    ),
+    w0 AS MATERIALIZED (
+        SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS w, count(*) AS n
+        FROM toks WHERE regexp_matches(tok, '^[a-z]+$')
+        GROUP BY 1
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+        SELECT s.t[u.j] AS lhs, s.t[u.j + 1] AS rhs, sum(s.n) AS cnt
+        FROM (SELECT string_split(substr(w, 2, length(w) - 2), '||') AS t, n
+              FROM w{i - 1}) s
+        CROSS JOIN unnest(generate_series(1, len(s.t) - 1)) AS u(j)
+        GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+        SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT replace(s.w, '|' || b.lhs || '||' || b.rhs || '|',
+                            '|' || b.lhs || b.rhs || '|') AS w, s.n
+        FROM w{i - 1} s, b{i} b
+    )"""
+        )
+    union = "\n        UNION ALL\n".join(
+        f"        SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM (\n{union}\n    ) ORDER BY step\n    "
+    )
+
+
+@query("vocab_bpe_merges", oracle=_bpe_oracle())
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (operators/bpe.py, Sennrich et
+    al. 2016): one corpus pass reduces documents to a (word, count) table,
+    then 12 merge iterations run on the DISTINCT-WORD table — pair counts
+    by grouped sum, argmax with a total tie order, merges applied by a
+    JVM-side leftmost-first fold. The returned merge table is the trained
+    artifact, and the oracle RE-TRAINS it in SQL end to end — a pair-count,
+    tie-break, or merge-application divergence flips the very first
+    differing step and cascades. The word table (not the corpus) bounds
+    every iteration, the production tokenizer-training shape. NEW in
+    round 4 (registered past the tail swap; locally oracle-verified,
+    round-5 rotation candidate)."""
+    from pyspark.sql import types as T2
+
+    from payroll_etl_fastapi_spark.operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = B.train_bpe(B.word_counts(docs), 12)
+    schema = T2.StructType(
+        [
+            T2.StructField("step", T2.LongType()),
+            T2.StructField("lhs", T2.StringType()),
+            T2.StructField("rhs", T2.StringType()),
+            T2.StructField("pair_count", T2.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(s, l, r, c) for s, l, r, c in merges], schema
+    ).orderBy("step")
