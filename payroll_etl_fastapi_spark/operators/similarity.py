@@ -659,6 +659,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_via: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with a coarse quantizer, then
@@ -681,18 +682,65 @@ def semantic_dedup(
     replays assignment, pairing, and verdicts exactly."""
     from payroll_etl_fastapi_spark.operators.pq import _block_dist
 
+    nlist = len(centroids)
+    if assign_via == "auto":
+        assign_via = "literal" if nlist <= 64 else "broadcast"
+    if assign_via not in ("literal", "broadcast"):
+        raise ValueError(f"assign_via must be literal|broadcast|auto, got {assign_via!r}")
     vec = F.col(vec_col)
-    cells = F.array(
-        *[
-            F.struct(_block_dist(vec, 0, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    assigned = corpus.select(
-        F.col(id_col).alias("id"),
-        vec.alias("v"),
-        F.array_min(cells).getField("i").alias("cluster_id"),
-    )
+    if assign_via == "literal":
+        # plan-size O(nlist x dim) codegen chains -- right for small
+        # quantizers (the oracle-replayed gate shape)
+        cells = F.array(
+            *[
+                F.struct(_block_dist(vec, 0, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        assigned = corpus.select(
+            F.col(id_col).alias("id"),
+            vec.alias("v"),
+            F.array_min(cells).getField("i").alias("cluster_id"),
+        )
+    else:
+        # broadcast path (same trade as ivf_topk's): centroids travel as ONE
+        # broadcast row, the argmin is array_min over a transform() lambda --
+        # plan size O(1), the only form that survives SemDeDup's "raise k
+        # with corpus size" rule (the 10x scale smoke went 7.3x super-linear
+        # on 160 literal centroids before this path existed). The fold-based
+        # L2 starts at 0.0 + d1, bit-identical to the literal chain (IEEE
+        # 0.0 + x == x for the non-negative squared terms); pinned by test.
+        spark = corpus.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cent_id long, cent_vec array<double>",
+        )
+        one_row = F.broadcast(
+            cent_df.agg(
+                F.collect_list(F.struct("cent_id", "cent_vec")).alias("_cents")
+            )
+        )
+        mapped = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        c["cent_vec"],
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c["cent_id"].cast("int").alias("i"),
+            ),
+        )
+        assigned = corpus.crossJoin(one_row).select(
+            F.col(id_col).alias("id"),
+            vec.alias("v"),
+            F.array_min(mapped).getField("i").alias("cluster_id"),
+        )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(

@@ -50,3 +50,22 @@ def test_threshold_gates_the_drop(spark):
     X = np.stack([a, b])
     out = {r.id: r.is_dropped for r in sim.semantic_dedup(_frame(spark, X), [[0.5] * 8], 0.5).collect()}
     assert out == {0: 0, 1: 0}
+
+
+def test_literal_and_broadcast_assignment_are_bit_identical(spark):
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(300, 16)).astype(np.float32).astype(float)
+    cents = [[float(v) for v in rng.uniform(-1, 1, 16)] for _ in range(7)]
+    lit = sorted(
+        (r.id, r.cluster_id, r.is_dropped)
+        for r in sim.semantic_dedup(
+            _frame(spark, X), cents, 0.9, assign_via="literal"
+        ).collect()
+    )
+    bc = sorted(
+        (r.id, r.cluster_id, r.is_dropped)
+        for r in sim.semantic_dedup(
+            _frame(spark, X), cents, 0.9, assign_via="broadcast"
+        ).collect()
+    )
+    assert lit == bc
