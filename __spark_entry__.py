@@ -35,9 +35,12 @@ ROUND-4 TAIL SWAP: the four gates built after the rotation commit
 `dedup_semantic_clusters`) took the window slots of four gates that already
 hold green r3-or-earlier driver rows (`join_semi_urgent_customers`,
 `scalar_subquery_above_brand_avg`, `ann_lsh_topk`,
-`dedup_minhash_verified_counts`) — so the no-rotation-debt invariant holds
-for the whole 81-query registry at round-4 end: every registered query
-either gets its driver row this round or already holds one.
+`dedup_minhash_verified_counts`), and the two gates built after that
+(`streaming_sketch_cms`, `vocab_bpe_merges`) took the slots of r3-green
+`cdc_apply_orders` / `multimodal_features` — so the no-rotation-debt
+invariant holds for the whole 83-query registry at round-4 end: every
+registered query either gets its driver row this round or already holds
+one.
 
 ``_ARCHIVED`` are four redundant twins retired from the driver registry on
 the round-2 judge's direction (each remains implemented, pytest-covered, and
@@ -134,8 +137,9 @@ _WINDOW: tuple[str, ...] = (
     # windows / as-of
     "events_sliding_window",
     "events_asof_join",
-    # CDC flagship
-    "cdc_apply_orders",
+    # streaming sketch + BPE training (round-4-tail flagships)
+    "streaming_sketch_cms",
+    "vocab_bpe_merges",
     # transactional storage / quality / skew / bucketing
     "txtable_acid_ops",
     "quality_constraint_audit",
@@ -143,7 +147,6 @@ _WINDOW: tuple[str, ...] = (
     "bucketed_join_rollup",
     # multimodal + end-to-end pipeline flagships
     "multimodal_binary_stats",
-    "multimodal_features",
     "pipeline_training_data",
 )
 
@@ -196,10 +199,11 @@ _SECONDARY: tuple[str, ...] = (
     "scalar_subquery_above_brand_avg",
     "ann_lsh_topk",
     "dedup_minhash_verified_counts",
-    # NEW after the tail swap (locally oracle-verified; round-5 rotation
-    # candidate)
-    "streaming_sketch_cms",
-    "vocab_bpe_merges",
+    # ceded their slots to streaming_sketch_cms / vocab_bpe_merges (both
+    # hold green r3 rows; CDC keeps streaming_cdc_txtable in-window,
+    # multimodal keeps multimodal_binary_stats)
+    "cdc_apply_orders",
+    "multimodal_features",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,
