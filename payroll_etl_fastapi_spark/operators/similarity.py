@@ -684,7 +684,15 @@ def semantic_dedup(
 
     nlist = len(centroids)
     if assign_via == "auto":
-        assign_via = "literal" if nlist <= 64 else "broadcast"
+        # the cutoff is TOTAL chain terms, not centroid count: 16 centroids
+        # x 64 dims of unrolled literal chains already overflow janino's
+        # 64 KB method limit when whole-stage codegen fuses the self-join's
+        # two assignment sides — the failed compile ATTEMPT alone cost ~50 s
+        # per run before falling back to interpreted eval. The broadcast
+        # fold is bit-identical (pinned by test) with O(1) generated code.
+        assign_via = (
+            "literal" if nlist * len(centroids[0]) <= 512 else "broadcast"
+        )
     if assign_via not in ("literal", "broadcast"):
         raise ValueError(f"assign_via must be literal|broadcast|auto, got {assign_via!r}")
     vec = F.col(vec_col)
@@ -693,7 +701,7 @@ def semantic_dedup(
         # quantizers (the oracle-replayed gate shape)
         cells = F.array(
             *[
-                F.struct(_block_dist(vec, 0, c).alias("d"), F.lit(i).alias("i"))
+                F.struct(_block_dist(vec_col, 0, c).alias("d"), F.lit(i).alias("i"))
                 for i, c in enumerate(centroids)
             ]
         )
@@ -741,15 +749,70 @@ def semantic_dedup(
             vec.alias("v"),
             F.array_min(mapped).getField("i").alias("cluster_id"),
         )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("b.id") < F.col("a.id")),
+    # pairwise cosine as a server-parsed UNROLLED chain, not the zip_with/
+    # aggregate fold: higher-order lambdas are interpreted per pair, and at
+    # ~500k within-cluster pairs that read as ~2 min of eval at sf0.1; the
+    # unrolled chain whole-stage-codegens and is term-for-term the same
+    # left-associative IEEE sum the fold (and the SQL oracle's list_reduce)
+    # performs, with per-row norms computed ONCE before the join
+    dim = len(centroids[0])
+
+    def _dot_sql(x: str, y: str) -> str:
+        return " + ".join(
+            f"(CAST(element_at({x}, {i}) AS DOUBLE) * "
+            f"CAST(element_at({y}, {i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
         )
-        .filter(cosine(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
-        .select(F.col("a.id").alias("id"))
+
+    # materialize (id, v, cluster_id, norm) ONCE: the frame feeds the pair
+    # join's probe side, its broadcast build side, AND the final verdict
+    # join — without the checkpoint the (interpreted-lambda) assignment
+    # re-evaluates per consumer, which at 64 broadcast centroids read as
+    # ~30 s of the gate's wall time on 4k rows
+    normed = assigned.withColumn(
+        "_vn", F.expr(f"sqrt({_dot_sql('v', 'v')})")
+    ).localCheckpoint(eager=False)
+    # the probe side inherits the source's partitioning (often ONE file →
+    # 1-2 partitions at gate scale), and the per-pair work all happens on
+    # its tasks once the build side broadcasts — spread it across the
+    # cluster width or a million-pair filter runs on 2 cores. The partition
+    # count is EXPLICIT: the input is kilobytes but each row fans out to
+    # thousands of pairs, so AQE's size-based coalescing would fold the
+    # shuffle back to one task
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    left = normed.repartition(n_parts, F.col("id")).select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("_vn").alias("na"),
+        "cluster_id",
+    )
+    right = normed.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("_vn").alias("nb"),
+        F.col("cluster_id").alias("cluster_b"),
+    )
+    # BROADCAST the build side: a plain shuffle join partitions by
+    # cluster_id, and with k clusters there are at most k non-empty tasks —
+    # one skewed cluster serializes its whole |c|²/2 pair scan (measured:
+    # a 1546-row cluster put ~1.2M chain evals on one task, 80 s that no
+    # core count could shrink). Broadcasting keeps the probe side's id-hash
+    # partitioning, so a heavy cluster's pairs spread over every task. At
+    # corpus sizes past broadcast reach, salt the cluster key
+    # (operators/skew.py) or cap cluster sizes as SemDeDup itself does.
+    dropped = (
+        left.join(
+            F.broadcast(right),
+            (F.col("cluster_id") == F.col("cluster_b"))
+            & (F.col("id_b") < F.col("id_a")),
+        )
+        .filter(
+            F.expr(
+                f"({_dot_sql('va', 'vb')}) / nullif(na * nb, 0.0D)"
+                f" >= {float(threshold)!r}D"
+            )
+        )
+        .select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("is_dropped", F.lit(1))
     )

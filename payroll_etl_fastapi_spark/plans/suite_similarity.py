@@ -702,24 +702,18 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _semdedup_oracle(nlist: int = 16, threshold: float = 0.85) -> str:
-    from payroll_etl_fastapi_spark.operators import pq as PQ
-
-    cents = PQ.ivf_centroids_random(nlist, DIM, seed=PQ.PQ_SEED + 2)
-
-    def fdist(col: str, cent: list[float]) -> str:
-        return " + ".join(
-            f"(CAST({col}[{i + 1}] AS DOUBLE) - ({v!r})) * "
-            f"(CAST({col}[{i + 1}] AS DOUBLE) - ({v!r}))"
-            for i, v in enumerate(cent)
-        )
-
-    ad_cols = ",\n               ".join(
-        f"{fdist('embedding', c)} AS ad_{l}" for l, c in enumerate(cents)
+def _semdedup_oracle(nlist: int = 64, threshold: float = 0.85) -> str:
+    """SQL twin of the semantic-dedup gate. The coarse centroids are the
+    nlist lowest-id embeddings, DERIVED INSIDE THE SQL (same convention as
+    ann_ivf_topk's oracle) — no literals; assignment is the argmin of the
+    fold-ordered squared-L2 distance with ties to the smaller centroid
+    index, replayed with QUALIFY row_number()."""
+    d = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        "i -> (CAST(c.embedding[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE)) * "
+        "(CAST(c.embedding[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
     )
-    ad_case = "CASE " + " ".join(
-        f"WHEN ad_{l} = am THEN {l}" for l in range(nlist)
-    ) + " END"
     return f"""
     WITH corpus AS (
         SELECT vec_id, embedding FROM embeddings
@@ -730,16 +724,18 @@ def _semdedup_oracle(nlist: int = 16, threshold: float = 0.85) -> str:
                              ELSE embedding[i] END) AS embedding
         FROM embeddings
     ),
-    a_d AS (
-        SELECT vec_id, embedding, {ad_cols}
-        FROM corpus
-    ),
-    a_m AS (
-        SELECT *, least({", ".join(f"ad_{l}" for l in range(nlist))}) AS am
-        FROM a_d
+    cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {nlist})
     ),
     assign AS (
-        SELECT vec_id AS id, embedding AS v, {ad_case} AS cluster_id FROM a_m
+        SELECT c.vec_id AS id, c.embedding AS v, cents.cid AS cluster_id
+        FROM corpus c, cents
+        QUALIFY row_number() OVER (
+            PARTITION BY c.vec_id ORDER BY {d}, cents.cid
+        ) = 1
     ),
     dropped AS (
         SELECT DISTINCT a.id
@@ -758,18 +754,17 @@ def _semdedup_oracle(nlist: int = 16, threshold: float = 0.85) -> str:
 @query("dedup_semantic_clusters", oracle=_semdedup_oracle())
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication (operators.similarity.semantic_dedup;
-    Abbas et al. 2023): cluster corpus ∪ mutated-copy with 16 literal
-    centroids (oracle-friendly stand-in for trained k-means, same split as
-    the ANN family), then drop any vector with a lower-id cluster-mate at
-    cosine >= 0.85 — the published cluster-then-prune shape whose pairwise
-    cost is n²/k, tuned by raising k at scale. Positive path by
-    construction: each 7th-element-zeroed copy sits at cosine ≈ 0.92 from
+    Abbas et al. 2023): cluster corpus \u222a mutated-copy with a 64-centroid
+    coarse quantizer (the 64 lowest-id embeddings -- the deterministic
+    data-dependent sampling ann_ivf_topk also uses; data centroids keep the
+    clusters balanced where seeded-random ones collapsed ~half the corpus
+    into three clusters), then drop any vector with a lower-id cluster-mate
+    at cosine >= 0.85 -- the published cluster-then-prune shape whose
+    pairwise cost is n\u00b2/k, tuned by raising k at scale. Positive path by
+    construction: each 7th-element-zeroed copy sits at cosine \u2248 0.92 from
     its source and is dropped when co-clustered (cross-cluster misses are
     the algorithm's own recall trade, replayed identically by the oracle).
-    NEW in round 4 (registered past the rotation commit; locally
-    oracle-verified, round-5 rotation candidate)."""
-    from payroll_etl_fastapi_spark.operators import pq as PQ
-
+    NEW in round 4."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copy = emb.select(
         (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
@@ -779,8 +774,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(copy)
-    cents = PQ.ivf_centroids_random(16, DIM, seed=PQ.PQ_SEED + 2)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(64).collect()
+    ]
     out = sim.semantic_dedup(corpus, cents, threshold=0.85)
     return out.select(
         F.col("id").alias("vec_id"), "cluster_id", F.col("is_dropped").cast("long")
     ).orderBy("vec_id")
+
+
