@@ -69,10 +69,23 @@ def pq_codebooks_random(
     ]
 
 
-def _block_dist(vec: Column, off: int, centroid: list[float]) -> Column:
+def _block_dist(vec: Column | str, off: int, centroid: list[float]) -> Column:
     """Squared L2 distance of vec[off : off+len] to a literal centroid as a
     LEFT-ASSOCIATIVE +-chain — the fixed evaluation order both engines
-    share, making the double bit-identical."""
+    share, making the double bit-identical.
+
+    Pass the COLUMN NAME (str) on hot construction paths: the chain is then
+    built as ONE server-parsed F.expr string instead of ~6 py4j round trips
+    per dimension — measured ~12 s → sub-second plan-build time for the
+    IVF-PQ gate's ~2.6k-term tree. The parsed AST is identical (explicit
+    element_at + D-suffixed double literals), so results are bit-equal;
+    tests pin str ≡ Column construction."""
+    if isinstance(vec, str):
+        terms = []
+        for i, c in enumerate(centroid):
+            t = f"(CAST(element_at(`{vec}`, {off + i + 1}) AS DOUBLE) - ({float(c)!r}D))"
+            terms.append(f"{t} * {t}")
+        return F.expr(" + ".join(terms))
     out: Column | None = None
     for i, c in enumerate(centroid):
         t = F.element_at(vec, off + i + 1).cast("double") - F.lit(float(c))
@@ -92,14 +105,13 @@ def pq_encode(
     """(id, [keep...,] c0 … c{m-1}): each block's nearest-centroid code
     (squared-L2 argmin, ties to the smaller code via (dist, code)
     struct-min). Pure projection — the 100 TB path encodes in one scan."""
-    vec = F.col(vec_col)
     dsub = len(codebooks[0][0])
     cols = [F.col(id_col).alias("id"), *[F.col(c) for c in keep]]
     for j, book in enumerate(codebooks):
         cells = F.array(
             *[
                 F.struct(
-                    _block_dist(vec, j * dsub, c).alias("d"),
+                    _block_dist(vec_col, j * dsub, c).alias("d"),
                     F.lit(ci).alias("i"),
                 )
                 for ci, c in enumerate(book)
@@ -135,12 +147,11 @@ def pq_adc_topk(
             )
         ).alias("bc"),
     ).select("id", "bc.block", "bc.code")
-    qvec = F.col(vec_col)
     entries = [
         F.struct(
             F.lit(j).alias("block"),
             F.lit(ci).alias("code"),
-            F.floor(_block_dist(qvec, j * dsub, c) * F.lit(1e6) + F.lit(0.5))
+            F.floor(_block_dist(vec_col, j * dsub, c) * F.lit(1e6) + F.lit(0.5))
             .cast("long")
             .alias("du"),
         )
@@ -207,7 +218,7 @@ def pq_train_codebooks(
             cells = F.array(
                 *[
                     F.struct(
-                        _block_dist(vec, j * dsub, c).alias("d"),
+                        _block_dist(vec_col, j * dsub, c).alias("d"),
                         F.lit(ci).alias("i"),
                     )
                     for ci, c in enumerate(book)
@@ -291,22 +302,47 @@ def ivf_pq_topk(
     dsub = len(codebooks[0][0])
     vec = F.col(vec_col)
 
-    cent2d = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    # coarse assignment via ONE broadcast row of (cent_id, cent_vec)
+    # structs and a fold-based L2 argmin: the unrolled literal chains for
+    # nlist x dim terms pushed the fused encode stage past janino's 64 KB
+    # method limit (whole-stage codegen fell back to interpreted eval);
+    # the fold is bit-identical to the chain (IEEE 0.0 + x == x for the
+    # non-negative squared terms). array_sort pins _cents to cent_id
+    # order so element_at(list_id + 1) retrieves the assigned centroid.
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cent_id int, cent_vec array<double>",
     )
-    assign_cells = F.array(
-        *[
-            F.struct(_block_dist(vec, 0, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
+    one_row = F.broadcast(
+        cent_df.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cent_vec"))
+            ).alias("_cents")
+        )
     )
-    list_id = F.array_min(assign_cells).getField("i")
+    mapped = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    c["cent_vec"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cent_id"].alias("i"),
+        ),
+    )
+    list_id = F.array_min(mapped).getField("i")
     res = F.zip_with(
         vec,
-        F.element_at(cent2d, list_id + 1),
+        F.element_at(F.col("_cents"), list_id + 1).getField("cent_vec"),
         lambda a, b: a.cast("double") - b,
     )
-    enc_in = corpus.select(
+    enc_in = corpus.crossJoin(one_row).select(
         F.col(id_col), list_id.alias("list_id"), res.alias("res")
     )
     codes = pq_encode(enc_in, codebooks, id_col=id_col, vec_col="res", keep=("list_id",))
@@ -325,18 +361,18 @@ def ivf_pq_topk(
 
     # probe selection: sort the (distance, list_id) structs, keep n_probe
     probed = (
-        queries.select(
+        queries.crossJoin(one_row)
+        .select(
             F.col(id_col).alias("query_id"),
             vec.alias("qv"),
-            F.explode(
-                F.slice(F.array_sort(assign_cells), 1, n_probe)
-            ).alias("p"),
+            F.col("_cents"),
+            F.explode(F.slice(F.array_sort(mapped), 1, n_probe)).alias("p"),
         )
-        .select("query_id", "qv", F.col("p.i").alias("list_id"))
+        .select("query_id", "qv", "_cents", F.col("p.i").alias("list_id"))
     )
     qres = F.zip_with(
         F.col("qv"),
-        F.element_at(cent2d, F.col("list_id") + 1),
+        F.element_at(F.col("_cents"), F.col("list_id") + 1).getField("cent_vec"),
         lambda a, b: a.cast("double") - b,
     )
     probed_res = probed.select("query_id", "list_id", qres.alias("qres"))
@@ -345,7 +381,7 @@ def ivf_pq_topk(
             F.lit(j).alias("block"),
             F.lit(ci).alias("code"),
             F.floor(
-                _block_dist(F.col("qres"), j * dsub, c) * F.lit(1e6) + F.lit(0.5)
+                _block_dist("qres", j * dsub, c) * F.lit(1e6) + F.lit(0.5)
             )
             .cast("long")
             .alias("du"),
