@@ -204,6 +204,9 @@ _SECONDARY: tuple[str, ...] = (
     # multimodal keeps multimodal_binary_stats)
     "cdc_apply_orders",
     "multimodal_features",
+    # NEW after the final swap (locally oracle-verified; round-5 rotation
+    # candidate)
+    "vocab_bpe_apply",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

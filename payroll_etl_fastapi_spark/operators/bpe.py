@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_counts", "train_bpe"]
+__all__ = ["word_counts", "train_bpe", "apply_merges"]
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -111,3 +111,23 @@ def train_bpe(words: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
             "n", _apply_merge(F.col("seq"), b.lhs, b.rhs).alias("seq")
         ).localCheckpoint(eager=False)
     return merges
+
+
+def apply_merges(
+    words: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """(word → n, seq): tokenize the word table with a TRAINED merge list —
+    the encode half of the tokenizer. Merges apply in training order, each
+    as the same leftmost-first fold the trainer used; the result is one
+    chained projection (no shuffle, no iteration jobs — the merge list is
+    a plan-time constant)."""
+    df = words.select(
+        "word",
+        "n",
+        F.filter(F.split(F.col("word"), ""), lambda c: c != "").alias("seq"),
+    )
+    for _, lhs, rhs, _cnt in merges:
+        df = df.select(
+            "word", "n", _apply_merge(F.col("seq"), lhs, rhs).alias("seq")
+        )
+    return df

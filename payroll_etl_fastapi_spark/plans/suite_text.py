@@ -527,7 +527,7 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 12) -> str:
+def _bpe_oracle(n_merges: int = 12, mode: str = "merges") -> str:
     """SQL re-training of operators.bpe.train_bpe: K chained iterations,
     each a pair-count + argmax + merge-application level. Words ride as
     boundary-wrapped strings ('|t||o||k|'); a merge rewrites '|L||R|' →
@@ -565,6 +565,18 @@ def _bpe_oracle(n_merges: int = 12) -> str:
         FROM w{i - 1} s, b{i} b
     )"""
         )
+    if mode == "tokens":
+        # the final words table IS the tokenized corpus: explode its
+        # subword tokens weighted by word count
+        final = f"""
+    SELECT u.tok AS token, CAST(sum(w.n) AS BIGINT) AS n_occurrences
+    FROM w{n_merges} w,
+         unnest(string_split(substr(w.w, 2, length(w.w) - 2), '||')) AS u(tok)
+    GROUP BY u.tok
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """
+        return "\n    WITH " + ",\n    ".join(parts) + final
     union = "\n        UNION ALL\n".join(
         f"        SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
@@ -607,3 +619,31 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(s, l, r, c) for s, l, r, c in merges], schema
     ).orderBy("step")
+
+
+@query("vocab_bpe_apply", oracle=_bpe_oracle(mode="tokens"))
+def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with the trained merges (operators.bpe.apply_merges)
+    — the encode half: train the 12-step merge table, re-apply it to the
+    word table as one chained fold projection (the merge list is a
+    plan-time constant; no iteration jobs), and report the top-20 subword
+    tokens by weighted occurrence count. The oracle re-trains AND
+    re-tokenizes in SQL — its final words CTE is the tokenized corpus, so
+    a single misplaced merge anywhere in the chain changes the token
+    histogram and flips the hash. NEW in round 4 (registered past the tail
+    swap; locally oracle-verified, round-5 rotation candidate)."""
+    from pyspark.sql import functions as F2
+
+    from payroll_etl_fastapi_spark.operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    words = B.word_counts(docs).localCheckpoint(eager=False)
+    merges = B.train_bpe(words, 12)
+    toks = B.apply_merges(words, merges)
+    return (
+        toks.select(F2.explode("seq").alias("token"), "n")
+        .groupBy("token")
+        .agg(F2.sum("n").alias("n_occurrences"))
+        .orderBy(F2.col("n_occurrences").desc(), "token")
+        .limit(20)
+    )

@@ -62,3 +62,29 @@ def test_word_counts_restricts_alphabet(spark):
     )
     got = {r.word: r.n for r in bpe.word_counts(docs).collect()}
     assert got == {"foo": 2, "qux": 1}  # digits/punct words excluded
+
+
+def test_apply_merges_matches_trainer_state(spark):
+    # applying the trained merges from scratch must reproduce the exact
+    # token sequences the trainer ended with
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = _words(spark, wc)
+    merges = bpe.train_bpe(words, 6)
+    got = {r.word: list(r.seq) for r in bpe.apply_merges(words, merges).collect()}
+
+    def replica_seqs(wc, ms):
+        seqs = {w: list(w) for w in wc}
+        for _, l, r, _c in ms:
+            for w, s in seqs.items():
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                seqs[w] = ns
+        return seqs
+
+    assert got == replica_seqs(wc, merges)
