@@ -38,9 +38,10 @@ hold green r3-or-earlier driver rows (`join_semi_urgent_customers`,
 `dedup_minhash_verified_counts`), and the two gates built after that
 (`streaming_sketch_cms`, `vocab_bpe_merges`) took the slots of r3-green
 `cdc_apply_orders` / `multimodal_features` — so the no-rotation-debt
-invariant holds for the whole 83-query registry at round-4 end: every
-registered query either gets its driver row this round or already holds
-one.
+invariant holds for every query registered through the final swap: each
+either gets its driver row this round or already holds one. The one gate
+built after that (`vocab_bpe_apply`) is the round-5 rotation candidate,
+locally oracle-verified at sf0.01 + sf0.1.
 
 ``_ARCHIVED`` are four redundant twins retired from the driver registry on
 the round-2 judge's direction (each remains implemented, pytest-covered, and
