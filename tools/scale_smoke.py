@@ -30,8 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from payroll_etl_fastapi_spark.session import get_spark  # noqa: E402
+from payroll_etl_fastapi_spark.operators import bloom as B  # noqa: E402
 from payroll_etl_fastapi_spark.operators import dedup  # noqa: E402
 from payroll_etl_fastapi_spark.operators import passage  # noqa: E402
+from payroll_etl_fastapi_spark.operators import pq as PQ  # noqa: E402
+from payroll_etl_fastapi_spark.operators import sketch as SK  # noqa: E402
 from payroll_etl_fastapi_spark.operators import quality  # noqa: E402
 from payroll_etl_fastapi_spark.operators import search  # noqa: E402
 from payroll_etl_fastapi_spark.operators import similarity as sim  # noqa: E402
@@ -116,7 +119,61 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame):
             docs, chunk_words=10, min_docs=5
         ).count(),
         "txtable_delete_optimize": lambda: _txtable_lifecycle(spark, docs),
+        # round-4-tail additions: bloom semi-join reduction, HLL/CMS
+        # sketches, IVF-PQ, SemDeDup
+        "bloom_filtered_join": lambda: _bloom_join(events),
+        "hll_by_event_type": lambda: SK.hll_estimate(
+            SK.hll_registers(events, "user_id", ["event_type"]),
+            ["event_type"],
+        ).count(),
+        "cms_build": lambda: SK.cms_build(events, "user_id").count(),
+        "ivf_pq_topk": lambda: PQ.ivf_pq_topk(
+            emb,
+            queries_emb,
+            PQ.ivf_centroids_random(8, 64),
+            PQ.pq_codebooks_random(4, 8, 64),
+            k=10,
+            n_probe=2,
+        ).count(),
+        # SemDeDup's published scaling rule fixes cluster SIZE, not count:
+        # the quadratic is per-cluster, so k grows with the corpus — the
+        # smoke scales k with the multiplier exactly as a production run
+        # would. Centroids are lowest-id corpus vectors (the gate's
+        # deterministic data-dependent sampling): random centroids
+        # concentrate a 64-dim corpus into a few giant clusters and the
+        # n²/k bound evaporates
+        "semantic_dedup": lambda: sim.semantic_dedup(
+            emb,
+            [
+                [float(x) for x in r.embedding]
+                for r in emb.orderBy("vec_id").limit(64 * mult_of(emb)).collect()
+            ],
+            threshold=0.95,
+        ).count(),
     }
+
+
+_BASE_EMB_ROWS: list[int] = []
+
+
+def mult_of(emb: DataFrame) -> int:
+    """Infer the current multiplier from the corpus size (the ops dict is
+    rebuilt per multiplier, but the frames are what vary)."""
+    n = emb.count()
+    if not _BASE_EMB_ROWS:
+        _BASE_EMB_ROWS.append(n)
+    return max(1, n // _BASE_EMB_ROWS[0])
+
+
+def _bloom_join(events: DataFrame) -> int:
+    """Dim = ~1% of users; fact = events Bloom-pruned on the dim keys
+    before a merge join — the gate composition at smoke scale."""
+    dim = (
+        events.select("user_id").distinct().filter(F.col("user_id") % 101 == 0)
+    )
+    words = B.bloom_build(dim, "user_id")
+    pruned = events.filter(B.bloom_might_contain(F.col("user_id"), words))
+    return pruned.join(dim.hint("merge"), "user_id").count()
 
 
 def _txtable_lifecycle(spark, docs: DataFrame) -> int:
