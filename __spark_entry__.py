@@ -208,6 +208,8 @@ _SECONDARY: tuple[str, ...] = (
     # NEW after the final swap (locally oracle-verified; round-5 rotation
     # candidate)
     "vocab_bpe_apply",
+    # NEW round-4 late additions (locally oracle-verified; window swap below)
+    "sketch_hdr_quantiles",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

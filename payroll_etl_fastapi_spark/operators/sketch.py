@@ -39,6 +39,12 @@ __all__ = [
     "hll_registers",
     "hll_merge",
     "hll_estimate",
+    "HDR_MBITS",
+    "hdr_bucket_key",
+    "hdr_lower_bound",
+    "hdr_histogram",
+    "hdr_merge",
+    "hdr_quantiles",
 ]
 
 CMS_DEPTH = 4
@@ -221,3 +227,129 @@ def hll_estimate(
             F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch: mergeable percentile estimation with a
+# BOUNDED relative error and a BOUNDED footprint (the HdrHistogram design,
+# Gil Tene — log-scale exponent buckets refined by HDR_MBITS mantissa bits,
+# so every bucket spans at most a 2^-HDR_MBITS relative range).
+#
+# Everything is INTEGER arithmetic — bucket keys, counts, cumulative ranks,
+# and the reported quantile lower bounds — so a DuckDB oracle replays the
+# sketch AND the quantile answers bit-for-bit (no IEEE division anywhere,
+# unlike the HLL above which needs exactly one).
+#
+# Scale shape (100 TB): the histogram is ONE grouped count with map-side
+# combine, at most (64 - m) * 2^m + 2^m rows per group whatever the input
+# size (m=5 → ≤ 1,920 rows); two days'/partitions' histograms merge by
+# bucket-wise addition (`hdr_merge`) exactly like `cms_merge`. Quantile
+# extraction folds the (tiny, bounded-by-construction) per-group bucket
+# array with `aggregate()` — no global window, no driver collect.
+#
+# This is the monitoring/quality-gate primitive the exact
+# `percentile_cont` path (plans/kpi.py A5) cannot provide at stream/corpus
+# scale: exact percentiles need a full sort per group; the sketch needs one
+# map-side-combined count and answers any quantile after the fact.
+# ---------------------------------------------------------------------------
+
+HDR_MBITS = 5  # mantissa bits: relative bucket width <= 2^-5 ~ 3.1%
+
+
+def hdr_bucket_key(v: Column, m: int = HDR_MBITS) -> Column:
+    """Integer bucket key of non-negative bigint ``v``, monotone in value.
+
+    Values below 2^m are EXACT (key = v); above, the key packs
+    (exponent e = bit_length(v) - 1, top m+1 mantissa bits) as
+    (e << m) + ((v >> (e - m)) - 2^m). Exact keys live in [0, 2^m);
+    packed keys start at (m << m) >= 2^m — the regions never collide.
+    Identical in DuckDB with length(bin(v)), >>, +."""
+    lo = 1 << m
+    e = (F.length(F.bin(v)) - F.lit(1)).cast("int")
+    # v >> (e - m) with a COLUMN shift amount: the Python wrapper only takes
+    # an int literal, so call the SQL function directly (DuckDB twin:
+    # v >> (e - m)) — integer all the way, exact for any non-negative long.
+    shifted = F.call_function("shiftrightunsigned", v, e - F.lit(m))
+    packed = (e.cast("long") * F.lit(lo)) + (shifted - F.lit(lo))
+    return F.when(v < lo, v).otherwise(packed).cast("long")
+
+
+def hdr_lower_bound(key: Column, m: int = HDR_MBITS) -> Column:
+    """Smallest value mapping to ``key`` — the quantile answer the sketch
+    reports (a guaranteed LOWER bound on the true quantile, within
+    2^-m relative). Integer-only; same CASE in SQL."""
+    lo = 1 << m
+    e = F.shiftright(key, m).cast("int")
+    sub = (key % F.lit(lo)) + F.lit(lo)
+    return (
+        F.when(key < lo, key)
+        .otherwise(F.call_function("shiftleft", sub, e - F.lit(m)))
+        .cast("long")
+    )
+
+
+def hdr_histogram(
+    df: DataFrame, value_col: str | Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., key, cnt): the per-group HDR histogram. ``value_col`` must
+    be a non-negative bigint (cast/scale upstream — e.g. prices to cents)."""
+    group_cols = group_cols or []
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.select(*group_cols, hdr_bucket_key(v).alias("key"))
+        .groupBy(*group_cols, "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Bucket-wise sum — lossless: merged per-partition histograms equal the
+    single-pass histogram exactly (same linearity as `cms_merge`)."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "key")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    quantiles: list[tuple[str, int, int]] | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n, <name>... ) — for each (name, num, den) quantile
+    q = num/den, the lower bound of the bucket holding rank ceil(q·n),
+    computed by folding the sorted (key, cnt) bucket array per group.
+
+    The fold is over a BOUNDED array (≤ ~2k buckets by construction, not
+    data-sized), so `collect_list` here is safe at any scale; rank targets
+    use integer ceil ((n·num + den - 1) div den) — no floats anywhere."""
+    group_cols = group_cols or []
+    quantiles = quantiles or [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    one = hist.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("key", "cnt"))).alias("arr"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    cols = [*group_cols, F.col("n")]
+    for name, num, den in quantiles:
+        target = F.expr(f"CAST((n * {num} + {den} - 1) DIV {den} AS BIGINT)")
+        found = F.aggregate(
+            F.col("arr"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("k")
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.when(acc["k"] >= 0, acc["k"])
+                .otherwise(
+                    F.when(acc["cum"] + x["cnt"] >= target, x["key"]).otherwise(
+                        F.lit(-1).cast("long")
+                    )
+                )
+                .alias("k"),
+            ),
+            lambda acc: acc["k"],
+        )
+        cols.append(hdr_lower_bound(found).alias(name))
+    return one.select(*cols)

@@ -568,3 +568,79 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "exact_distinct", "hll_est", "n_buckets_used")
         .orderBy("priority")
     )
+
+
+def _hdr_oracle() -> str:
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    m, lo = SK.HDR_MBITS, 1 << SK.HDR_MBITS
+    key = (
+        f"CASE WHEN v < {lo} THEN v "
+        f"ELSE (length(bin(v)) - 1) * {lo} "
+        f"+ ((v >> (length(bin(v)) - 1 - {m})) - {lo}) END"
+    )
+
+    def lb(k: str) -> str:
+        return (
+            f"CAST(CASE WHEN {k} < {lo} THEN {k} "
+            f"ELSE (({k} % {lo}) + {lo}) << (({k} // {lo}) - {m}) END AS BIGINT)"
+        )
+
+    return f"""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               {_sql_cents('l_extendedprice')} AS v
+        FROM lineitem
+    ),
+    k AS (
+        SELECT flag, {key} AS key, count(*) AS cnt FROM v GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT flag, key, cnt,
+               sum(cnt) OVER (PARTITION BY flag ORDER BY key) AS cum,
+               sum(cnt) OVER (PARTITION BY flag) AS n
+        FROM k
+    ),
+    q AS (
+        SELECT flag, CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN cum >= (n * 1 + 1) // 2   THEN key END) AS k50,
+               min(CASE WHEN cum >= (n * 9 + 9) // 10  THEN key END) AS k90,
+               min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN key END) AS k99
+        FROM c GROUP BY flag
+    )
+    SELECT flag, n,
+           {lb('k50')} AS p50,
+           {lb('k90')} AS p90,
+           {lb('k99')} AS p99
+    FROM q ORDER BY flag
+    """
+
+
+@query("sketch_hdr_quantiles", oracle=_hdr_oracle())
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch (operators.sketch.hdr_*): per-returnflag
+    p50/p90/p99 of extended price from a log-scale integer histogram — the
+    mergeable, bounded-footprint percentile the exact percentile_cont path
+    (plans/kpi.py A5) cannot provide at stream/corpus scale.
+
+    Everything is integer arithmetic (bucket keys, counts, rank targets,
+    reported lower bounds), so the oracle replays the sketch AND the
+    answers bit-for-bit; answers are guaranteed lower bounds within
+    2^-HDR_MBITS (~3.1%) relative of the true quantile, pinned against
+    exact percentiles in tests/test_sketch_hdr.py.
+
+    Scale shape (100 TB): ONE grouped count with map-side combine — the
+    histogram is <= ~1.9k rows per group whatever the input; per-partition /
+    per-day histograms merge by bucket-wise addition (hdr_merge, pinned
+    lossless); quantile extraction folds the bounded bucket array with
+    aggregate() — no global sort, no window over data, no driver collect.
+    NEW in round 4 (post-tail); replaces nothing — extends the sketch family
+    (CMS frequencies, HLL distincts) with quantiles."""
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        _cents(F.col("l_extendedprice")).alias("v"),
+    )
+    hist = SK.hdr_histogram(li, "v", ["flag"])
+    return SK.hdr_quantiles(hist, group_cols=["flag"]).orderBy("flag")
