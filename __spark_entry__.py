@@ -210,6 +210,7 @@ _SECONDARY: tuple[str, ...] = (
     "vocab_bpe_apply",
     # NEW round-4 late additions (locally oracle-verified; window swap below)
     "sketch_hdr_quantiles",
+    "dedup_duplicate_spans",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

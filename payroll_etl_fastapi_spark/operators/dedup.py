@@ -531,3 +531,79 @@ def connected_components(
             "max_iterations"
         )
     return labels.select("id", "component")
+
+
+def doc_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """(id, span): NON-overlapping ``span_tokens``-token windows per document
+    — the unit of cross-document exact-substring dedup (the span-granular
+    form of Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" / RefinedWeb's exact-substring stage, which remove
+    verbatim text shared across documents that near-dup DOES NOT catch:
+    boilerplate, licenses, quoted passages inside otherwise-unique docs).
+
+    Non-overlapping windows keep the explode at ~n/span_tokens rows per doc
+    (vs ~n for shingles); multiplicity is kept (a doc repeating its own span
+    contributes each occurrence to its span accounting). The token array is
+    materialized into a real column BEFORE the transform lambda — the same
+    re-evaluation pitfall `shingles` documents (an unbound expression inside
+    a lambda re-runs per invocation)."""
+    w = span_tokens
+    t = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    n_full = F.expr(f"size(t) DIV {w}")
+    idx = F.when(
+        F.size(F.col("t")) >= w, F.sequence(F.lit(0), n_full - 1)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    spans = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * w + 1, w))
+    )
+    return t.select("id", F.explode(spans).alias("span"))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    flag_bp: int = 5000,
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-span profile:
+    (id, n_spans, dup_spans, dup_bp, flagged) where a span is "duplicated"
+    if it appears in >= ``min_docs`` DISTINCT documents, dup_bp is the
+    duplicated fraction in integer basis points (exact — no IEEE division),
+    and ``flagged`` marks docs at or above ``flag_bp`` (default: half the
+    doc is boilerplate shared with other docs).
+
+    Plan shape (100 TB): one tokenize+explode pass (~n/span_tokens rows per
+    doc); ONE grouped distinct-count keyed on the 128-bit md5 of the span
+    (two-level aggregate with map-side partials — the full span string never
+    shuffles); ONE equality join back on the same digest key (no row
+    amplification: the count side is 1 row per distinct span; the classic
+    hot boilerplate span is exactly the skewed key AQE skew-join splits);
+    ONE per-doc grouped count. Linear end to end, no all-pairs anywhere —
+    the property that makes exact-substring dedup runnable where the
+    suffix-array formulation is not. Docs shorter than one span emit no rows
+    (nothing to dedup). md5 keying keeps the pipeline bit-replayable in SQL
+    (module convention)."""
+    sp = doc_spans(df, text_col, id_col, span_tokens)
+    fp = sp.select("id", F.md5(F.col("span")).alias("fp"))
+    counts = fp.groupBy("fp").agg(F.countDistinct("id").alias("n_docs"))
+    flags = fp.join(counts, "fp")
+    per_doc = flags.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum((F.col("n_docs") >= min_docs).cast("long"))
+        .cast("long")
+        .alias("dup_spans"),
+    )
+    return per_doc.select(
+        "id",
+        "n_spans",
+        "dup_spans",
+        F.expr("CAST(dup_spans * 10000 DIV n_spans AS BIGINT)").alias("dup_bp"),
+        (F.expr("dup_spans * 10000 DIV n_spans") >= flag_bp).alias("flagged"),
+    )

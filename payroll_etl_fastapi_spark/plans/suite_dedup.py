@@ -433,3 +433,56 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+def _duplicate_spans_oracle(w: int = 8, min_docs: int = 2, flag_bp: int = 5000) -> str:
+    return f"""
+    WITH {_sql_corpus(mutated=True)},
+    toks AS (
+        SELECT id, string_split({_SQL_NORM}, ' ') AS t FROM corpus
+    ),
+    sp AS (
+        SELECT id,
+               array_to_string(list_slice(t, i * {w} + 1, i * {w} + {w}), ' ') AS span
+        FROM toks, unnest(
+            CASE WHEN len(t) >= {w}
+                 THEN generate_series(0, len(t) // {w} - 1)
+                 ELSE [] END) AS u(i)
+    ),
+    fp AS (SELECT id, md5(span) AS fp FROM sp),
+    cnt AS (SELECT fp, count(DISTINCT id) AS n_docs FROM fp GROUP BY fp),
+    per AS (
+        SELECT f.id,
+               count(*)                                            AS n_spans,
+               sum(CASE WHEN c.n_docs >= {min_docs} THEN 1 ELSE 0 END) AS dup_spans
+        FROM fp f JOIN cnt c USING (fp)
+        GROUP BY f.id
+    )
+    SELECT id,
+           CAST(n_spans AS BIGINT)                         AS n_spans,
+           CAST(dup_spans AS BIGINT)                       AS dup_spans,
+           CAST(dup_spans * 10000 // n_spans AS BIGINT)    AS dup_bp,
+           (dup_spans * 10000 // n_spans) >= {flag_bp}     AS flagged
+    FROM per
+    ORDER BY id
+    """
+
+
+@query("dedup_duplicate_spans", oracle=_duplicate_spans_oracle())
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span profile (operators.dedup.
+    duplicate_span_stats): the span-granular exact-substring dedup of
+    Lee et al. 2022 / RefinedWeb — flags text shared VERBATIM across
+    documents (boilerplate, licenses, quoted passages) that near-dup
+    similarity misses inside otherwise-unique docs. Corpus = documents ∪
+    mutated copies, so every original span is cross-doc duplicated by
+    construction while the mutated tail differs — both paths observable.
+
+    Everything downstream of the tokenizer is integer (counts, basis
+    points), so the oracle replays span windows, digests, distinct-doc
+    counts, and flags exactly. Linear plan: one explode (~n/8 rows/doc),
+    one digest-keyed distinct-count, one digest join back (hot boilerplate
+    spans = AQE skew keys), one per-doc count — no all-pairs, no window.
+    NEW in round 4 (post-tail)."""
+    corpus = _spark_corpus(spark, sf_dir, mutated=True)
+    return dedup.duplicate_span_stats(corpus, "text", "doc_id").orderBy("id")

@@ -262,3 +262,59 @@ def test_ngram_jaccard_candidates_plan_has_no_shingle_self_join(spark):
         assert not (
             "Join" in line and line.count("shingle") >= 2 and "id" not in line
         ), f"shingle self-join leaked into the candidate-restricted plan: {line}"
+
+
+def test_duplicate_spans_accounting(spark):
+    # w=2 spans; doc 1 and doc 2 share their first span exactly; doc 3 is
+    # disjoint; doc 4 is too short for even one span (absent from output)
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # spans: "a b", "c d"
+            (2, "a b x y"),          # spans: "a b", "x y"
+            (3, "p q r s"),          # spans: "p q", "r s"
+            (4, "z"),                # no spans
+        ],
+        "doc_id long, text string",
+    )
+    from payroll_etl_fastapi_spark.operators.dedup import duplicate_span_stats
+
+    out = {
+        r.id: r
+        for r in duplicate_span_stats(df, span_tokens=2, flag_bp=5000).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_spans == 2 and out[1].dup_spans == 1 and out[1].dup_bp == 5000
+    assert out[1].flagged is True
+    assert out[2].dup_spans == 1 and out[2].flagged is True
+    assert out[3].dup_spans == 0 and out[3].dup_bp == 0 and out[3].flagged is False
+
+
+def test_duplicate_spans_multiplicity_and_self_repeat(spark):
+    # a doc repeating its own span: NOT cross-doc duplicated (distinct docs
+    # = 1), but each occurrence still counts toward n_spans; once another
+    # doc shares it, ALL occurrences count as duplicated
+    from payroll_etl_fastapi_spark.operators.dedup import duplicate_span_stats
+
+    solo = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    r = duplicate_span_stats(solo, span_tokens=2).collect()[0]
+    assert r.n_spans == 2 and r.dup_spans == 0
+
+    shared = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r.id: r for r in duplicate_span_stats(shared, span_tokens=2).collect()}
+    assert rows[1].dup_spans == 2 and rows[1].dup_bp == 10000
+    assert rows[2].dup_spans == 1
+
+
+def test_duplicate_spans_plan_is_linear(spark):
+    # no cartesian/nested-loop anywhere: candidate generation is a digest
+    # equality join, the only joins in the plan
+    from payroll_etl_fastapi_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = duplicate_span_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
