@@ -211,6 +211,7 @@ _SECONDARY: tuple[str, ...] = (
     # NEW round-4 late additions (locally oracle-verified; window swap below)
     "sketch_hdr_quantiles",
     "dedup_duplicate_spans",
+    "corpus_dsir_weights",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -138,3 +138,81 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
         F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
         F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))),
     )
+
+
+DSIR_BUCKETS = 4096
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_col: str | Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its hashed-feature bag is under the TARGET
+    distribution than under the RAW distribution —
+    log w(doc) = Σ_tok [ log p_tgt(b(tok)) - log p_raw(b(tok)) ] with
+    add-alpha-smoothed bucket unigrams. High-weight docs "look like" the
+    target corpus; resampling by these weights is the published recipe for
+    selecting pretraining data that matches a quality domain.
+
+    ``target_col`` is a boolean column/expression marking the target
+    subset (e.g. lang == 'en'); features are md5-hashed tokens into
+    ``buckets`` buckets (portable convention, SQL-replayable).
+
+    Output: (id, n_tokens, log_weight) for docs with >= 1 token. Each
+    bucket's log-ratio is snapped to integer microunits BEFORE the per-doc
+    sum (the suite's determinism convention), so aggregation order cannot
+    perturb the result.
+
+    Plan shape (100 TB): ONE tokenize+explode pass; ONE bucket-keyed
+    grouped count with map-side combine — the feature table is <= buckets
+    rows TOTAL regardless of corpus size, so both the totals (1 row) and
+    the per-bucket log-ratios BROADCAST to the per-doc scoring join (no
+    shuffle of the token stream against anything large, no row
+    amplification); ONE per-doc grouped sum. Both distributions come from
+    the same single pass (a conditional sum splits target from raw).
+    No Python, no window, no collect."""
+    from payroll_etl_fastapi_spark.operators.text import tokens as _toks
+
+    tgt = F.col(target_col) if isinstance(target_col, str) else target_col
+    tok_rows = docs.select(
+        F.col(id_col).alias("id"),
+        tgt.alias("tgt"),
+        F.explode(_toks(F.col(text_col))).alias("tok"),
+    )
+    b = tok_rows.select(
+        "id",
+        "tgt",
+        (h28(F.concat(F.lit("dsir:"), F.col("tok"))) % buckets).alias("bucket"),
+    )
+    stats = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.col("tgt").cast("long")).alias("tgt_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("raw_cnt").alias("n_raw"), F.sum("tgt_cnt").alias("n_tgt")
+    )
+    ab = F.lit(float(alpha) * buckets)
+    ratio = F.log(
+        (F.col("tgt_cnt") + F.lit(float(alpha))) / (F.col("n_tgt") + ab)
+    ) - F.log((F.col("raw_cnt") + F.lit(float(alpha))) / (F.col("n_raw") + ab))
+    ratios = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(ratio * F.lit(1e6) + F.lit(0.5)).cast("long").alias("micro"),
+        )
+    )
+    return (
+        b.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum("micro") / F.lit(1e6)).alias("log_weight"),
+        )
+    )

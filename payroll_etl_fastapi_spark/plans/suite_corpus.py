@@ -528,3 +528,65 @@ def corpus_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = C.DSIR_BUCKETS
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, lang = 'en' AS tgt, unnest({_SQL_TOKS.format(col='text')}) AS tok
+        FROM documents
+        WHERE {_SQL_NORM.format(col='text')} <> ''
+    ),
+    b AS (
+        SELECT id, tgt,
+               {_SQL_H28.format(x="'dsir:' || tok")} % {_DSIR_B} AS bucket
+        FROM toks
+    ),
+    stats AS (
+        SELECT bucket, count(*) AS raw_cnt,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_cnt
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(raw_cnt) AS n_raw, sum(tgt_cnt) AS n_tgt FROM stats),
+    r AS (
+        SELECT bucket,
+               CAST(floor((ln((tgt_cnt + 1.0) / (n_tgt + 1.0 * {_DSIR_B}))
+                         - ln((raw_cnt + 1.0) / (n_raw + 1.0 * {_DSIR_B})))
+                         * 1000000 + 0.5) AS BIGINT) AS micro
+        FROM stats, tot
+    ),
+    per AS (
+        SELECT b.id, count(*) AS n_tokens, sum(r.micro) AS s
+        FROM b JOIN r USING (bucket) GROUP BY b.id
+    )
+    SELECT id AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           s / 1000000.0            AS log_weight
+    FROM per ORDER BY doc_id
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators.corpus.dsir_log_weights; Xie et al.
+    2023): importance weight of every document toward the English subset as
+    the target distribution — Σ over tokens of the add-one-smoothed
+    log-ratio between target and raw hashed-unigram bucket probabilities.
+    Docs that look like the target score high; resampling by these weights
+    is the published pretraining-data selection recipe.
+
+    Bucket log-ratios are micro-snapped before the per-doc sum, so the
+    oracle replays feature hashing, both distributions, and every weight
+    exactly. Plan: one explode pass, one bucket-keyed count (<= 4096 rows
+    total — broadcast back), one per-doc sum. NEW in round 4 (post-tail)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = C.dsir_log_weights(docs, F.col("lang") == "en", "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "log_weight"
+    ).orderBy("doc_id")

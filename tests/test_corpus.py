@@ -199,3 +199,42 @@ def test_passage_chunking_short_final_chunk(spark):
     assert [(c["chunk_idx"], c["chunk"]) for c in chunks] == [
         (0, "a b c"), (1, "d e f"), (2, "g"),
     ]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from payroll_etl_fastapi_spark.operators.corpus import dsir_log_weights
+
+    # target docs speak {alpha beta}; off-target docs speak {zeta omega}.
+    # A doc echoing the target vocabulary must outscore one echoing the
+    # off-target vocabulary, and weights must be sign-correct.
+    rows = [
+        (1, True, "alpha beta alpha beta"),
+        (2, True, "beta alpha beta alpha"),
+        (3, False, "zeta omega zeta omega"),
+        (4, False, "omega zeta omega zeta"),
+        (5, False, "alpha beta beta alpha"),   # raw doc that LOOKS target
+        (6, False, "zeta zeta omega omega"),   # raw doc that doesn't
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, is_tgt boolean, text string")
+    out = {
+        r.id: r.log_weight
+        for r in dsir_log_weights(df, "is_tgt", "text", "doc_id").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # relative ordering is the DSIR contract (absolute sign is dominated by
+    # the alpha*B smoothing mass on a tiny corpus and means nothing)
+    assert out[5] > out[6]
+    # same bag of features -> identical weight regardless of doc identity
+    assert out[1] == out[2] == out[5]
+    assert out[3] == out[4] == out[6]
+
+
+def test_dsir_weights_empty_and_tokenless_docs_dropped(spark):
+    from payroll_etl_fastapi_spark.operators.corpus import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [(1, True, "a b"), (2, False, ""), (3, False, "   ")],
+        "doc_id long, is_tgt boolean, text string",
+    )
+    out = dsir_log_weights(df, "is_tgt", "text", "doc_id").collect()
+    assert {r.id for r in out} == {1}
