@@ -43,6 +43,15 @@ either gets its driver row this round or already holds one. The one gate
 built after that (`vocab_bpe_apply`) is the round-5 rotation candidate,
 locally oracle-verified at sf0.01 + sf0.1.
 
+ROUND-4 POST-TAIL SWAP: three more gates built late in round 4
+(`sketch_hdr_quantiles`, `dedup_duplicate_spans`, `corpus_dsir_weights`)
+took the slots of `insert_if_absent` / `dedupe_keep_first` /
+`events_json_extract` — each demoted gate holds green r1-r3 (or r2-r3)
+driver rows and keeps an in-window family sibling (upsert family →
+upsert_composite_key; S6/S7 → distinct_sorted_projection plus the golden
+keep-first pytest; the §2.6 scalar set is exercised inside every kpi_*
+gate), so the no-rotation-debt invariant still holds registry-wide.
+
 ``_ARCHIVED`` are four redundant twins retired from the driver registry on
 the round-2 judge's direction (each remains implemented, pytest-covered, and
 checked by the local oracle gate): median_by_group (exact-percentile
@@ -95,13 +104,11 @@ _WINDOW: tuple[str, ...] = (
     "kpi_anomalies_mad",
     "pivot_conditional_agg",
     "distinct_sorted_projection",
-    "dedupe_keep_first",
     "upsert_composite_key",
-    "insert_if_absent",
-    "events_json_extract",
     # relational breadth (joins, per-group top-K, OLAP grouping, scalar fns)
     "join_bloom_filtered",
     "sketch_hll_distinct",
+    "sketch_hdr_quantiles",
     "topk_per_group_orders",
     "similarity_edit_distance",
     "cube_priority_status",
@@ -109,6 +116,7 @@ _WINDOW: tuple[str, ...] = (
     # dedup family (scale-safe shapes: LSH-verify + semantic clusters)
     "dedup_ngram_jaccard",
     "dedup_semantic_clusters",
+    "dedup_duplicate_spans",
     # similarity / ANN family (IVF, PQ-ADC, IVF-PQ, near-dup)
     "ann_ivf_pq_topk",
     "ann_ivf_topk",
@@ -130,6 +138,7 @@ _WINDOW: tuple[str, ...] = (
     "corpus_pack_sequences",
     "corpus_sample_stratified",
     "corpus_distinctive_terms",
+    "corpus_dsir_weights",
     # streaming (exactly-once file sinks, stream-stream join, CDC merge)
     "streaming_hourly_filesink",
     "streaming_session_filesink",
@@ -208,10 +217,15 @@ _SECONDARY: tuple[str, ...] = (
     # NEW after the final swap (locally oracle-verified; round-5 rotation
     # candidate)
     "vocab_bpe_apply",
-    # NEW round-4 late additions (locally oracle-verified; window swap below)
-    "sketch_hdr_quantiles",
-    "dedup_duplicate_spans",
-    "corpus_dsir_weights",
+    # ceded their slots to the round-4 post-tail gates (HDR quantiles,
+    # duplicate-span dedup, DSIR weights): each holds green r1-r3 (or r2-r3)
+    # driver rows and keeps an in-window family sibling — upsert family keeps
+    # upsert_composite_key; S6/S7 keep distinct_sorted_projection (keep-first
+    # semantics also pinned by golden pytest); the scalar set stays exercised
+    # inside every kpi_* gate and events keeps sliding-window + as-of
+    "insert_if_absent",
+    "dedupe_keep_first",
+    "events_json_extract",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,
