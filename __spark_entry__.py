@@ -226,6 +226,10 @@ _SECONDARY: tuple[str, ...] = (
     "insert_if_absent",
     "dedupe_keep_first",
     "events_json_extract",
+    # NEW round-4 late additions (locally oracle-verified; round-5 rotation
+    # candidates)
+    "corpus_dsir_resample",
+    "text_pmi_collocations",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -216,3 +216,55 @@ def dsir_log_weights(
             (F.sum("micro") / F.lit(1e6)).alias("log_weight"),
         )
     )
+
+
+GUMBEL_DENOM = float((1 << 28) + 1)
+
+
+def gumbel_noise(id_col: Column, salt: str = "gumbel:") -> Column:
+    """Deterministic standard-Gumbel draw per id: u = (h28(salt||id)+1) /
+    (2^28+1) in (0,1), g = -ln(-ln(u)). Hash-derived, so both engines draw
+    the SAME noise — the trick that makes randomized resampling
+    SQL-replayable (and retry/partition-layout-proof on a cluster: a task
+    retry re-derives identical samples, where rand() would not)."""
+    u = (h28(F.concat(F.lit(salt), id_col.cast("string"))) + F.lit(1)) / F.lit(
+        GUMBEL_DENOM
+    )
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_col: str | Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The full DSIR recipe (Xie et al. 2023): importance weights +
+    Gumbel-top-k resampling — sampling k documents WITHOUT replacement with
+    probability proportional to their (softmax'd) importance weights is
+    exactly "take the top k by log-weight + Gumbel noise" (the Gumbel-max
+    trick), which Spark executes as one TakeOrderedAndProject: per-partition
+    heaps, no global sort, no RNG.
+
+    Output: (id, n_tokens, log_weight, score) — the k selected docs, score
+    descending. The Gumbel perturbation is snapped to integer microunits and
+    added to the (already-micro) weight sum, so the selection order is a
+    total integer order (ties broken by id) that a SQL oracle replays
+    exactly."""
+    w = dsir_log_weights(docs, target_col, text_col, id_col, buckets, alpha)
+    g_micro = F.floor(gumbel_noise(F.col("id")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    scored = w.select(
+        "id",
+        "n_tokens",
+        "log_weight",
+        (
+            (F.floor(F.col("log_weight") * F.lit(1e6) + F.lit(0.5)).cast("long") + g_micro)
+            / F.lit(1e6)
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), "id").limit(k)

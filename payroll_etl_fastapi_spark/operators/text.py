@@ -272,3 +272,77 @@ def unigram_lm_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg(neg_log_p).alias("avg_neg_log_prob"),
     )
+
+
+def bigram_counts(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """(w1, w2, c12): corpus-wide adjacent-bigram counts. Bigrams are built
+    ARRAY-LOCALLY (zip of two shifted slices — no positional self-join, no
+    shuffle before the grouped count), then one map-side-combined count."""
+    toks = tokens(F.col(text_col))
+    t = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
+    n_pairs = F.size(F.col("t")) - 1
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, n_pairs), F.slice(F.col("t"), 2, n_pairs)
+    )
+    return (
+        t.select(F.explode(pairs).alias("p"))
+        .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+
+
+def pmi_collocations(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 30,
+):
+    """Collocation mining by pointwise mutual information (the word2vec-
+    phrases / NLTK collocation primitive): bigrams whose joint frequency
+    beats chance, PMI = ln(c12·N / (c1·c2)) over adjacent token pairs,
+    reported as the top_k strongest with exact supporting counts.
+
+    Output: (w1, w2, c12, c1, c2, pmi_micro) — pmi snapped to integer
+    microunits (the suite convention) so ordering and values replay in SQL;
+    ties broken by (w1, w2).
+
+    Plan shape (100 TB): bigram and unigram tables are each ONE explode +
+    grouped count (map-side combine); the min_count filter prunes the long
+    tail BEFORE the two unigram-attach joins (each a plain equality join
+    against a 1-row-per-token side — no amplification, hot tokens are AQE
+    skew keys); the top_k is TakeOrderedAndProject. N (total tokens) rides
+    in as a broadcast 1-row cross join. ln arguments are computed with ONE
+    division of exact integer-valued doubles, identically in both engines."""
+    toks = tokens(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").alias("n_total"))
+    bi = bigram_counts(docs, text_col, id_col).filter(F.col("c12") >= min_count)
+    joined = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(n_total))
+    )
+    pmi = F.log(
+        (F.col("c12") * F.col("n_total")).cast("double")
+        / (F.col("c1") * F.col("c2")).cast("double")
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.floor(pmi * F.lit(1e6) + F.lit(0.5)).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -590,3 +590,70 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "n_tokens", "log_weight"
     ).orderBy("doc_id")
+
+
+_DSIR_K = 100
+
+
+@query(
+    "corpus_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, lang = 'en' AS tgt, unnest({_SQL_TOKS.format(col='text')}) AS tok
+        FROM documents
+        WHERE {_SQL_NORM.format(col='text')} <> ''
+    ),
+    b AS (
+        SELECT id, tgt,
+               {_SQL_H28.format(x="'dsir:' || tok")} % {_DSIR_B} AS bucket
+        FROM toks
+    ),
+    stats AS (
+        SELECT bucket, count(*) AS raw_cnt,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_cnt
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(raw_cnt) AS n_raw, sum(tgt_cnt) AS n_tgt FROM stats),
+    r AS (
+        SELECT bucket,
+               CAST(floor((ln((tgt_cnt + 1.0) / (n_tgt + 1.0 * {_DSIR_B}))
+                         - ln((raw_cnt + 1.0) / (n_raw + 1.0 * {_DSIR_B})))
+                         * 1000000 + 0.5) AS BIGINT) AS micro
+        FROM stats, tot
+    ),
+    per AS (
+        SELECT b.id, count(*) AS n_tokens, sum(r.micro) AS s
+        FROM b JOIN r USING (bucket) GROUP BY b.id
+    ),
+    g AS (
+        SELECT id, n_tokens, s,
+               ({_SQL_H28.format(x="'gumbel:' || CAST(id AS VARCHAR)")} + 1)
+                   / 268435457.0 AS u
+        FROM per
+    )
+    SELECT id AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           s / 1000000.0            AS log_weight,
+           (s + CAST(floor((-ln(-ln(u))) * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0          AS score
+    FROM g
+    ORDER BY score DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR recipe end to end (operators.corpus.dsir_resample; Xie
+    et al. 2023): importance weights toward the English subset, then
+    Gumbel-top-k resampling — sampling without replacement proportional to
+    softmax'd weights IS "top k by weight + Gumbel noise" (Gumbel-max
+    trick), executed as one TakeOrderedAndProject over the weight frame.
+    The Gumbel draws are md5-hash-derived (deterministic per doc — task
+    retries on a cluster re-derive identical samples, where rand() silently
+    would not), and the selection order is a total integer-micro order, so
+    the oracle replays weighting, noise, and the exact selected set.
+    NEW in round 4 (post-tail); round-5 rotation candidate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = C.dsir_resample(docs, F.col("lang") == "en", _DSIR_K, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "log_weight", "score"
+    )

@@ -647,3 +647,55 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F2.col("n_occurrences").desc(), "token")
         .limit(20)
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_SQL_TOKS.format(col='text')} AS t FROM documents
+        WHERE {_SQL_NORM_TEXT} <> ''
+    ),
+    ucnt AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM toks)
+        GROUP BY w
+    ),
+    tot AS (SELECT sum(c) AS n_total FROM ucnt),
+    bcnt AS (
+        SELECT w1, w2, count(*) AS c12
+        FROM (
+            SELECT t[i + 1] AS w1, t[i + 2] AS w2
+            FROM toks, unnest(generate_series(0, len(t) - 2)) AS u(i)
+            WHERE len(t) >= 2
+        )
+        GROUP BY w1, w2
+        HAVING count(*) >= 5
+    )
+    SELECT b.w1, b.w2,
+           CAST(b.c12 AS BIGINT) AS c12,
+           CAST(u1.c AS BIGINT)  AS c1,
+           CAST(u2.c AS BIGINT)  AS c2,
+           CAST(floor(ln(CAST(b.c12 * t.n_total AS DOUBLE)
+                         / CAST(u1.c * u2.c AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT)        AS pmi_micro
+    FROM bcnt b
+    JOIN ucnt u1 ON b.w1 = u1.w
+    JOIN ucnt u2 ON b.w2 = u2.w, tot t
+    ORDER BY pmi_micro DESC, w1, w2
+    LIMIT 30
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (operators.text.
+    pmi_collocations) — the word2vec-phrases / NLTK collocation primitive:
+    the 30 adjacent bigrams whose joint frequency most beats chance
+    (PMI = ln(c12·N / (c1·c2)), min support 5), with exact supporting
+    counts. Bigrams are built array-locally (zip of shifted slices — no
+    positional self-join); the min-support filter prunes the tail BEFORE
+    the two unigram joins; the top-30 is TakeOrderedAndProject. PMI is
+    micro-snapped with ONE division of integer-valued doubles, identical
+    in both engines, so the oracle replays values AND order exactly.
+    NEW in round 4 (post-tail); round-5 rotation candidate."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.pmi_collocations(docs, "text", "doc_id", min_count=5, top_k=30)

@@ -238,3 +238,36 @@ def test_dsir_weights_empty_and_tokenless_docs_dropped(spark):
     )
     out = dsir_log_weights(df, "is_tgt", "text", "doc_id").collect()
     assert {r.id for r in out} == {1}
+
+
+def test_dsir_resample_is_deterministic_topk_and_weight_biased(spark):
+    from payroll_etl_fastapi_spark.operators.corpus import dsir_resample
+
+    # 40 docs: half look like the target, half don't; resampling k=10 must
+    # (a) be deterministic across invocations, (b) select target-like docs
+    # far more often than chance
+    rows = []
+    for i in range(20):
+        rows.append((i, i < 5, "alpha beta gamma delta"))
+    for i in range(20, 40):
+        rows.append((i, False, "zeta omega theta iota"))
+    df = spark.createDataFrame(rows, "doc_id long, is_tgt boolean, text string")
+    a = [r.id for r in dsir_resample(df, "is_tgt", 10, "text", "doc_id").collect()]
+    b = [r.id for r in dsir_resample(df, "is_tgt", 10, "text", "doc_id").collect()]
+    assert a == b and len(a) == 10
+    target_like = sum(1 for i in a if i < 20)
+    assert target_like >= 8  # weight gap >> gumbel noise spread here
+
+
+def test_dsir_resample_plan_is_take_ordered(spark):
+    from payroll_etl_fastapi_spark.operators.corpus import dsir_resample
+
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, "a b c") for i in range(30)],
+        "doc_id long, is_tgt boolean, text string",
+    )
+    plan = (
+        dsir_resample(df, "is_tgt", 5, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -94,3 +94,45 @@ def test_repetition_stats_plan_is_shuffle_free_before_rollup(spark):
     plan = text_repetition_stats(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2, plan  # rollup hash + orderBy range
     assert "Generate" not in plan, plan  # no explode anywhere
+
+
+def test_pmi_collocations_matches_python_replica(spark):
+    import math
+    from collections import Counter
+    from payroll_etl_fastapi_spark.operators.text import pmi_collocations
+
+    texts = [
+        "new york new york city hall",
+        "new york is a city",
+        "the city hall of new york",
+        "a b a b a b a b",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = [t.split() for t in texts]
+    uni = Counter(w for t in toks for w in t)
+    n = sum(uni.values())
+    bi = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    expect = {}
+    for (w1, w2), c12 in bi.items():
+        if c12 >= 2:
+            pmi = math.log((c12 * n) / (uni[w1] * uni[w2]))
+            expect[(w1, w2)] = (c12, uni[w1], uni[w2], math.floor(pmi * 1e6 + 0.5))
+    got = {
+        (r.w1, r.w2): (r.c12, r.c1, r.c2, r.pmi_micro)
+        for r in pmi_collocations(df, min_count=2, top_k=100).collect()
+    }
+    assert got == expect
+    # "new york" must outrank generic pairs containing "a"/"the"
+    assert got[("new", "york")][3] > got[("a", "b")][3]
+
+
+def test_pmi_min_count_prunes(spark):
+    from payroll_etl_fastapi_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(0, "x y x y"), (1, "p q")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2) for r in pmi_collocations(df, min_count=2, top_k=10).collect()}
+    assert ("x", "y") in got and ("p", "q") not in got

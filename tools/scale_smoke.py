@@ -142,6 +142,25 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame):
         # deterministic data-dependent sampling): random centroids
         # concentrate a 64-dim corpus into a few giant clusters and the
         # n²/k bound evaporates
+        # round-4 post-tail additions: HDR quantiles, duplicate-span
+        # dedup, DSIR weights
+        "hdr_quantiles": lambda: SK.hdr_quantiles(
+            SK.hdr_histogram(
+                events.select(
+                    "event_type",
+                    F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+                    .cast("long")
+                    .alias("v"),
+                ),
+                "v",
+                ["event_type"],
+            ),
+            group_cols=["event_type"],
+        ).count(),
+        "duplicate_spans": lambda: dedup.duplicate_span_stats(
+            docs, "text", "doc_id"
+        ).count(),
+        "dsir_weights": lambda: _dsir(docs),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
             [
@@ -163,6 +182,12 @@ def mult_of(emb: DataFrame) -> int:
     if not _BASE_EMB_ROWS:
         _BASE_EMB_ROWS.append(n)
     return max(1, n // _BASE_EMB_ROWS[0])
+
+
+def _dsir(docs: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.corpus import dsir_log_weights
+
+    return dsir_log_weights(docs, F.col("lang") == "en", "text", "doc_id").count()
 
 
 def _bloom_join(events: DataFrame) -> int:
