@@ -94,6 +94,7 @@ from payroll_etl_fastapi_spark.plans import suite_quality  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_skew  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_bucketing  # noqa: E402,F401
 from payroll_etl_fastapi_spark.plans import suite_bloom  # noqa: E402,F401
+from payroll_etl_fastapi_spark.plans import suite_graph  # noqa: E402,F401
 
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
@@ -230,6 +231,7 @@ _SECONDARY: tuple[str, ...] = (
     # candidates)
     "corpus_dsir_resample",
     "text_pmi_collocations",
+    "graph_pagerank_parts",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -1,0 +1,88 @@
+"""Graph-analytics gate: integer-quantized PageRank over the part
+co-purchase graph (operators/graph.py).
+
+The oracle RE-RUNS all five power iterations in SQL (materialized CTE
+levels, like the BPE re-training oracle) — edge build, degrees, integer
+contributions, damping — so a join-direction, degree, flooring, or
+iteration-count bug flips the hash, not just "ranks look plausible".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import graph as G
+from payroll_etl_fastapi_spark.plans.suite import _t, query
+
+_PR_ITERS = 5
+_PR_TOPK = 20
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, topk: int = _PR_TOPK) -> str:
+    base = G.PR_SCALE * (100 - G.PR_DAMPING_PCT) // 100
+    parts = [
+        "WITH li AS MATERIALIZED ("
+        " SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),",
+        "pr AS MATERIALIZED ("
+        " SELECT a.p AS u, b.p AS v FROM li a JOIN li b"
+        " ON a.o = b.o AND a.p < b.p),",
+        "edges AS MATERIALIZED ("
+        " SELECT DISTINCT src, dst FROM ("
+        "  SELECT u AS src, v AS dst FROM pr"
+        "  UNION ALL SELECT v, u FROM pr)),",
+        "deg AS MATERIALIZED ("
+        " SELECT src, count(*) AS d FROM edges GROUP BY src),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),",
+        f"r0 AS MATERIALIZED ("
+        f" SELECT node, CAST({G.PR_SCALE} AS BIGINT) AS r FROM nodes),",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED ("
+            f" SELECT e.dst AS node, sum({prev}.r // deg.d) AS s"
+            f" FROM edges e"
+            f" JOIN {prev} ON e.src = {prev}.node"
+            f" JOIN deg ON e.src = deg.src"
+            f" GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED ("
+            f" SELECT n.node, CAST({base} + {G.PR_DAMPING_PCT} *"
+            f" coalesce(c{k}.s, 0) // 100 AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{k} ON n.node = c{k}.node),"
+        )
+    parts.append(
+        f"fin AS (SELECT node AS partkey, r AS rank_micro FROM r{iters})"
+        f" SELECT partkey, rank_micro FROM fin"
+        f" ORDER BY rank_micro DESC, partkey LIMIT {topk}"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_pagerank_parts", oracle=_pagerank_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by integer PageRank over the co-purchase graph
+    (operators.graph.pagerank): parts sharing an order are linked; five
+    integer power iterations rank basket centrality. The division-free
+    quantization (rank DIV degree, (85·s) DIV 100) makes every iteration
+    aggregation-order-proof, so the oracle replays all five iterations
+    bit-for-bit.
+
+    Scale shape (100 TB): edge build is an equality join on the order key
+    (per-order fan-out bounded by basket size); each iteration is one
+    src-keyed equality join + one map-side-combined grouped sum + one left
+    join to the node set — a cluster reuses the src-hash exchange across
+    iterations; degrees/nodes are lazily localCheckpoint'd so the edge
+    scan runs once. Top-20 is TakeOrderedAndProject. Complements
+    dedup_connected_components as the second iterative-join graph
+    primitive. NEW in round 4 (post-tail); round-5 rotation candidate."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li)
+    ranks = G.pagerank(edges, iterations=_PR_ITERS)
+    return (
+        ranks.select(F.col("node").alias("partkey"), "rank_micro")
+        .orderBy(F.desc("rank_micro"), "partkey")
+        .limit(_PR_TOPK)
+    )

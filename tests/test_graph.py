@@ -1,0 +1,74 @@
+"""Integer PageRank (operators/graph.py): exact agreement with a Python
+replica on small graphs, centrality ordering on a star, co-purchase edge
+construction, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import graph as G
+
+
+def _py_pagerank(edges: set[tuple[int, int]], iters: int = 5) -> dict[int, int]:
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    deg: dict[int, int] = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {n: G.PR_SCALE for n in nodes}
+    base = G.PR_SCALE * (100 - G.PR_DAMPING_PCT) // 100
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {n: base + G.PR_DAMPING_PCT * s[n] // 100 for n in nodes}
+    return r
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src long, dst long")
+
+
+def test_pagerank_matches_python_replica(spark):
+    # a small asymmetric directed graph with a dangling-free structure
+    pairs = {(1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 3), (1, 4), (4, 1)}
+    got = {
+        r.node: r.rank_micro
+        for r in G.pagerank(_edges_df(spark, pairs), iterations=5).collect()
+    }
+    assert got == _py_pagerank(pairs)
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # undirected star: hub 0 linked to 1..6 — hub must outrank every leaf,
+    # and all leaves tie exactly (integer determinism)
+    star = {(0, i) for i in range(1, 7)}
+    sym = star | {(b, a) for a, b in star}
+    got = {
+        r.node: r.rank_micro
+        for r in G.pagerank(_edges_df(spark, sym), iterations=5).collect()
+    }
+    leaf_ranks = {got[i] for i in range(1, 7)}
+    assert len(leaf_ranks) == 1
+    assert got[0] > leaf_ranks.pop()
+
+
+def test_copurchase_edges_symmetric_and_bounded(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 13), (3, 14)],
+        "l_orderkey long, l_partkey long",
+    )
+    edges = {(r.src, r.dst) for r in G.copurchase_edges(li).collect()}
+    # order 1 links {10,11,12} pairwise; order 2 links {10,13}; order 3 none
+    expect_undirected = {(10, 11), (10, 12), (11, 12), (10, 13)}
+    expect = expect_undirected | {(b, a) for a, b in expect_undirected}
+    assert edges == expect
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    pairs = {(1, 2), (2, 1), (2, 3), (3, 2)}
+    plan = (
+        G.pagerank(_edges_df(spark, pairs), iterations=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
