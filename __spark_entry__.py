@@ -232,6 +232,7 @@ _SECONDARY: tuple[str, ...] = (
     "corpus_dsir_resample",
     "text_pmi_collocations",
     "graph_pagerank_parts",
+    "events_funnel_conversion",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

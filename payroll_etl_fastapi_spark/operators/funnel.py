@@ -1,0 +1,136 @@
+"""Sequential funnel analysis over an event stream: per-user ordered
+step completion (view → click → purchase and friends) with strict
+temporal ordering — the product-analytics primitive (Amplitude/Mixpanel
+funnels) a relational engine is asked for the moment it holds an events
+table.
+
+Semantics: a user completes step k at the EARLIEST event of step k's type
+that is STRICTLY AFTER their step-(k-1) completion time (step 1 is the
+user's earliest step-1 event). This is the standard "first qualifying
+chain" funnel — re-orderings like purchase-before-view do not count.
+
+Scale shape (100 TB events): step k is ONE equality join of the step-k
+event slice against the (user, t_{k-1}) frame — both sides keyed on the
+user, so a cluster reuses the user-hash exchange across all K-1 joins —
+followed by ONE map-side-combined grouped min. Each step's event slice is
+filter-pushed to the scan (only step-type rows are read per stage). No
+window over all events, no per-user event collection (power users with
+millions of events never materialize as one array), no Python.
+
+Everything reported is integer (user counts, basis-point conversion,
+millisecond lags via unix_millis, integer-divided averages), so a SQL
+oracle replays the funnel exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user, t1, ..., tK): completion timestamp per step for users who
+    completed ALL K steps in strict temporal order; users stall out of the
+    frame at their first missed step (outer counting happens in
+    `funnel_counts`, which runs per-prefix)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    cur = (
+        events.filter(ty == steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(ts).alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        sl = events.filter(ty == step).select(
+            u.alias("user"), ts.alias("__ts")
+        )
+        prev_cols = [f"t{i}" for i in range(1, k)]
+        cur = (
+            sl.join(cur, "user")
+            .filter(F.col("__ts") > F.col(f"t{k - 1}"))
+            .groupBy("user")
+            .agg(
+                *[F.max(c).alias(c) for c in prev_cols],
+                F.min("__ts").alias(f"t{k}"),
+            )
+        )
+    return cur
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step_idx, step, n_users, conv_bp, avg_lag_ms): users reaching each
+    funnel prefix, conversion vs step 1 in integer basis points, and the
+    integer-divided average milliseconds from step-1 completion to step-k
+    completion. One row per step, step order ascending.
+
+    The per-prefix frames are the incremental chain's own intermediates
+    (each step's frame extends the previous — K-1 joins TOTAL, not K²/2),
+    reused lazily: Spark computes each stage once per consuming aggregate
+    within one whole plan."""
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    chain = [
+        events.filter(ty == steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(ts).alias("t1"))
+    ]
+    for k, step in enumerate(steps[1:], start=2):
+        sl = events.filter(ty == step).select(u.alias("user"), ts.alias("__ts"))
+        prev_cols = [f"t{i}" for i in range(1, k)]
+        chain.append(
+            sl.join(chain[-1], "user")
+            .filter(F.col("__ts") > F.col(f"t{k - 1}"))
+            .groupBy("user")
+            .agg(
+                *[F.max(c).alias(c) for c in prev_cols],
+                F.min("__ts").alias(f"t{k}"),
+            )
+        )
+    n1 = chain[0].agg(F.count(F.lit(1)).alias("n1"))
+    frames = []
+    for k, ft in enumerate(chain, start=1):
+        lag = (
+            F.unix_millis(F.col(f"t{k}")) - F.unix_millis(F.col("t1"))
+            if k > 1
+            else F.lit(0).cast("long")
+        )
+        frames.append(
+            ft.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum(lag).alias("__sum_lag"),
+            ).select(
+                F.lit(k).alias("step_idx"),
+                F.lit(steps[k - 1]).alias("step"),
+                "n_users",
+                "__sum_lag",
+            )
+        )
+    allk = frames[0]
+    for f in frames[1:]:
+        allk = allk.unionByName(f)
+    return (
+        allk.crossJoin(F.broadcast(n1))
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.expr("CAST(n_users * 10000 DIV n1 AS BIGINT)").alias("conv_bp"),
+            F.expr(
+                "CAST(CASE WHEN n_users = 0 THEN 0"
+                " ELSE coalesce(__sum_lag, 0) DIV n_users END AS BIGINT)"
+            ).alias("avg_lag_ms"),
+        )
+        .orderBy("step_idx")
+    )

@@ -142,3 +142,62 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id AS u, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, max(s1.t1) AS t1, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id AS u, max(s2.t1) AS t1, max(s2.t2) AS t2, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    n1 AS (SELECT count(*) AS n FROM s1),
+    rows_ AS (
+        SELECT 1 AS step_idx, 'view' AS step,
+               (SELECT count(*) FROM s1) AS n_users,
+               CAST(0 AS BIGINT) AS sum_lag
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM s2),
+               (SELECT coalesce(sum(epoch_ms(t2) - epoch_ms(t1)), 0) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+               (SELECT coalesce(sum(epoch_ms(t3) - epoch_ms(t1)), 0) FROM s3)
+    )
+    SELECT step_idx, step,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users * 10000 // (SELECT n FROM n1) AS BIGINT) AS conv_bp,
+           CAST(CASE WHEN n_users = 0 THEN 0
+                     ELSE sum_lag // n_users END AS BIGINT) AS avg_lag_ms
+    FROM rows_ ORDER BY step_idx
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (operators.funnel.funnel_counts): users completing
+    view → click → purchase in strict temporal order (first qualifying
+    chain), with basis-point conversion vs step 1 and integer-divided
+    average step-1→step-k lag in milliseconds. The product-analytics
+    primitive; all-integer outputs, so the oracle replays the whole funnel.
+
+    Scale shape (100 TB): each step is one user-keyed equality join of the
+    filter-pushed step slice against the previous step's (user, times)
+    frame — the user-hash exchange is reusable across the chain; grouped
+    mins are map-side combined; no window over all events, no per-user
+    event arrays, no Python. NEW in round 4 (post-tail); round-5 rotation
+    candidate."""
+    from payroll_etl_fastapi_spark.operators import funnel as FN
+
+    events = _t(spark, sf_dir, "events")
+    return FN.funnel_counts(events, _FUNNEL_STEPS)

@@ -1,0 +1,64 @@
+"""Funnel analysis (operators/funnel.py): strict-ordering semantics,
+stall-out accounting, lag arithmetic, and plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from payroll_etl_fastapi_spark.operators import funnel as FN
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, 1, 0, 0, s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1 completes in order: view@1 click@2 purchase@3
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        # u2 clicks BEFORE viewing -> stalls at view
+        (2, "click", 1), (2, "view", 2),
+        # u3 views then purchases without click -> stalls at click... but a
+        # later click@5 then purchase@6 completes the chain
+        (3, "view", 1), (3, "purchase", 2), (3, "click", 5), (3, "purchase", 6),
+        # u4 never views -> not even step 1
+        (4, "click", 1), (4, "purchase", 2),
+    ]
+    out = {r.step_idx: r for r in FN.funnel_counts(
+        _ev(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert out[1].n_users == 3          # u1, u2, u3
+    assert out[2].n_users == 2          # u1 (click@2), u3 (click@5)
+    assert out[3].n_users == 2          # u1 (purchase@3), u3 (purchase@6)
+    assert out[1].conv_bp == 10000
+    assert out[2].conv_bp == 6666
+    # lags: u1 purchase-view = 2s, u3 = 5s -> avg = 3500ms
+    assert out[3].avg_lag_ms == 3500
+
+
+def test_funnel_first_qualifying_chain_uses_earliest_times(spark):
+    rows = [
+        # first view at 1; clicks at 0 (ignored: before view) and 4;
+        # purchases at 3 (ignored: before click@4) and 9
+        (1, "click", 0), (1, "view", 1), (1, "purchase", 3),
+        (1, "click", 4), (1, "purchase", 9), (1, "view", 7),
+    ]
+    ft = FN.funnel_times(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+    assert len(ft) == 1
+    r = ft[0]
+    assert (r.t1.second, r.t2.second, r.t3.second) == (1, 4, 9)
+
+
+def test_funnel_plan_no_cartesian_and_pushed_filters(spark):
+    ev = _ev(spark, [(1, "view", 1), (1, "click", 2)])
+    plan = (
+        FN.funnel_counts(ev, ["view", "click"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the ONLY nested-loop join allowed is the 1-row broadcast cross join
+    # attaching the step-1 denominator; the per-step joins must all be
+    # equality joins on the user key
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
