@@ -233,6 +233,8 @@ _SECONDARY: tuple[str, ...] = (
     "text_pmi_collocations",
     "graph_pagerank_parts",
     "events_funnel_conversion",
+    "assoc_rules_parts",
+    "events_cohort_retention",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

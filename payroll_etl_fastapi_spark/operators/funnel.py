@@ -134,3 +134,55 @@ def funnel_counts(
         )
         .orderBy("step_idx")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, offset_week, n_users, retention_bp): weekly cohort
+    retention — users grouped by the Monday-truncated week of their FIRST
+    event; for each later week offset, how many distinct cohort members
+    were active, in integer basis points of the cohort's size.
+
+    Scale shape (100 TB): one grouped min for first-event times; one
+    user-keyed equality join back to the stream (exchange shared with the
+    funnel chain's shape); one (cohort, offset) grouped distinct-count
+    (two-level aggregate); the offset-0 denominators are a tiny
+    (#cohorts)-row frame broadcast back. Integer week arithmetic
+    (datediff DIV 7), so a SQL oracle replays cohorts, offsets, and
+    retention exactly."""
+    u, ts = F.col(user_col), F.col(ts_col)
+    firsts = events.groupBy(u.alias("user")).agg(F.min(ts).alias("t0"))
+    act = (
+        events.select(u.alias("user"), ts.alias("__ts"))
+        .join(firsts, "user")
+        .select(
+            "user",
+            F.date_format(F.date_trunc("week", F.col("t0")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.expr("CAST(datediff(to_date(__ts), to_date(t0)) DIV 7 AS INT)").alias(
+                "offset_week"
+            ),
+        )
+    )
+    counts = act.groupBy("cohort_week", "offset_week").agg(
+        F.countDistinct("user").cast("long").alias("n_users")
+    )
+    base = counts.filter(F.col("offset_week") == 0).select(
+        "cohort_week", F.col("n_users").alias("n0")
+    )
+    return (
+        counts.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_week",
+            "n_users",
+            F.expr("CAST(n_users * 10000 DIV n0 AS BIGINT)").alias(
+                "retention_bp"
+            ),
+        )
+        .orderBy("cohort_week", "offset_week")
+    )

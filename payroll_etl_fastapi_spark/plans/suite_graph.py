@@ -86,3 +86,53 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "partkey")
         .limit(_PR_TOPK)
     )
+
+
+@query(
+    "assoc_rules_parts",
+    oracle="""
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT o) AS n FROM li),
+    ic AS MATERIALIZED (SELECT p, count(*) AS c FROM li GROUP BY p),
+    pc AS MATERIALIZED (
+        SELECT a.p AS u, b.p AS v, count(*) AS c_ab
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    d AS (
+        SELECT u, v, c_ab FROM pc
+        UNION ALL SELECT v, u, c_ab FROM pc
+    )
+    SELECT d.u AS antecedent, d.v AS consequent,
+           CAST(d.c_ab AS BIGINT) AS c_ab,
+           CAST(ia.c AS BIGINT)   AS c_a,
+           CAST(ib.c AS BIGINT)   AS c_b,
+           CAST(d.c_ab * 10000 // n.n AS BIGINT)  AS support_bp,
+           CAST(d.c_ab * 10000 // ia.c AS BIGINT) AS confidence_bp,
+           CAST(d.c_ab * n.n * 1000000 // (ia.c * ib.c) AS BIGINT) AS lift_micro
+    FROM d JOIN ic ia ON d.u = ia.p JOIN ic ib ON d.v = ib.p, n
+    ORDER BY lift_micro DESC, antecedent, consequent LIMIT 20
+    """,
+)
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators.assoc.
+    pair_association_rules): the 20 directed part-pair rules with the
+    highest lift over order baskets, with exact supports and integer
+    basis-point/microunit metrics — support, confidence, lift all via DIV,
+    so the oracle replays counts, metrics, and ranking exactly.
+
+    Scale shape (100 TB): pair counts from one basket-keyed equality
+    self-join (fan-out bounded by basket size) + one map-side-combined
+    count; item counts attach via two equality joins (no amplification);
+    the basket total is a 1-row broadcast; ranking is
+    TakeOrderedAndProject. The pairwise core of Apriori — higher-order
+    itemsets deliberately out of scope (combinatorial for marginal value).
+    NEW in round 4 (post-tail); round-5 rotation candidate."""
+    from payroll_etl_fastapi_spark.operators import assoc as A
+
+    li = _t(spark, sf_dir, "lineitem")
+    return A.pair_association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, top_k=20
+    )

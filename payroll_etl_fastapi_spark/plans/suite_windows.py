@@ -201,3 +201,41 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return FN.funnel_counts(events, _FUNNEL_STEPS)
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id AS u, min(ts) AS t0 FROM events GROUP BY 1),
+    a AS (
+        SELECT e.user_id AS u,
+               strftime(date_trunc('week', f.t0), '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE))
+                    // 7 AS INT) AS offset_week
+        FROM events e JOIN f ON e.user_id = f.u
+    ),
+    c AS (
+        SELECT cohort_week, offset_week, count(DISTINCT u) AS n_users
+        FROM a GROUP BY 1, 2
+    ),
+    b AS (SELECT cohort_week, n_users AS n0 FROM c WHERE offset_week = 0)
+    SELECT c.cohort_week, c.offset_week,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           CAST(c.n_users * 10000 // b.n0 AS BIGINT) AS retention_bp
+    FROM c JOIN b USING (cohort_week)
+    ORDER BY cohort_week, offset_week
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators.funnel.cohort_retention): users
+    cohorted by the Monday-truncated week of their first event; per later
+    week offset, distinct active cohort members and basis-point retention
+    vs the cohort's size — the standard product-analytics retention
+    triangle. Integer week arithmetic end to end, so the oracle replays
+    cohorts, offsets, and retention exactly. One grouped min + one
+    user-keyed join + one two-level distinct-count; cohort denominators
+    broadcast. NEW in round 4 (post-tail); round-5 rotation candidate."""
+    from payroll_etl_fastapi_spark.operators import funnel as FN
+
+    events = _t(spark, sf_dir, "events")
+    return FN.cohort_retention(events)
