@@ -235,6 +235,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_funnel_conversion",
     "assoc_rules_parts",
     "events_cohort_retention",
+    "events_resample_gapfill",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -1,0 +1,62 @@
+"""Time-series resampling: bucket, gap-fill, and last-observation-carried-
+forward — the hypertable primitive (TimescaleDB's time_bucket_gapfill +
+locf) that turns an irregular event stream into the dense regular grid
+downstream aggregation/ML expects.
+
+Scale shape (100 TB of events): bucketing is one grouped aggregate with
+map-side combine; the dense grid comes from exploding a per-key
+``sequence(min_bucket, max_bucket)`` — rows generated IN the executors,
+sized by each key's own span (never a driver-side calendar loop, never a
+cross join against a global calendar table); the fill join is a per-key
+equality join; LOCF is one window PARTITIONED BY the series key (state
+bounded by a single key's grid — the classic bounded-partition window, not
+a global sort). A key whose span is pathologically long produces a long
+per-key array — callers bound the grid with an explicit time range if
+spans are unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value: F.Column,
+    bucket: str = "hour",
+) -> DataFrame:
+    """(key, bucket_ts, v, n_events, is_gap): per-key dense time grid from
+    the key's first to last bucket at ``bucket`` granularity; buckets with
+    no events carry the previous bucket's value forward (LOCF) and are
+    flagged ``is_gap``. ``value`` is the per-bucket aggregate expression
+    (pass an integer-exact one — e.g. cents sums — for oracle parity);
+    the first bucket of every key always has data, so LOCF never sees a
+    leading NULL."""
+    step = {"minute": "INTERVAL 1 MINUTE", "hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[bucket]
+    b = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bt"),
+        )
+        .agg(value.alias("v"), F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    grid = (
+        b.groupBy("key")
+        .agg(F.min("bt").alias("lo"), F.max("bt").alias("hi"))
+        .select(
+            "key",
+            F.explode(F.expr(f"sequence(lo, hi, {step})")).alias("bt"),
+        )
+    )
+    filled = grid.join(b, ["key", "bt"], "left")
+    w = Window.partitionBy("key").orderBy("bt")
+    return filled.select(
+        "key",
+        "bt",
+        F.last("v", ignorenulls=True).over(w).alias("v"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.col("v").isNull().alias("is_gap"),
+    )

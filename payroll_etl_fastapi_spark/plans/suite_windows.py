@@ -239,3 +239,62 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return FN.cohort_retention(events)
+
+
+@query(
+    "events_resample_gapfill",
+    oracle="""
+    WITH sel AS (
+        SELECT user_id AS u, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE user_id % 30 = 0
+    ),
+    b AS (
+        SELECT u, date_trunc('hour', ts) AS bt, sum(cents) AS v, count(*) AS n
+        FROM sel GROUP BY 1, 2
+    ),
+    span AS (SELECT u, min(bt) AS lo, max(bt) AS hi FROM b GROUP BY 1),
+    grid AS (
+        SELECT u, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bt
+        FROM span
+    ),
+    f AS (
+        SELECT g.u, g.bt, b.v, coalesce(b.n, 0) AS n, b.v IS NULL AS isgap
+        FROM grid g LEFT JOIN b ON g.u = b.u AND g.bt = b.bt
+    )
+    SELECT u AS user_id,
+           strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           CAST(last_value(v IGNORE NULLS)
+                OVER (PARTITION BY u ORDER BY bt) AS BIGINT) AS v_cents,
+           CAST(n AS BIGINT) AS n_events,
+           isgap AS is_gap
+    FROM f ORDER BY user_id, bucket_ts
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + gap-fill + LOCF (operators.timeseries.
+    resample_locf): the TimescaleDB time_bucket_gapfill/locf primitive —
+    every 30th user's event stream densified to an hourly grid from their
+    first to last active hour, empty hours carrying the last value forward
+    and flagged. Integer cents values, so the oracle replays bucketing,
+    grid generation, the fill join, and LOCF exactly.
+
+    Scale shape (100 TB): grid rows are generated IN the executors by
+    per-key sequence() explode (sized by each key's own span — no driver
+    calendar, no global-calendar cross join); LOCF is a window PARTITIONED
+    by the series key (bounded state, never a global sort). NEW in round 4
+    (post-tail); round-5 rotation candidate."""
+    from payroll_etl_fastapi_spark.operators import timeseries as TS
+    from payroll_etl_fastapi_spark.plans.suite import _cents
+
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id") % 30 == 0)
+    out = TS.resample_locf(
+        events, "user_id", "ts", F.sum(_cents(F.col("value"))), bucket="hour"
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.date_format("bt", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.col("v").cast("long").alias("v_cents"),
+        "n_events",
+        "is_gap",
+    ).orderBy("user_id", "bucket_ts")

@@ -1,0 +1,52 @@
+"""Resample + gap-fill + LOCF (operators/timeseries.py): grid generation,
+fill semantics, flag accounting, and the bounded-partition window."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import timeseries as TS
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, h, m), v) for u, h, m, v in rows],
+        "user_id long, ts timestamp, value long",
+    )
+
+
+def test_gapfill_locf_semantics(spark):
+    rows = [
+        (1, 0, 5, 10), (1, 0, 40, 20),   # hour 0: two events, sum 30
+        (1, 3, 0, 7),                    # hours 1-2 are gaps, hour 3 has 7
+        (2, 5, 0, 1),                    # single-bucket key: no gaps
+    ]
+    out = {
+        (r.key, r.bt.hour): r
+        for r in TS.resample_locf(
+            _ev(spark, rows), "user_id", "ts", F.sum("value"), "hour"
+        ).collect()
+    }
+    assert {(k, h) for k, h in out} == {(1, 0), (1, 1), (1, 2), (1, 3), (2, 5)}
+    assert out[(1, 0)].v == 30 and out[(1, 0)].n_events == 2 and not out[(1, 0)].is_gap
+    assert out[(1, 1)].v == 30 and out[(1, 1)].n_events == 0 and out[(1, 1)].is_gap
+    assert out[(1, 2)].v == 30 and out[(1, 2)].is_gap
+    assert out[(1, 3)].v == 7 and not out[(1, 3)].is_gap
+    assert out[(2, 5)].v == 1 and not out[(2, 5)].is_gap
+
+
+def test_gapfill_window_is_partitioned(spark):
+    # the LOCF window must be keyed — a bare global window would trip the
+    # package-wide bounded-window audit AND serialize the whole grid
+    df = _ev(spark, [(1, 0, 0, 1), (2, 1, 0, 2)])
+    plan = (
+        TS.resample_locf(df, "user_id", "ts", F.sum("value"), "hour")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    import re
+    # every Window operator in the plan carries a partition spec on key
+    for m in re.finditer(r"Window \[[^\]]*\], \[(.*?)\]", plan):
+        assert "key" in m.group(1)
