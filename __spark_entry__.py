@@ -236,6 +236,7 @@ _SECONDARY: tuple[str, ...] = (
     "assoc_rules_parts",
     "events_cohort_retention",
     "events_resample_gapfill",
+    "streaming_sketch_hdr",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,
