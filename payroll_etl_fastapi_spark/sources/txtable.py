@@ -66,6 +66,7 @@ __all__ = [
     "TxTable",
     "TxCatalog",
     "ConcurrentCommit",
+    "ConstraintViolation",
     "write_stream_txtable",
     "merge_stream_txtable",
 ]
@@ -75,6 +76,10 @@ _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 class ConcurrentCommit(RuntimeError):
     """Another writer committed the version this commit was based on."""
+
+
+class ConstraintViolation(ValueError):
+    """A write would commit rows failing the table's CHECK constraints."""
 
 
 def _cas_publish(log_dir: str, version: int, payload: dict, what: str) -> None:
@@ -118,6 +123,7 @@ class _Snapshot:
     data_dirs: tuple[str, ...]  # relative to the table root
     partition_by: tuple[str, ...] = ()  # hive layout of every data dir
     schema_json: str | None = None  # StructType json at this version
+    constraints: tuple[tuple[str, str], ...] = ()  # (name, sql expr) CHECKs
 
 
 class TxTable:
@@ -159,6 +165,7 @@ class TxTable:
             data_dirs=tuple(doc["data_dirs"]),
             partition_by=tuple(doc.get("partition_by") or ()),
             schema_json=doc.get("schema"),
+            constraints=tuple(sorted((doc.get("constraints") or {}).items())),
         )
 
     def history(self) -> list[dict]:
@@ -233,6 +240,88 @@ class TxTable:
         extras = [f for f in df.schema.fields if f.name not in old_names]
         return StructType(old.fields + extras).json()
 
+    # -- CHECK constraints -------------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints (name → SQL boolean expression)
+        at the head version; {} for an empty table."""
+        vs = self._versions()
+        if not vs:
+            return {}
+        return dict(self._read_manifest(vs[-1]).constraints)
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT CHECK(expr): validates the
+        EXISTING rows satisfy ``expr`` first (Delta semantics — a
+        constraint the current data violates is rejected, not recorded),
+        then publishes a metadata-only commit carrying the new constraint.
+        NULL predicates pass, like SQL CHECK."""
+        from pyspark.sql import functions as F
+
+        version = self.latest_version()
+        head = self._read_manifest(version)
+        cons = dict(head.constraints)
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._enforce(self.snapshot(version), {name: expr})
+        cons[name] = expr
+        self._publish(
+            version + 1,
+            list(head.data_dirs),
+            "add_constraint",
+            head.partition_by,
+            head.schema_json,
+            constraints=cons,
+        )
+        return version + 1
+
+    def drop_constraint(self, name: str) -> int:
+        """Metadata-only commit removing one CHECK constraint."""
+        version = self.latest_version()
+        head = self._read_manifest(version)
+        cons = dict(head.constraints)
+        if name not in cons:
+            raise ValueError(f"no constraint named {name!r}")
+        del cons[name]
+        self._publish(
+            version + 1,
+            list(head.data_dirs),
+            "drop_constraint",
+            head.partition_by,
+            head.schema_json,
+            constraints=cons,
+        )
+        return version + 1
+
+    def _enforce(self, df: DataFrame, cons: dict[str, str] | None = None) -> None:
+        """Raise ConstraintViolation if any row of ``df`` fails a CHECK.
+
+        ONE ungrouped aggregate counts every constraint's violations in a
+        single pass (the quality-audit shape) — the same one-extra-job cost
+        Delta pays per constrained write. NULL predicates pass (SQL 3VL)."""
+        from pyspark.sql import functions as F
+
+        if cons is None:
+            cons = self.constraints()
+        if not cons:
+            return
+        aggs = [
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(F.expr(e), F.lit(True)), 0).otherwise(1)
+                ),
+                F.lit(0),
+            ).alias(n)
+            for n, e in sorted(cons.items())
+        ]
+        row = df.agg(*aggs).first()
+        bad = {n: c for n, c in row.asDict().items() if c > 0}
+        if bad:
+            detail = ", ".join(f"{n}: {c} row(s)" for n, c in sorted(bad.items()))
+            raise ConstraintViolation(
+                f"write to {self.root} violates CHECK constraints — {detail}"
+            )
+
     # -- write -------------------------------------------------------------
 
     def _write_data_dir(
@@ -253,8 +342,18 @@ class TxTable:
         partition_by: Sequence[str] | None = None,
         schema_json: str | None = None,
         extra: dict | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> None:
-        """Atomic compare-and-swap commit of v<version>.json."""
+        """Atomic compare-and-swap commit of v<version>.json.
+
+        ``constraints`` None means CARRY FORWARD the newest earlier
+        version's CHECK constraints — every DML commit preserves the
+        table's constraint set without each call site threading it."""
+        if constraints is None:
+            prior = [v for v in self._versions() if v < version]
+            constraints = (
+                dict(self._read_manifest(prior[-1]).constraints) if prior else {}
+            )
         _cas_publish(
             self._tx,
             version,
@@ -263,6 +362,7 @@ class TxTable:
                 "data_dirs": data_dirs,
                 "partition_by": list(partition_by or ()),
                 "schema": schema_json,
+                "constraints": constraints,
                 **(extra or {}),
             },
             self.root,
@@ -274,6 +374,7 @@ class TxTable:
         ``partition_by`` hive-partitions the data directory — readers get
         partition-pruned multi-path scans (each manifest dir is its own
         discovery base, so the partition columns resolve across commits)."""
+        self._enforce(df)
         base = self._versions()
         version = (base[-1] if base else 0) + 1
         rel = self._write_data_dir(df, version, partition_by)
@@ -290,6 +391,7 @@ class TxTable:
         files are already written and commute with any other append).
         ``partition_by`` must match the layout of earlier commits (mixing
         partitioned and flat dirs in one manifest breaks discovery)."""
+        self._enforce(df)
         rel: str | None = None
         for _ in range(_retries):
             base = self._versions()
@@ -332,6 +434,7 @@ class TxTable:
         base_version = self.latest_version()
         head = self._read_manifest(base_version)
         merged = _upsert(self.snapshot(base_version), updates, keys)
+        self._enforce(merged)
         version = base_version + 1
         rel = self._write_data_dir(merged, version, head.partition_by)
         self._publish(
@@ -392,6 +495,7 @@ class TxTable:
                 for c in snap.columns
             ]
         )
+        self._enforce(updated)
         version = base_version + 1
         rel = self._write_data_dir(updated, version, head.partition_by)
         self._publish(
@@ -481,6 +585,7 @@ class TxTable:
         )
         result = joined.filter(keep).select(*out_cols)
         version = base_version + 1
+        self._enforce(result)
         rel = self._write_data_dir(result, version, head.partition_by)
         self._publish(
             version,
@@ -688,15 +793,21 @@ def write_stream_txtable(
         version = (base[-1] if base else 0) + 1
         prev: tuple[str, ...] = ()
         schema_json = batch_df.schema.json()
+        cons: dict[str, str] = {}
         if base:
             head = table._read_manifest(base[-1])
             prev = head.data_dirs
+            cons = dict(head.constraints)
             # the SAME evolution contract as append(): a batch missing a
             # table column or changing a type raises instead of stamping the
             # narrower/conflicting batch schema as the table read schema
             # (which would make previously-evolved columns' data invisible
             # on every subsequent read)
             schema_json = table._evolved_schema(head, batch_df)
+        # CHECK constraints guard the stream path like every batch DML —
+        # and the manifest must CARRY them (this publish bypasses
+        # _publish's carry-forward, which would silently drop them)
+        table._enforce(batch_df, cons)
         rel = table._write_data_dir(batch_df, version)
         # append-with-epoch publish (same CAS; a lost race reraises so the
         # streaming query retries the batch, and the epoch check deduplicates)
@@ -708,6 +819,7 @@ def write_stream_txtable(
                 "data_dirs": [*prev, rel],
                 "epoch_key": epoch_key,
                 "schema": schema_json,
+                "constraints": cons,
             },
             table.root,
         )

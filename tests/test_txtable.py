@@ -640,3 +640,85 @@ def test_stream_sink_transform_sketch_exactly_once(spark, tmp_path):
     shutil.rmtree(ck)
     drain()
     assert merged() == single_pass
+
+
+# -- CHECK constraints -------------------------------------------------------
+
+
+def test_constraint_blocks_violating_writes_and_carries_forward(spark, table):
+    from payroll_etl_fastapi_spark.sources.txtable import ConstraintViolation
+
+    v = table.add_constraint("id_nonneg", "id >= 0")
+    assert table.constraints() == {"id_nonneg": "id >= 0"}
+    assert table.history()[-1]["operation"] == "add_constraint"
+    before = table.latest_version()
+    with pytest.raises(ConstraintViolation, match="id_nonneg"):
+        table.append(spark.range(-5, -1))
+    # the failed write committed nothing
+    assert table.latest_version() == before
+    assert _ids(table.snapshot()) == list(range(10))
+    # a clean append works AND the constraint survives it
+    table.append(spark.range(10, 12))
+    assert table.constraints() == {"id_nonneg": "id >= 0"}
+    # ...and survives update/upsert commits too, still enforcing
+    table.update(F.col("id") == 11, {"id": F.lit(99)})
+    assert table.constraints() == {"id_nonneg": "id >= 0"}
+    with pytest.raises(ConstraintViolation):
+        table.update(F.col("id") == 99, {"id": F.lit(-1)})
+    assert v == before
+
+
+def test_add_constraint_rejected_when_existing_data_violates(spark, table):
+    from payroll_etl_fastapi_spark.sources.txtable import ConstraintViolation
+
+    before = table.latest_version()
+    with pytest.raises(ConstraintViolation):
+        table.add_constraint("too_strict", "id >= 5")
+    assert table.latest_version() == before
+    assert table.constraints() == {}
+
+
+def test_drop_constraint_reopens_the_gate(spark, table):
+    from payroll_etl_fastapi_spark.sources.txtable import ConstraintViolation
+
+    table.add_constraint("small", "id < 100")
+    with pytest.raises(ConstraintViolation):
+        table.append(spark.range(100, 101))
+    table.drop_constraint("small")
+    table.append(spark.range(100, 101))
+    assert 100 in _ids(table.snapshot())
+
+
+def test_constraint_null_predicate_passes_sql_3vl(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "n"))
+    t.overwrite(
+        spark.createDataFrame([(1, 5.0), (2, None)], "id long, v double")
+    )
+    # SQL CHECK: a NULL predicate is not a violation
+    t.add_constraint("v_pos", "v > 0")
+    t.append(spark.createDataFrame([(3, None)], "id long, v double"))
+    assert t.snapshot().count() == 3
+
+
+def test_stream_sink_enforces_and_carries_constraints(spark, tmp_path):
+    import glob
+
+    from payroll_etl_fastapi_spark.sources.txtable import write_stream_txtable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "batch1")
+    )
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(3))
+    t.add_constraint("id_small", "id < 1000")
+    stream = (
+        spark.readStream.schema("id long")
+        .parquet(str(src / "batch1"))
+    )
+    write_stream_txtable(stream, t, str(tmp_path / "ckpt"))
+    # the streaming append carried the constraint in ITS manifest
+    assert t.constraints() == {"id_small": "id < 1000"}
+    assert t.history()[-1]["operation"] == "stream_append"
+    assert t.snapshot().count() == 8
