@@ -237,6 +237,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_cohort_retention",
     "events_resample_gapfill",
     "streaming_sketch_hdr",
+    "events_transition_matrix",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -24,7 +24,7 @@ oracle replays the funnel exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -185,4 +185,46 @@ def cohort_retention(
             ),
         )
         .orderBy("cohort_week", "offset_week")
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n, row_bp): the first-order Markov transition
+    matrix of consecutive event types within each user's timeline — the
+    journey-analysis complement to the funnel (which asks about ONE chosen
+    path; this surfaces ALL observed next-step distributions). row_bp is
+    the row-normalized transition share in integer basis points.
+
+    Scale shape (100 TB): ONE window partitioned by user (bounded by a
+    single user's activity — never a global sort) computes each event's
+    successor; ONE grouped count (at most |types|² output rows) plus a
+    broadcast row-total attach. The explicit ``tiebreak_col`` makes the
+    ordering total, so the matrix is deterministic and SQL-replayable even
+    with equal timestamps."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("CAST(n * 10000 DIV row_total AS BIGINT)").alias("row_bp"),
+        )
+        .orderBy("from_type", "to_type")
     )

@@ -298,3 +298,42 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "is_gap",
     ).orderBy("user_id", "bucket_ts")
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    p AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n) AS row_total FROM p GROUP BY 1)
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(p.n * 10000 // t.row_total AS BIGINT) AS row_bp
+    FROM p JOIN t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event journeys
+    (operators.funnel.transition_matrix): for every consecutive event pair
+    within a user's timeline, the observed next-step distribution in
+    integer basis points — the journey-analysis complement to the funnel.
+    One user-partitioned window (bounded per-user state, explicit event_id
+    tiebreak for a total order) + one grouped count (≤ |types|² rows) +
+    one broadcast row-total attach; exact integers, so the oracle replays
+    the matrix bit-for-bit. NEW in round 4 (post-tail); round-5 rotation
+    candidate."""
+    from payroll_etl_fastapi_spark.operators import funnel as FN
+
+    events = _t(spark, sf_dir, "events")
+    return FN.transition_matrix(events)

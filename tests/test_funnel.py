@@ -62,3 +62,39 @@ def test_funnel_plan_no_cartesian_and_pushed_filters(spark):
     # attaching the step-1 denominator; the per-step joins must all be
     # equality joins on the user key
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_transition_matrix_counts_and_row_normalization(spark):
+    import datetime as dt
+
+    rows = [
+        (1, 100, "a", 1), (1, 101, "b", 2), (1, 102, "a", 3), (1, 103, "b", 4),
+        (2, 200, "a", 1), (2, 201, "a", 2),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, dt.datetime(2024, 1, 1, 0, 0, s)) for u, e, t, s in rows],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    from payroll_etl_fastapi_spark.operators.funnel import transition_matrix
+
+    out = {(r.from_type, r.to_type): r for r in transition_matrix(df).collect()}
+    # u1: a->b, b->a, a->b ; u2: a->a  (no cross-user pair)
+    assert out[("a", "b")].n == 2 and out[("a", "a")].n == 1
+    assert out[("b", "a")].n == 1
+    assert out[("a", "b")].row_bp == 6666 and out[("a", "a")].row_bp == 3333
+    assert out[("b", "a")].row_bp == 10000
+    assert len(out) == 3
+
+
+def test_transition_matrix_tiebreak_is_total(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 2, "x", t0), (1, 1, "y", t0)],  # equal ts: event_id orders y -> x
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    from payroll_etl_fastapi_spark.operators.funnel import transition_matrix
+
+    out = [(r.from_type, r.to_type) for r in transition_matrix(df).collect()]
+    assert out == [("y", "x")]
