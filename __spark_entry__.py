@@ -43,14 +43,25 @@ either gets its driver row this round or already holds one. The one gate
 built after that (`vocab_bpe_apply`) is the round-5 rotation candidate,
 locally oracle-verified at sf0.01 + sf0.1.
 
-ROUND-4 POST-TAIL SWAP: three more gates built late in round 4
-(`sketch_hdr_quantiles`, `dedup_duplicate_spans`, `corpus_dsir_weights`)
-took the slots of `insert_if_absent` / `dedupe_keep_first` /
-`events_json_extract` — each demoted gate holds green r1-r3 (or r2-r3)
-driver rows and keeps an in-window family sibling (upsert family →
-upsert_composite_key; S6/S7 → distinct_sorted_projection plus the golden
-keep-first pytest; the §2.6 scalar set is exercised inside every kpi_*
-gate), so the no-rotation-debt invariant still holds registry-wide.
+ROUND-4 POST-TAIL SWAPS: ten more gates built late in round 4 took the
+window slots of ten gates that each hold green r1-r3 (or r2-r3) driver
+rows with semantics unchanged in r4 — first `sketch_hdr_quantiles` /
+`dedup_duplicate_spans` / `corpus_dsir_weights` for `insert_if_absent` /
+`dedupe_keep_first` / `events_json_extract`, then the analytics batch
+(`graph_pagerank_parts`, `assoc_rules_parts`, `corpus_dsir_resample`,
+`text_pmi_collocations`, `events_funnel_conversion`,
+`events_cohort_retention`, `events_resample_gapfill`) for
+`pivot_conditional_agg` / `distinct_sorted_projection` /
+`upsert_composite_key` / `events_asof_join` / `dedup_embedding_cosine` /
+`kpi_delta_months` / `kpi_rollup_by_nation`. Every demoted gate keeps an
+in-window family sibling and/or golden pytest (KPI surface →
+kpi_summary_month + kpi_anomalies_mad + the reference-CSV goldens;
+upsert/S6/S7 → the keep-first/upsert goldens; as-of → the range-join twin
++ plan pins; near-dup → the in-window ANN trio), so the
+no-rotation-debt invariant still holds registry-wide. The remaining
+round-5 rotation candidates are `vocab_bpe_apply`,
+`streaming_sketch_hdr`, and `events_transition_matrix` (all locally
+oracle-verified at sf0.01 + sf0.1).
 
 ``_ARCHIVED`` are four redundant twins retired from the driver registry on
 the round-2 judge's direction (each remains implemented, pytest-covered, and
@@ -100,12 +111,7 @@ from payroll_etl_fastapi_spark.plans import suite_graph  # noqa: E402,F401
 _WINDOW: tuple[str, ...] = (
     # reference SURVEY.md §2 core (KPI plans + ingest/upsert/scalar gates)
     "kpi_summary_month",
-    "kpi_rollup_by_nation",
-    "kpi_delta_months",
     "kpi_anomalies_mad",
-    "pivot_conditional_agg",
-    "distinct_sorted_projection",
-    "upsert_composite_key",
     # relational breadth (joins, per-group top-K, OLAP grouping, scalar fns)
     "join_bloom_filtered",
     "sketch_hll_distinct",
@@ -118,11 +124,12 @@ _WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_semantic_clusters",
     "dedup_duplicate_spans",
+    "graph_pagerank_parts",
+    "assoc_rules_parts",
     # similarity / ANN family (IVF, PQ-ADC, IVF-PQ, near-dup)
     "ann_ivf_pq_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
-    "dedup_embedding_cosine",
     "embedding_dim_stats",
     # text analysis family
     "text_quality_stats",
@@ -140,6 +147,8 @@ _WINDOW: tuple[str, ...] = (
     "corpus_sample_stratified",
     "corpus_distinctive_terms",
     "corpus_dsir_weights",
+    "corpus_dsir_resample",
+    "text_pmi_collocations",
     # streaming (exactly-once file sinks, stream-stream join, CDC merge)
     "streaming_hourly_filesink",
     "streaming_session_filesink",
@@ -147,7 +156,9 @@ _WINDOW: tuple[str, ...] = (
     "streaming_cdc_txtable",
     # windows / as-of
     "events_sliding_window",
-    "events_asof_join",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_resample_gapfill",
     # streaming sketch + BPE training (round-4-tail flagships)
     "streaming_sketch_cms",
     "vocab_bpe_merges",
@@ -227,15 +238,22 @@ _SECONDARY: tuple[str, ...] = (
     "insert_if_absent",
     "dedupe_keep_first",
     "events_json_extract",
+    # ceded their slots to the post-tail analytics gates (PageRank, assoc
+    # rules, DSIR resample, PMI, funnel, cohort, gap-fill): each holds
+    # r1-r3 (or r2-r3) green driver rows with semantics unchanged in r4 —
+    # KPI surface keeps kpi_summary_month + kpi_anomalies_mad in-window
+    # (plus the reference-CSV golden tests); pivot keeps the native
+    # pivot_segment_balances' local gate; as-of keeps the range-join twin
+    # and its plan pins; embedding near-dup keeps the in-window ANN trio
+    "pivot_conditional_agg",
+    "distinct_sorted_projection",
+    "upsert_composite_key",
+    "events_asof_join",
+    "dedup_embedding_cosine",
+    "kpi_delta_months",
+    "kpi_rollup_by_nation",
     # NEW round-4 late additions (locally oracle-verified; round-5 rotation
     # candidates)
-    "corpus_dsir_resample",
-    "text_pmi_collocations",
-    "graph_pagerank_parts",
-    "events_funnel_conversion",
-    "assoc_rules_parts",
-    "events_cohort_retention",
-    "events_resample_gapfill",
     "streaming_sketch_hdr",
     "events_transition_matrix",
 )
