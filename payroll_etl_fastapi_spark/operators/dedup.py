@@ -607,3 +607,115 @@ def duplicate_span_stats(
         F.expr("CAST(dup_spans * 10000 DIV n_spans AS BIGINT)").alias("dup_bp"),
         (F.expr("dup_spans * 10000 DIV n_spans") >= flag_bp).alias("flagged"),
     )
+
+
+def prefix_filter_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """(id_a, id_b, na, nb): EVERY pair that can possibly reach shingle-set
+    Jaccard ≥ threshold_num/threshold_den — the prefix-filtering
+    candidate join of PPJoin (Xiao et al. 2008 / SSJoin, Chaudhuri 2006):
+    the EXACT-guarantee alternative to MinHash-LSH banding (which trades
+    recall probabilistically).
+
+    Why it is complete: order every doc's shingle set by ascending global
+    frequency (rare first); if two sets share NO token in their first
+    L = |s| - ceil(t·|s|) + 1 tokens, their overlap is at most
+    min(|A|,|B|) - L < t·max — so any qualifying pair MUST collide on a
+    prefix token. The length filter (t·|a| ≤ |b| ≤ |a|/t) prunes the rest.
+    Thresholds are exact rationals, so the prefix lengths and filters are
+    integer arithmetic a SQL oracle replays.
+
+    Scale shape (100 TB): one shingle pass + one frequency count; the
+    per-doc ordering is an ARRAY-LOCAL sort (collect_list bounded by doc
+    length, never a global sort); candidates come from an equality
+    self-join on PREFIX tokens — which are by construction the RAREST
+    tokens in each doc, exactly inverting the hot-key risk a naive
+    token self-join has. No LSH tuning, no false negatives."""
+    sh = shingles(df, text_col, id_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    ranked = sh.join(freq, "shingle")
+    arr = ranked.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("f", "shingle"))).alias("arr"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    plen = F.expr(
+        f"sz - ((({threshold_num} * sz) + {threshold_den} - 1)"
+        f" DIV {threshold_den}) + 1"
+    )
+    pref = arr.select(
+        "id",
+        "sz",
+        F.explode(
+            F.transform(F.slice("arr", F.lit(1), plen), lambda x: x["shingle"])
+        ).alias("shingle"),
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("na"), "shingle"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("nb"), "shingle"
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") * threshold_den >= F.col("na") * threshold_num)
+            & (F.col("na") * threshold_den >= F.col("nb") * threshold_num)
+        )
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """EXACT similarity join: all pairs with shingle-set Jaccard ≥
+    threshold_num/threshold_den, via prefix-filter candidates + a
+    candidate-restricted grouped-count verify (the melt shape the LSH
+    verify uses). Output (id_a, id_b, common, na, nb, jaccard_bp); the
+    threshold predicate is the exact integer cross-multiplication
+    common·den ≥ num·union — no float ever decides membership."""
+    sh = shingles(df, text_col, id_col, n)
+    cand = prefix_filter_candidates(
+        df, text_col, id_col, n, threshold_num, threshold_den
+    )
+    melt = cand.withColumn(
+        "id", F.explode(F.array(F.col("id_a"), F.col("id_b")))
+    )
+    stats = (
+        melt.join(sh, "id")
+        .groupBy("id_a", "id_b", "na", "nb", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("union_sz"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("common"),
+        )
+    )
+    return (
+        stats.filter(
+            F.col("common") * threshold_den >= F.col("union_sz") * threshold_num
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.expr("CAST(common * 10000 DIV (na + nb - common) AS BIGINT)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )

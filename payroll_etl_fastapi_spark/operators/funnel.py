@@ -101,8 +101,12 @@ def funnel_counts(
     n1 = chain[0].agg(F.count(F.lit(1)).alias("n1"))
     frames = []
     for k, ft in enumerate(chain, start=1):
+        # cast: sources may surface TIMESTAMP_NTZ (e.g. plain parquet
+        # round-trips), which unix_millis rejects; the difference is
+        # identical either way
         lag = (
-            F.unix_millis(F.col(f"t{k}")) - F.unix_millis(F.col("t1"))
+            F.unix_millis(F.col(f"t{k}").cast("timestamp"))
+            - F.unix_millis(F.col("t1").cast("timestamp"))
             if k > 1
             else F.lit(0).cast("long")
         )

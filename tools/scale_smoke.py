@@ -72,7 +72,7 @@ def timed(fn) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 2), n
 
 
-def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame):
+def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame, lineitem: DataFrame):
     """op name -> zero-arg callable returning a row count (forces full exec)."""
     queries_docs = docs.filter(F.col("doc_id") % 997 == 0)
     qterms = queries_docs.select(
@@ -161,6 +161,14 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame):
             docs, "text", "doc_id"
         ).count(),
         "dsir_weights": lambda: _dsir(docs),
+        # round-4 post-tail analytics: funnel/cohort/transitions/gap-fill
+        # over events; PageRank/assoc rules over the scaled basket graph
+        "funnel": lambda: _funnel(events),
+        "cohort_retention": lambda: _cohort(events),
+        "transition_matrix": lambda: _transitions(events),
+        "resample_gapfill": lambda: _gapfill(events),
+        "pagerank": lambda: _pagerank(lineitem),
+        "assoc_rules": lambda: _assoc(lineitem),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
             [
@@ -182,6 +190,47 @@ def mult_of(emb: DataFrame) -> int:
     if not _BASE_EMB_ROWS:
         _BASE_EMB_ROWS.append(n)
     return max(1, n // _BASE_EMB_ROWS[0])
+
+
+def _funnel(events: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(events, ["view", "click", "purchase"]).count()
+
+
+def _cohort(events: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(events).count()
+
+
+def _transitions(events: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.funnel import transition_matrix
+
+    return transition_matrix(events).count()
+
+
+def _gapfill(events: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.timeseries import resample_locf
+
+    sel = events.filter(F.col("user_id") % 30 == 0)
+    return resample_locf(
+        sel, "user_id", "ts", F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+    ).count()
+
+
+def _pagerank(lineitem: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.graph import copurchase_edges, pagerank
+
+    return pagerank(copurchase_edges(lineitem), iterations=3).count()
+
+
+def _assoc(lineitem: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.assoc import pair_association_rules
+
+    return pair_association_rules(
+        lineitem, "l_orderkey", "l_partkey", min_pair_count=2, top_k=20
+    ).count()
 
 
 def _dsir(docs: DataFrame) -> int:
@@ -228,12 +277,19 @@ def main() -> None:
                 "documents": scaled(spark, "documents", ["doc_id"], base, mult),
                 "embeddings": scaled(spark, "embeddings", ["vec_id"], base, mult),
                 "events": scaled(spark, "events", ["event_id", "user_id"], base, mult),
+                # offset BOTH keys: copies form disjoint baskets AND a
+                # disjoint item universe, so the co-purchase graph / rule
+                # mining grow linearly instead of collapsing onto one graph
+                "lineitem": scaled(
+                    spark, "lineitem", ["l_orderkey", "l_partkey"], base, mult
+                ),
             }
         for mult in (1, MULT):
             docs = spark.read.parquet(tables[mult]["documents"])
             emb = spark.read.parquet(tables[mult]["embeddings"])
             events = spark.read.parquet(tables[mult]["events"])
-            for name, fn in ops_for(spark, docs, emb, events).items():
+            lineitem = spark.read.parquet(tables[mult]["lineitem"])
+            for name, fn in ops_for(spark, docs, emb, events, lineitem).items():
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 sec, n = timed(fn)
