@@ -256,6 +256,7 @@ _SECONDARY: tuple[str, ...] = (
     # candidates)
     "streaming_sketch_hdr",
     "events_transition_matrix",
+    "dedup_prefix_filter_jaccard",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -486,3 +486,77 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEW in round 4 (post-tail)."""
     corpus = _spark_corpus(spark, sf_dir, mutated=True)
     return dedup.duplicate_span_stats(corpus, "text", "doc_id").orderBy("id")
+
+
+def _prefix_filter_oracle(num: int = 7, den: int = 10) -> str:
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id, text || '{_MUTATION}' AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_SQL_SHINGLES},
+    freq AS (SELECT s, count(*) AS f FROM sh GROUP BY s),
+    ranked AS (
+        SELECT id, s,
+               row_number() OVER (PARTITION BY id ORDER BY f, s) AS rn,
+               count(*) OVER (PARTITION BY id) AS sz
+        FROM sh JOIN freq USING (s)
+    ),
+    pref AS (
+        SELECT id, s, sz FROM ranked
+        WHERE rn <= sz - ((({num} * sz) + {den} - 1) // {den}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sz AS na, b.sz AS nb
+        FROM pref a JOIN pref b ON a.s = b.s AND a.id < b.id
+        WHERE b.sz * {den} >= {num} * a.sz AND a.sz * {den} >= {num} * b.sz
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS common
+        FROM cand c
+        JOIN sh x ON x.id = c.id_a
+        JOIN sh y ON y.id = c.id_b AND y.s = x.s
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(common AS BIGINT) AS common,
+           CAST(na AS BIGINT)     AS na,
+           CAST(nb AS BIGINT)     AS nb,
+           CAST(common * 10000 // (na + nb - common) AS BIGINT) AS jaccard_bp
+    FROM inter
+    WHERE common * {den} >= {num} * (na + nb - common)
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_prefix_filter_jaccard", oracle=_prefix_filter_oracle())
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (operators.dedup.
+    prefix_filter_jaccard_pairs; PPJoin / SSJoin lineage): all pairs with
+    trigram-set Jaccard ≥ 0.7 — the exact-guarantee alternative to
+    MinHash-LSH banding (no probabilistic recall): any qualifying pair
+    MUST share one of the (globally-rarest-first) prefix tokens, so the
+    candidate equality join provably misses nothing, and prefix tokens
+    are by construction the RAREST — inverting the hot-key risk of a
+    naive token self-join. Thresholds are exact rationals (integer
+    cross-multiplication decides membership), so the oracle replays
+    frequencies, prefix lengths, candidates, and verdicts bit-for-bit.
+
+    The gate runs on the doc_id % 5 subset: the synthetic corpus draws
+    from a FIXED tiny vocabulary, so its trigram space saturates with
+    corpus size and all-pairs similarity becomes genuinely dense (432k
+    true candidates at sf0.1 full) — a property of the data, not the
+    algorithm; real corpora grow their vocabulary with size. NEW in
+    round 4 (post-tail); round-5 rotation candidate."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = docs.select("doc_id", "text")
+    copy = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
+    )
+    corpus = docs.unionByName(copy)
+    return dedup.prefix_filter_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold_num=7, threshold_den=10
+    ).orderBy("id_a", "id_b")

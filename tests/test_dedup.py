@@ -318,3 +318,54 @@ def test_duplicate_spans_plan_is_linear(spark):
     plan = duplicate_span_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_candidates_complete_vs_all_pairs(spark):
+    """The prefix filter must find EVERY pair at or above the threshold —
+    compare against the exhaustive all-pairs verify on a small corpus."""
+    from payroll_etl_fastapi_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),     # high overlap with 1
+        (3, "a b c d q r s t"),     # medium overlap
+        (4, "m n o p q r s t"),     # overlaps 3 somewhat
+        (5, "z z1 z2 z3 z4 z5 z6 z7"),  # disjoint
+        (6, "a b c d e f g h"),     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.7).collect()
+    }
+    got_rows = prefix_filter_jaccard_pairs(
+        df, n=1, threshold_num=7, threshold_den=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    assert got == exact
+    # jaccard accounting exact: pair (1,6) identical sets
+    by = {(r.id_a, r.id_b): r for r in got_rows}
+    assert by[(1, 6)].common == 8 and by[(1, 6)].jaccard_bp == 10000
+
+
+def test_prefix_filter_boundary_is_integer_exact(spark):
+    # sets of size 10 sharing exactly 7 tokens: J = 7/13 < 0.7 -> excluded;
+    # sharing 9: J = 9/11 > 0.7 -> included. Boundary J == 0.7 needs
+    # common*10 == 7*union: common=7, union=10 -> a 7-subset of a 10-set
+    from payroll_etl_fastapi_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    ten = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    seven = "t1 t2 t3 t4 t5 t6 t7"
+    df = spark.createDataFrame(
+        [(1, ten), (2, seven)], "doc_id long, text string"
+    )
+    got = prefix_filter_jaccard_pairs(
+        df, n=1, threshold_num=7, threshold_den=10
+    ).collect()
+    # J = 7/10 exactly == threshold -> INCLUDED (>=, exact integers)
+    assert len(got) == 1 and got[0].jaccard_bp == 7000
