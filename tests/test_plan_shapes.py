@@ -17,6 +17,9 @@ import payroll_etl_fastapi_spark.plans.suite_windows  # noqa: F401  (registers)
 import payroll_etl_fastapi_spark.plans.suite_asof  # noqa: F401
 import payroll_etl_fastapi_spark.plans.suite_similarity  # noqa: F401
 import payroll_etl_fastapi_spark.plans.suite_text  # noqa: F401
+import payroll_etl_fastapi_spark.plans.suite_relational  # noqa: F401
+import payroll_etl_fastapi_spark.plans.suite_graph  # noqa: F401
+import payroll_etl_fastapi_spark.plans.suite_dedup  # noqa: F401
 
 from tests.conftest import SF_ORACLE
 
@@ -205,3 +208,37 @@ def test_pq_adc_broadcasts_the_distance_table(spark):
     assert _nodes(plan, "BroadcastHashJoin") >= 1
     assert _nodes(plan, "SortMergeJoin") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_step_filters_reach_the_scans(spark):
+    """Each funnel stage must read only its step's rows: the event_type
+    equality predicate is pushed to every parquet scan, and no join in the
+    chain is a nested loop (the only BNLJ is the 1-row denominator)."""
+    plan = _plan(spark, "events_funnel_conversion")
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,view\)", plan)
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,click\)", plan)
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,purchase\)", plan)
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_assoc_rules_is_take_ordered_no_cartesian(spark):
+    plan = _plan(spark, "assoc_rules_parts")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "TakeOrderedAndProject") == 1
+    # the basket self-join and both item-count attaches are equality joins
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1  # 1-row total only
+
+
+def test_prefix_filter_no_nested_loop_or_cartesian(spark):
+    plan = _plan(spark, "dedup_prefix_filter_jaccard")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_hdr_gate_single_shuffle_no_sort_of_data(spark):
+    """The sketch is one grouped count; quantiles fold a bounded array —
+    the only Sort allowed is the 3-row presentation orderBy."""
+    plan = _plan(spark, "sketch_hdr_quantiles")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "Window") == 0
