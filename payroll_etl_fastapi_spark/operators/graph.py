@@ -36,10 +36,22 @@ PR_DAMPING_PCT = 85
 
 
 def symmetric_edges(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
-    """Distinct symmetric edge set from an undirected pair list."""
-    fwd = pairs.select(F.col(u).alias("src"), F.col(v).alias("dst"))
-    rev = pairs.select(F.col(v).alias("src"), F.col(u).alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    """Distinct symmetric edge set from a CANONICAL (u < v) pair list.
+
+    Deduplicates the canonical pairs FIRST, then mirrors — u < v guarantees
+    the forward and reversed sets are disjoint, so the union needs no
+    second distinct: one shuffle over half the rows instead of one over
+    the full symmetric set. The deduped frame is lazily checkpointed so
+    the mirror branch (and every downstream consumer — degrees, node set,
+    iterations) reads the materialized pairs instead of re-running the
+    generating join per branch."""
+    fwd = (
+        pairs.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev)
 
 
 def copurchase_edges(
@@ -69,6 +81,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = PR_DAMPING_PCT,
     scale: int = PR_SCALE,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """(node, rank_micro) after ``iterations`` integer power iterations.
 
@@ -79,7 +92,16 @@ def pagerank(
     dst still receive rank; nodes with no in-edges settle at the base
     (1-d) mass. r0 = ``scale`` per node; each step:
     r'(v) = ((100-damping_pct)·scale) DIV 100
-            + (damping_pct · Σ_{u→v} r(u) DIV deg(u)) DIV 100."""
+            + (damping_pct · Σ_{u→v} r(u) DIV deg(u)) DIV 100.
+
+    ``broadcast_ranks=True`` is the DIMENSION-GRAPH mode (node set small
+    enough to broadcast — product catalogs, domains, entities): the rank
+    frame ships to the executors each iteration, so the EDGE table is
+    never shuffled for the join and the only per-iteration exchange is the
+    map-side-combined grouped sum (≤ #nodes rows per task). Leave False
+    for web-scale graphs where ranks themselves are huge — there the join
+    runs shuffle-keyed on src and a cluster reuses that partitioning
+    across iterations."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -90,15 +112,16 @@ def pagerank(
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    bc = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
         contrib = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            edges_deg.join(bc(ranks), edges_deg["src"] == ranks["node"])
             .select("dst", F.expr("r DIV d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
+            bc(contrib), nodes["node"] == contrib["dst"], "left"
         ).select(
             "node",
             (

@@ -80,7 +80,9 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive. NEW in round 4 (post-tail); round-5 rotation candidate."""
     li = _t(spark, sf_dir, "lineitem")
     edges = G.copurchase_edges(li)
-    ranks = G.pagerank(edges, iterations=_PR_ITERS)
+    # parts are a dimension-sized node set: broadcast the rank frame so
+    # the edge table is never shuffled per iteration (see pagerank docs)
+    ranks = G.pagerank(edges, iterations=_PR_ITERS, broadcast_ranks=True)
     return (
         ranks.select(F.col("node").alias("partkey"), "rank_micro")
         .orderBy(F.desc("rank_micro"), "partkey")
