@@ -39,9 +39,13 @@ def pair_association_rules(
     antecedent, consequent). Both directions of every qualifying pair are
     emitted and ranked — confidence is direction-dependent even though
     support and lift are symmetric."""
-    li = baskets.select(
-        F.col(basket_col).alias("o"), F.col(item_col).alias("p")
-    ).distinct()
+    # four consumers (basket total, item counts, both self-join sides) —
+    # lazily checkpoint so the distinct basket-item frame materializes once
+    li = (
+        baskets.select(F.col(basket_col).alias("o"), F.col(item_col).alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_baskets = li.select("o").distinct().agg(
         F.count(F.lit(1)).alias("n")
     )
