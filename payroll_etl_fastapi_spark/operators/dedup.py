@@ -616,6 +616,7 @@ def prefix_filter_candidates(
     n: int = 1,
     threshold_num: int = 7,
     threshold_den: int = 10,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, na, nb): EVERY pair that can possibly reach shingle-set
     Jaccard ≥ threshold_num/threshold_den — the prefix-filtering
@@ -636,8 +637,10 @@ def prefix_filter_candidates(
     length, never a global sort); candidates come from an equality
     self-join on PREFIX tokens — which are by construction the RAREST
     tokens in each doc, exactly inverting the hot-key risk a naive
-    token self-join has. No LSH tuning, no false negatives."""
-    sh = shingles(df, text_col, id_col, n)
+    token self-join has. No LSH tuning, no false negatives. ``_sh`` lets
+    the verify composition hand in an already-materialized shingle frame
+    instead of re-running the tokenizer."""
+    sh = shingles(df, text_col, id_col, n) if _sh is None else _sh
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     ranked = sh.join(freq, "shingle")
     arr = ranked.groupBy("id").agg(
@@ -686,10 +689,14 @@ def prefix_filter_jaccard_pairs(
     candidate-restricted grouped-count verify (the melt shape the LSH
     verify uses). Output (id_a, id_b, common, na, nb, jaccard_bp); the
     threshold predicate is the exact integer cross-multiplication
-    common·den ≥ num·union — no float ever decides membership."""
-    sh = shingles(df, text_col, id_col, n)
+    common·den ≥ num·union — no float ever decides membership.
+
+    The shingle frame is lazily checkpointed and shared between the
+    candidate build (frequencies, prefixes) and the verify melt — the
+    tokenizer and explode run ONCE, not once per consumer."""
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
     cand = prefix_filter_candidates(
-        df, text_col, id_col, n, threshold_num, threshold_den
+        df, text_col, id_col, n, threshold_num, threshold_den, _sh=sh
     )
     melt = cand.withColumn(
         "id", F.explode(F.array(F.col("id_a"), F.col("id_b")))
