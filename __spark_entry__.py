@@ -257,6 +257,7 @@ _SECONDARY: tuple[str, ...] = (
     "streaming_sketch_hdr",
     "events_transition_matrix",
     "dedup_prefix_filter_jaccard",
+    "graph_label_propagation",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -28,7 +28,7 @@ actions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000
@@ -132,3 +132,46 @@ def pagerank(
             .alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """(node, community): synchronous label propagation (Raghavan et al.
+    2007) over a SYMMETRIC edge set — each round every node adopts the
+    most frequent label among its neighbors, ties broken by the SMALLEST
+    label, for a fixed ``iterations`` rounds. The deterministic tie-break
+    plus synchronous updates make the result a pure function of the graph
+    (classic LPA breaks ties randomly; this variant is SQL-replayable and
+    retry-stable). Complements connected components (min-id reachability)
+    with DENSITY-sensitive communities: bridges don't merge groups.
+
+    Scale shape (100 TB): per round, one src-keyed equality join
+    (labels broadcast in dimension-graph mode, same contract as
+    `pagerank`), one (node, label) grouped count with map-side combine,
+    and one argmax via a window PARTITIONED by node — state bounded by a
+    single node's distinct neighbor labels (≤ degree), never a global
+    sort. Fixed K rounds: one chained plan, no driver loop of actions."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ed = edges.localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.col("label"))
+    for _ in range(iterations):
+        nbr = ed.join(bc(labels), ed["src"] == labels["node"]).select(
+            F.col("dst").alias("v"), "label"
+        )
+        cnt = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -138,3 +138,70 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.pair_association_rules(
         li, "l_orderkey", "l_partkey", min_pair_count=2, top_k=20
     )
+
+
+_LP_ITERS = 4
+_LP_TOPK = 20
+
+
+def _label_prop_oracle(iters: int = _LP_ITERS, topk: int = _LP_TOPK) -> str:
+    parts = [
+        "WITH li AS MATERIALIZED ("
+        " SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),",
+        "pr AS MATERIALIZED ("
+        " SELECT a.p AS u, b.p AS v FROM li a JOIN li b"
+        " ON a.o = b.o AND a.p < b.p),",
+        "edges AS MATERIALIZED ("
+        " SELECT DISTINCT src, dst FROM ("
+        "  SELECT u AS src, v AS dst FROM pr"
+        "  UNION ALL SELECT v, u FROM pr)),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f"n{k} AS MATERIALIZED ("
+            f" SELECT e.dst AS v, l.label, count(*) AS c"
+            f" FROM edges e JOIN {prev} l ON e.src = l.node"
+            f" GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED ("
+            f" SELECT v AS node, label FROM ("
+            f"  SELECT v, label,"
+            f"   row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn"
+            f"  FROM n{k}) WHERE rn = 1),"
+        )
+    parts.append(
+        f"fin AS (SELECT label AS community, count(*) AS n_members"
+        f" FROM l{iters} GROUP BY 1)"
+        f" SELECT community, CAST(n_members AS BIGINT) AS n_members"
+        f" FROM fin ORDER BY n_members DESC, community LIMIT {topk}"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_label_propagation", oracle=_label_prop_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label propagation
+    (operators.graph.label_propagation; Raghavan et al. 2007 with
+    smallest-label tie-breaks): the 20 largest co-purchase communities
+    after four rounds. Deterministic ties + synchronous updates make the
+    communities a pure function of the graph, so the oracle re-runs ALL
+    four rounds in materialized SQL CTEs — a join-direction, counting, or
+    tie-break bug flips the hash. Per round: one src-keyed join (labels
+    broadcast — dimension graph), one map-side-combined count, one
+    node-partitioned argmax window (state ≤ degree). NEW in round 4
+    (post-tail); round-5 rotation candidate."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li)
+    labels = G.label_propagation(
+        edges, iterations=_LP_ITERS, broadcast_labels=True
+    )
+    return (
+        labels.groupBy(F.col("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LP_TOPK)
+    )

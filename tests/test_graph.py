@@ -72,3 +72,61 @@ def test_pagerank_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    # two triangles {1,2,3} and {4,5,6} joined by one bridge 3-4: density
+    # keeps the communities separate (where connected components would
+    # merge them into one)
+    tri = {(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)}
+    sym = tri | {(b, a) for a, b in tri}
+    got = {
+        r.node: r.community
+        for r in G.label_propagation(_edges_df(spark, sym), iterations=4).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    # the second triangle keeps its OWN community (labels can migrate —
+    # here the bridge node's original label 3 wins inside {4,5,6} — but
+    # density stops the two triangles merging)
+    assert got[4] == got[5] == got[6]
+    assert got[4] != got[1]
+    # connected components by contrast merges everything to label 1
+    from payroll_etl_fastapi_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in tri], "id_a long, id_b long"
+    )
+    cc = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(cc.values()) == {1}
+
+
+def test_label_propagation_matches_python_replica(spark):
+    import random
+
+    rng = random.Random(3)
+    pairs = {(rng.randrange(0, 12), rng.randrange(0, 12)) for _ in range(25)}
+    pairs = {(a, b) for a, b in pairs if a != b}
+    sym = pairs | {(b, a) for a, b in pairs}
+
+    def replica(edges, iters):
+        nodes = {u for u, _ in edges} | {v for _, v in edges}
+        lab = {n: n for n in nodes}
+        for _ in range(iters):
+            new = {}
+            for v in nodes:
+                cnt: dict[int, int] = {}
+                for a, b in edges:
+                    if b == v:
+                        cnt[lab[a]] = cnt.get(lab[a], 0) + 1
+                if cnt:
+                    new[v] = min(
+                        cnt, key=lambda L: (-cnt[L], L)
+                    )
+            lab = {**lab, **new}
+        return lab
+
+    got = {
+        r.node: r.community
+        for r in G.label_propagation(_edges_df(spark, sym), iterations=3).collect()
+    }
+    assert got == replica(sym, 3)
