@@ -211,3 +211,103 @@ def test_txtable_merge_properties(spark, base_rows, src_rows):
         assert {r.k: r.v for r in t.snapshot(version=1).collect()} == b
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# -- round-4 post-tail operators --------------------------------------------
+
+_small_longs = st.lists(
+    st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60
+)
+
+
+@given(_small_longs)
+@settings(**SETTINGS)
+def test_hdr_quantile_bounds_property(spark, vals):
+    """For ANY non-negative input: n is exact, every reported quantile is a
+    lower bound of some input value within the 2^-m relative bucket
+    width, and p50 <= p90 <= p99."""
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = SK.hdr_quantiles(SK.hdr_histogram(df, "v")).collect()[0]
+    assert row.n == len(vals)
+    assert row.p50 <= row.p90 <= row.p99
+    m = SK.HDR_MBITS
+    for name in ("p50", "p90", "p99"):
+        lb = getattr(row, name)
+        assert any(lb <= v <= lb + (lb >> m) + 1 for v in vals), (name, lb)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # user
+            st.sampled_from(["a", "b", "c"]),            # type
+            st.integers(min_value=0, max_value=10_000),  # second offset
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_counts_monotonic_property(spark, rows):
+    """Funnel prefixes can only lose users: n_users is non-increasing in
+    step index, conv_bp starts at 10000, and avg_lag_ms is non-negative."""
+    import datetime as dt
+
+    from payroll_etl_fastapi_spark.operators import funnel as FN
+
+    df = spark.createDataFrame(
+        [
+            (u, t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+            for u, t, s in rows
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    if df.filter(F.col("event_type") == "a").count() == 0:
+        return
+    out = FN.funnel_counts(df, ["a", "b", "c"]).collect()
+    ns = [r.n_users for r in sorted(out, key=lambda r: r.step_idx)]
+    assert ns == sorted(ns, reverse=True)
+    assert out[0].conv_bp == 10000
+    assert all(r.avg_lag_ms >= 0 for r in out)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_transition_matrix_conservation_property(spark, rows):
+    """Row shares never exceed 10000 bp in total, every count is positive,
+    and total transitions = total events minus one per active user."""
+    import datetime as dt
+
+    from payroll_etl_fastapi_spark.operators.funnel import transition_matrix
+
+    df = spark.createDataFrame(
+        [
+            (u, i, t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i))
+            for i, (u, t) in enumerate(rows)
+        ],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    out = transition_matrix(df).collect()
+    per_user = {}
+    for u, _ in rows:
+        per_user[u] = per_user.get(u, 0) + 1
+    expected_total = sum(c - 1 for c in per_user.values())
+    assert sum(r.n for r in out) == expected_total
+    from collections import defaultdict
+
+    by_from = defaultdict(int)
+    for r in out:
+        assert r.n > 0
+        by_from[r.from_type] += r.row_bp
+    assert all(total <= 10000 for total in by_from.values())
