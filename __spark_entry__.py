@@ -258,6 +258,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_transition_matrix",
     "dedup_prefix_filter_jaccard",
     "graph_label_propagation",
+    "unpivot_segment_balances",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

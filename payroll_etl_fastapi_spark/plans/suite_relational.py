@@ -644,3 +644,47 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = SK.hdr_histogram(li, "v", ["flag"])
     return SK.hdr_quantiles(hist, group_cols=["flag"]).orderBy("flag")
+
+
+@query(
+    "unpivot_segment_balances",
+    oracle=f"""
+    WITH nations AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+    segs AS (SELECT unnest(['{"','".join(s for s in _SEGMENTS)}']) AS segment),
+    agg AS (
+        SELECT c_nationkey AS a_nationkey, c_mktsegment AS a_segment,
+               sum({_sql_cents('c_acctbal')}) AS cents
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT n.nationkey,
+           lower(s.segment)                       AS segment,
+           CAST(coalesce(a.cents, 0) AS BIGINT)   AS balance_cents
+    FROM nations n CROSS JOIN segs s
+    LEFT JOIN agg a ON a.a_nationkey = n.nationkey AND a.a_segment = s.segment
+    ORDER BY nationkey, segment
+    """,
+)
+def unpivot_segment_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the native pivot gate's frame turned back to long
+    form with ``unpivot`` — the wide→long reshape every BI/feature
+    pipeline needs as the inverse of pivot. Zero-filled cells survive the
+    round trip (the dense frame melts to one row per nation × declared
+    segment). The oracle derives the same long frame relationally
+    (nation × declared segments, left-joined aggregate) — a melt bug,
+    lost zero-fill, or column-name drift flips the hash.
+
+    Scale shape: unpivot is a row-local Expand (5 output rows per input
+    row, no shuffle); the only exchange is the pivot aggregate it
+    consumes. NEW in round 4 (post-tail); round-5 rotation candidate."""
+    pivoted = pivot_segment_balances(spark, sf_dir)
+    long = pivoted.unpivot(
+        "nationkey",
+        [f"{s.lower()}_cents" for s in _SEGMENTS],
+        "segment",
+        "balance_cents",
+    )
+    return long.select(
+        "nationkey",
+        F.regexp_replace("segment", "_cents$", "").alias("segment"),
+        F.col("balance_cents").cast("long").alias("balance_cents"),
+    ).orderBy("nationkey", "segment")
