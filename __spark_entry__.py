@@ -59,9 +59,11 @@ kpi_summary_month + kpi_anomalies_mad + the reference-CSV goldens;
 upsert/S6/S7 → the keep-first/upsert goldens; as-of → the range-join twin
 + plan pins; near-dup → the in-window ANN trio), so the
 no-rotation-debt invariant still holds registry-wide. The remaining
-round-5 rotation candidates are `vocab_bpe_apply`,
-`streaming_sketch_hdr`, and `events_transition_matrix` (all locally
-oracle-verified at sf0.01 + sf0.1).
+round-5 rotation candidates — gates built after the final swap, locally
+oracle-verified at sf0.001 + sf0.01 + sf0.1 — are `vocab_bpe_apply`,
+`streaming_sketch_hdr`, `events_transition_matrix`,
+`dedup_prefix_filter_jaccard`, `graph_label_propagation`, and
+`unpivot_segment_balances`.
 
 ``_ARCHIVED`` are four redundant twins retired from the driver registry on
 the round-2 judge's direction (each remains implemented, pytest-covered, and
