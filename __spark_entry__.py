@@ -261,6 +261,7 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_prefix_filter_jaccard",
     "graph_label_propagation",
     "unpivot_segment_balances",
+    "sql_pricing_summary",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

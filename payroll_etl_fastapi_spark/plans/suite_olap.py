@@ -129,3 +129,37 @@ def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, nation, segment
         """
     )
+
+
+def _q1_sql(div: str) -> str:
+    c = lambda e: f"CAST(floor(({e}) * 100 + 0.5) AS BIGINT)"
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({c('l_quantity')}) AS BIGINT)        AS sum_qty_cents,
+           CAST(sum({c('l_extendedprice')}) AS BIGINT)   AS sum_base_cents,
+           CAST(sum({c('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+                                                         AS sum_disc_cents,
+           CAST(sum({c('l_extendedprice * (1 - l_discount) * (1 + l_tax)')})
+                AS BIGINT)                               AS sum_charge_cents,
+           CAST(count(*) AS BIGINT)                      AS count_order,
+           CAST(sum({c('l_quantity')}) {div} count(*) AS BIGINT)
+                                                         AS avg_qty_cents
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+@query("sql_pricing_summary", oracle=_q1_sql("//"))
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) through the PURE SQL entry path: the
+    query text goes to ``spark.sql`` over a registered view — same
+    Catalyst plan the DataFrame API produces (one scan with the pushed
+    shipdate filter, one map-side-combined hash aggregate, presentation
+    sort), demonstrating that the engine's second API surface carries the
+    full determinism conventions: integer-cents sums and an integer DIV
+    average, so the oracle is literally the same text modulo the division
+    spelling. NEW in round 4 (post-tail); round-5 rotation candidate."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_q1_sql("DIV"))
