@@ -262,6 +262,7 @@ _SECONDARY: tuple[str, ...] = (
     "graph_label_propagation",
     "unpivot_segment_balances",
     "sql_pricing_summary",
+    "graph_triangle_counts",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

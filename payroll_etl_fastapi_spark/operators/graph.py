@@ -175,3 +175,47 @@ def label_propagation(
             .select(F.col("v").alias("node"), "label")
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, degree, n_triangles, cc_bp): per-node triangle participation
+    and local clustering coefficient (2T / deg·(deg-1), integer basis
+    points) over a SYMMETRIC edge set — the cohesion metric behind
+    community quality, spam-graph, and recommender-diversity analyses.
+
+    Plan shape: canonicalize to u < v (each triangle counted once as
+    a < b < c), build wedges with ONE equality self-join on the middle
+    node, close them with ONE more equality join on the (a, c) pair, then
+    explode each triangle's three corners into a grouped count. All
+    equality joins — no cartesian; wedge volume is Σ deg(b)², the classic
+    triangle-counting cost, so callers bound degrees (sample or filter
+    hubs) exactly as every production triangle counter does."""
+    e = edges.filter(F.col("src") < F.col("dst")).localCheckpoint(eager=False)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN degree < 2 THEN 0"
+                " ELSE 2 * coalesce(n_triangles, 0) * 10000"
+                "      DIV (degree * (degree - 1)) END AS BIGINT)"
+            ).alias("cc_bp"),
+        )
+    )

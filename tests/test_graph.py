@@ -130,3 +130,27 @@ def test_label_propagation_matches_python_replica(spark):
         for r in G.label_propagation(_edges_df(spark, sym), iterations=3).collect()
     }
     assert got == replica(sym, 3)
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles, cc = 1.0;
+    # pendant node 5 attached to 1: degree 1, no triangles
+    k4 = {(a, b) for a in range(1, 5) for b in range(1, 5) if a < b}
+    pairs = k4 | {(1, 5)}
+    sym = pairs | {(b, a) for a, b in pairs}
+    got = {r.node: r for r in G.triangle_counts(_edges_df(spark, sym)).collect()}
+    for n in (2, 3, 4):
+        assert got[n].n_triangles == 3
+        assert got[n].degree == 3
+        assert got[n].cc_bp == 10000
+    assert got[1].n_triangles == 3 and got[1].degree == 4
+    # cc(1) = 2*3/(4*3) = 0.5
+    assert got[1].cc_bp == 5000
+    assert got[5].n_triangles == 0 and got[5].cc_bp == 0
+
+
+def test_triangle_counts_no_triangles_in_a_path(spark):
+    path = {(1, 2), (2, 3), (3, 4)}
+    sym = path | {(b, a) for a, b in path}
+    got = {r.node: r.n_triangles for r in G.triangle_counts(_edges_df(spark, sym)).collect()}
+    assert all(v == 0 for v in got.values())
