@@ -169,6 +169,8 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame, lineitem:
         "resample_gapfill": lambda: _gapfill(events),
         "pagerank": lambda: _pagerank(lineitem),
         "assoc_rules": lambda: _assoc(lineitem),
+        "label_propagation": lambda: _label_prop(lineitem),
+        "triangle_counts": lambda: _triangles(lineitem),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
             [
@@ -217,6 +219,28 @@ def _gapfill(events: DataFrame) -> int:
     return resample_locf(
         sel, "user_id", "ts", F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
     ).count()
+
+
+def _label_prop(lineitem: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+    )
+
+    return label_propagation(
+        copurchase_edges(lineitem), iterations=2, broadcast_labels=True
+    ).count()
+
+
+def _triangles(lineitem: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.graph import (
+        copurchase_edges,
+        triangle_counts,
+    )
+
+    # same degree bound as the gate: wedge volume is the intended cost
+    sub = lineitem.filter(F.col("l_orderkey") % 7 == 0)
+    return triangle_counts(copurchase_edges(sub)).count()
 
 
 def _pagerank(lineitem: DataFrame) -> int:
