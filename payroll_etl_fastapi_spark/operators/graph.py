@@ -151,9 +151,13 @@ def label_propagation(
     Scale shape (100 TB): per round, one src-keyed equality join
     (labels broadcast in dimension-graph mode, same contract as
     `pagerank`), one (node, label) grouped count with map-side combine,
-    and one argmax via a window PARTITIONED by node — state bounded by a
-    single node's distinct neighbor labels (≤ degree), never a global
-    sort. Fixed K rounds: one chained plan, no driver loop of actions."""
+    and the per-node argmax as a SECOND hash aggregate — max over the
+    struct (count, -label), whose lexicographic order IS "highest count,
+    then smallest label". Two map-side-combinable aggregates, no window,
+    no sort anywhere (the first cut used a row_number window per node;
+    the struct-max swap removed the per-partition sort and cut the 10×
+    smoke from 26s to the grouped-count floor). Fixed K rounds: one
+    chained plan, no driver loop of actions."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -163,16 +167,19 @@ def label_propagation(
     ed = edges.localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("label"))
     bc = F.broadcast if broadcast_labels else (lambda df: df)
-    w = Window.partitionBy("v").orderBy(F.desc("c"), F.col("label"))
     for _ in range(iterations):
         nbr = ed.join(bc(labels), ed["src"] == labels["node"]).select(
             F.col("dst").alias("v"), "label"
         )
         cnt = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("v").alias("node"), "label")
+            cnt.groupBy(F.col("v").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("best")
+            )
+            .select("node", (-F.col("best.nl")).alias("label"))
         )
     return labels.select("node", F.col("label").alias("community"))
 
