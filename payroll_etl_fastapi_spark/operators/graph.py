@@ -61,19 +61,34 @@ def copurchase_edges(
 ) -> DataFrame:
     """(src, dst) symmetric co-occurrence edges: items sharing an order.
 
-    The pair join is an EQUALITY join on the order key with an inequality
-    filter — per-order fan-out is bounded by the order's line count (≤ 7 in
-    TPC-H shapes, a few dozen in real baskets), so the output is O(input ·
-    basket size), never a global quadratic. The classic pathological key (a
-    mega-basket) is exactly what AQE skew-join splits."""
-    li = lineitem.select(
-        F.col(order_col).alias("o"), F.col(item_col).alias("p")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(b, "o").filter(F.col("a.p") < F.col("b.p")).select(
-        F.col("a.p").alias("u"), F.col("b.p").alias("v")
+    Pair generation is ARRAY-LOCAL: one basket-keyed aggregate collects
+    each order's distinct item set (collect_set dedups inside the
+    aggregate — no separate distinct shuffle), and the u < v pairs come
+    from nested transforms over the sorted array — no self-join at all.
+    ONE shuffle where the join formulation needed three (distinct,
+    both join sides). Per-order fan-out stays bounded by basket size
+    (≤ 7 in TPC-H shapes, a few dozen in real baskets); a pathological
+    mega-basket is a visible array, not a hidden join blow-up. The sorted
+    set is materialized into a real column BEFORE the lambdas (the
+    re-evaluation pitfall dedup.shingles documents)."""
+    baskets = (
+        lineitem.select(F.col(order_col).alias("o"), F.col(item_col).alias("p"))
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
-    return symmetric_edges(pairs)
+    n = F.size(F.col("ps"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    flat = baskets.select(F.explode(pairs).alias("e")).select("e.u", "e.v")
+    return symmetric_edges(flat)
 
 
 def pagerank(
