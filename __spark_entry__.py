@@ -62,8 +62,9 @@ no-rotation-debt invariant still holds registry-wide. The remaining
 round-5 rotation candidates — gates built after the final swap, locally
 oracle-verified at sf0.001 + sf0.01 + sf0.1 — are `vocab_bpe_apply`,
 `streaming_sketch_hdr`, `events_transition_matrix`,
-`dedup_prefix_filter_jaccard`, `graph_label_propagation`, and
-`unpivot_segment_balances`.
+`dedup_prefix_filter_jaccard`, `graph_label_propagation`,
+`unpivot_segment_balances`, `sql_pricing_summary`, and
+`graph_triangle_counts`.
 
 ``_ARCHIVED`` are four redundant twins retired from the driver registry on
 the round-2 judge's direction (each remains implemented, pytest-covered, and
