@@ -264,6 +264,7 @@ _SECONDARY: tuple[str, ...] = (
     "unpivot_segment_balances",
     "sql_pricing_summary",
     "graph_triangle_counts",
+    "search_hybrid_rrf",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -96,3 +96,169 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return S.bm25_topk(docs, qterms, k=_TOP_K).orderBy("query_id", "rank")
+
+
+_RRF_K = 60
+_SQL_COSINE_DIM = 64
+
+
+def _hybrid_oracle() -> str:
+    from payroll_etl_fastapi_spark.plans.suite_similarity import (
+        _sql_cosine,
+    )
+
+    return f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_TOKS.format(col='text')} AS words FROM documents
+    ),
+    qt AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(words[1:{_QUERY_TERMS}])) AS term
+        FROM w WHERE doc_id % {_QUERY_MOD} = 0
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(words) AS token FROM w)
+        GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl FROM w),
+    consts AS (
+        SELECT count(*) AS n_docs, CAST(sum(len(words)) AS BIGINT) AS total_tokens
+        FROM w
+    ),
+    hits AS (
+        SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, tf.token
+        FROM tf JOIN qt ON tf.token = qt.term JOIN dl USING (doc_id)
+    ),
+    dfc AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY token
+    ),
+    s AS (
+        SELECT query_id, h.doc_id,
+               CAST(floor(
+                   ((CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+                   * ((CAST(h.tf AS DOUBLE) * 2.25)
+                      / (CAST(h.tf AS DOUBLE)
+                         + 1.25 * (0.25 + 0.75 * (CAST(h.dl AS DOUBLE)
+                             / (CAST(c.total_tokens AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+        FROM hits h JOIN dfc d USING (token) CROSS JOIN consts c
+    ),
+    agg AS (
+        SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        FROM s GROUP BY query_id, doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS lex_rank
+        FROM agg
+        QUALIFY lex_rank <= {_TOP_K}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id % {_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id
+    ),
+    vec AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS vec_rank
+        FROM scored
+        QUALIFY vec_rank <= {_TOP_K}
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id)     AS doc_id,
+               CAST(coalesce(1000000 // ({_RRF_K} + l.lex_rank), 0)
+                  + coalesce(1000000 // ({_RRF_K} + v.vec_rank), 0) AS BIGINT)
+                                                AS rrf_micro,
+               l.lex_rank IS NOT NULL           AS in_lex,
+               v.vec_rank IS NOT NULL           AS in_vec
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, rrf_micro, in_lex, in_vec,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+                AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_TOP_K}
+    ORDER BY query_id, fused_rank
+    """
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the canonical RAG
+    retrieval shape: the SAME query documents drive a lexical BM25 leg
+    (their first terms) and a vector leg (their embeddings, exact cosine),
+    and the two top-10 lists fuse by RRF — score = Σ 1/(60 + rank),
+    computed as the exact integer 1000000 DIV (60 + rank) so the fusion,
+    flags, and final ranking replay in SQL bit-for-bit. Docs found by
+    BOTH legs surface first (the fusion property); each row carries
+    in_lex / in_vec provenance.
+
+    Scale shape: each leg keeps its own contract (broadcast query terms
+    restricting the postings; broadcast query vectors scanning the corpus
+    once); the fusion is a FULL OUTER equality join of two k-row-per-query
+    lists and a window over ≤ 2k rows per query — nothing fused is ever
+    corpus-sized. NEW in round 4 (post-tail); round-5 rotation
+    candidate."""
+    from pyspark.sql import Window
+
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qterms = (
+        docs.filter(F.col("doc_id") % _QUERY_MOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice(T.tokens(F.col("text")), 1, _QUERY_TERMS))
+            ).alias("term"),
+        )
+    )
+    lex = S.bm25_topk(docs, qterms, k=_TOP_K).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    vq = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    vec = sim.cosine_topk(emb, vq, _TOP_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000 DIV ({_RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 DIV ({_RRF_K} + vec_rank)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+        F.col("lex_rank").isNotNull().alias("in_lex"),
+        F.col("vec_rank").isNotNull().alias("in_vec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= _TOP_K)
+        .select(
+            "query_id", "doc_id", "rrf_micro", "in_lex", "in_vec", "fused_rank"
+        )
+        .orderBy("query_id", "fused_rank")
+    )

@@ -116,3 +116,57 @@ def test_bm25_plan_broadcasts_query_side(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hybrid_rrf_fusion_math_and_provenance(spark):
+    """Tiny two-leg fusion: a doc in both legs outscores docs in one leg;
+    rrf_micro is the exact integer 1e6/(60+rank) sum."""
+    from payroll_etl_fastapi_spark.plans.suite_search import _RRF_K
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, lex_rank long"
+    )
+    vec = spark.createDataFrame(
+        [(1, 10, 3), (1, 12, 1)], "query_id long, doc_id long, vec_rank long"
+    )
+    from pyspark.sql import functions as F
+
+    fused = lex.join(vec, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"1000000 DIV ({_RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 DIV ({_RRF_K} + vec_rank)"), F.lit(0))
+        ).alias("rrf_micro"),
+    )
+    got = {r.doc_id: r.rrf_micro for r in fused.collect()}
+    assert got[10] == 1000000 // 61 + 1000000 // 63
+    assert got[11] == 1000000 // 62
+    assert got[12] == 1000000 // 61
+    assert got[10] > got[12] > got[11]
+
+
+def test_hybrid_gate_structural_invariants(spark):
+    """Fused lists are rrf-ordered per query, every row has at least one
+    leg's provenance, both legs contribute rows somewhere, and list length
+    is capped at the top-k."""
+    from collections import defaultdict
+
+    from payroll_etl_fastapi_spark.plans.suite_search import (
+        _TOP_K,
+        search_hybrid_rrf,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = search_hybrid_rrf(spark, SF_SMALL).collect()
+    assert rows
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r.in_lex or r.in_vec
+        per_q[r.query_id].append(r)
+    assert any(r.in_lex for r in rows) and any(r.in_vec for r in rows)
+    for q, lst in per_q.items():
+        assert len(lst) <= _TOP_K
+        assert [r.fused_rank for r in lst] == list(range(1, len(lst) + 1))
+        scores = [r.rrf_micro for r in lst]
+        assert scores == sorted(scores, reverse=True)
