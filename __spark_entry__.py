@@ -265,6 +265,7 @@ _SECONDARY: tuple[str, ...] = (
     "sql_pricing_summary",
     "graph_triangle_counts",
     "search_hybrid_rrf",
+    "txtable_change_feed",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

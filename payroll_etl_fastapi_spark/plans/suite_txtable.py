@@ -144,3 +144,121 @@ def txtable_acid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "txtable_change_feed",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(max({_sql_cents('l_extendedprice')}) AS BIGINT) AS price_cents
+        FROM lineitem
+        GROUP BY l_orderkey, l_linenumber
+    ),
+    v1 AS (SELECT * FROM li WHERE l_orderkey % 5 <= 1),
+    -- MERGE to v2: source = (updates: %10=0, price+5) ∪ (inserts: %5=2);
+    -- matched AND %13=0 → DELETE, matched → UPDATE SET *, unmatched → INSERT
+    v2 AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey % 10 = 0 THEN price_cents + 5
+                    ELSE price_cents END AS price_cents
+        FROM v1
+        WHERE NOT (l_orderkey % 10 = 0 AND l_orderkey % 13 = 0)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, price_cents FROM li
+        WHERE l_orderkey % 5 = 2
+    ),
+    -- the CDF replay: the SAME full-outer key diff changes() computes
+    j AS (
+        SELECT t.l_orderkey AS tk, t.price_cents AS tp,
+               s.l_orderkey AS sk, s.price_cents AS sp
+        FROM v1 t FULL OUTER JOIN v2 s
+          ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+    ),
+    ch AS (
+        SELECT 'delete' AS _change_type, tp AS price_cents FROM j WHERE sk IS NULL
+        UNION ALL
+        SELECT 'insert', sp FROM j WHERE tk IS NULL
+        UNION ALL
+        SELECT 'update_preimage', tp FROM j
+        WHERE tk IS NOT NULL AND sk IS NOT NULL AND tp IS DISTINCT FROM sp
+        UNION ALL
+        SELECT 'update_postimage', sp FROM j
+        WHERE tk IS NOT NULL AND sk IS NOT NULL AND tp IS DISTINCT FROM sp
+    )
+    SELECT _change_type, count(*) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+    FROM ch GROUP BY _change_type
+    UNION ALL
+    SELECT 'restored_v1', count(*), CAST(sum(price_cents) AS BIGINT) FROM v1
+    ORDER BY _change_type
+    """,
+)
+def txtable_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed + RESTORE, driver-verified: overwrite v1, apply one
+    three-clause MERGE (update/insert/delete) to v2, then read
+    ``changes(1, 2)`` — the key-diff CDC stream with the Delta CDF row
+    vocabulary — and aggregate it per ``_change_type``; finally RESTORE the
+    table to v1 (a new metadata-only commit) and report the restored head's
+    aggregate, which must equal v1's exactly.
+
+    The row only matches the oracle if the diff classifies every key
+    correctly (delete vs insert vs both-image update under null-safe
+    comparison), nothing unchanged leaks into the feed, and restore
+    re-references v1's directories bit-for-bit.
+
+    Scale shape: changes() is ONE full-outer join on the table keys over
+    two manifest-listed FileScans (the merge plan shape), update images
+    come from an array-local explode on the joined row — no second join;
+    restore is a driver-side manifest commit, no data job at all. See
+    sources/txtable.py changes()/restore()."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max(_cents(F.col("l_extendedprice"))).alias("price_cents"))
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_txtable_cdf_")
+    try:
+        t = TxTable(spark, scratch + "/t")
+        t.overwrite(li.filter(F.col("l_orderkey") % 5 <= 1))
+        merge_src = (
+            li.filter(F.col("l_orderkey") % 10 == 0)
+            .withColumn("price_cents", F.col("price_cents") + 5)
+            .unionByName(li.filter(F.col("l_orderkey") % 5 == 2))
+        )
+        t.merge(
+            merge_src,
+            ["l_orderkey", "l_linenumber"],
+            when_matched_delete=F.col("l_orderkey") % 13 == 0,
+        )
+        feed = (
+            t.changes(1, 2, keys=["l_orderkey", "l_linenumber"])
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("price_cents").alias("sum_price_cents"),
+            )
+            .collect()
+        )
+        t.restore(1)
+        restored = (
+            t.snapshot()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price_cents").alias("s"),
+            )
+            .collect()[0]
+        )
+        rows = [(r["_change_type"], r["n_rows"], r["sum_price_cents"]) for r in feed]
+        rows.append(("restored_v1", restored["n"], restored["s"]))
+        rows.sort(key=lambda r: r[0])
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_price_cents", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -597,6 +597,174 @@ class TxTable:
         )
         return version
 
+    # -- change data feed / restore / clone --------------------------------
+
+    def changes(
+        self, v_from: int, v_to: int | None = None, keys: list[str] | None = None
+    ) -> DataFrame:
+        """Key-based CHANGE DATA FEED between two committed versions: the
+        row-level delta you would apply to ``v_from`` to obtain ``v_to``
+        (default: the head). Emits every changed row with a ``_change_type``
+        column — ``insert`` / ``delete`` / ``update_preimage`` /
+        ``update_postimage`` (the Delta CDF row vocabulary) — in the
+        ``v_to`` schema (pre-images of since-widened tables null-fill the
+        new columns, matching what a v_to reader sees).
+
+        Computed as ONE full-outer shuffle join of the two snapshots on
+        ``keys`` (the same plan shape as merge): key-only-in-post rows are
+        inserts, key-only-in-pre rows are deletes, matched rows whose
+        non-key columns differ under null-safe comparison emit BOTH images
+        via an array-local explode — no second join, no second shuffle.
+        Unchanged rows never leave the join. At 100 TB this is the
+        snapshot-diff CDC shape: cost is the one key-partitioned join, and
+        both sides are manifest-listed FileScans with pushdown intact.
+
+        Requires ``keys`` to identify rows (this table format tracks
+        directories, not per-file row ids — snapshot diff is the honest
+        CDF an immutable-dir log supports; Delta materializes the same
+        vocabulary eagerly at write time)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if not keys:
+            raise ValueError("changes() requires key columns to identify rows")
+        if v_to is None:
+            v_to = self.latest_version()
+        if v_from == v_to:
+            raise ValueError("v_from and v_to are the same version")
+        if v_from > v_to:
+            raise ValueError(f"v_from {v_from} is newer than v_to {v_to}")
+        post_snap = self._read_manifest(v_to)
+        schema = (
+            StructType.fromJson(json.loads(post_snap.schema_json))
+            if post_snap.schema_json is not None
+            else self.snapshot(v_to).schema
+        )
+        for k in keys:
+            if k not in schema.names:
+                raise ValueError(f"change key {k!r} is not a table column")
+        pre = self.snapshot(v_from)
+        # align the pre-image to the post schema: columns added between the
+        # versions null-fill (the same view time travel at v_to would give)
+        for f in schema.fields:
+            if f.name not in pre.columns:
+                pre = pre.withColumn(f.name, F.lit(None).cast(f.dataType))
+        pre = pre.select(*[f.name for f in schema.fields])
+        post = self.snapshot(v_to).select(*[f.name for f in schema.fields])
+        t = pre.withColumn("__pre", F.lit(True)).alias("t")
+        s = post.withColumn("__post", F.lit(True)).alias("s")
+        joined = t.join(s, keys, "full_outer")
+        non_keys = [f.name for f in schema.fields if f.name not in keys]
+        matched = F.col("__pre").isNotNull() & F.col("__post").isNotNull()
+        differs = F.lit(False)
+        for c in non_keys:
+            differs = differs | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+
+        def _image(side: str, kind: str):
+            cols = [
+                F.col(k) if k in keys else F.col(f"{side}.{k}") for k in schema.names
+            ]
+            return F.struct(F.lit(kind).alias("_change_type"), *cols)
+
+        rows = F.array(
+            F.when(F.col("__post").isNull(), _image("t", "delete")),
+            F.when(F.col("__pre").isNull(), _image("s", "insert")),
+            F.when(matched & differs, _image("t", "update_preimage")),
+            F.when(matched & differs, _image("s", "update_postimage")),
+        )
+        out = (
+            joined.select(
+                F.explode(F.filter(rows, lambda x: x.isNotNull())).alias("__c")
+            )
+            .select("__c.*")
+            .select("_change_type", *schema.names)
+        )
+        return out
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION: commit a NEW head whose contents
+        are ``version``'s (metadata-only — the old directories are simply
+        re-referenced; no data is rewritten or moved). History is preserved:
+        the restore is one more commit, so the pre-restore head stays time
+        travelable and the operation is itself restorable. The CURRENT
+        constraint set is carried forward and enforced against the restored
+        rows — restoring data that violates a constraint added since
+        ``version`` raises instead of silently un-constraining the table
+        (Delta RESTORE's invariant check)."""
+        head_version = self.latest_version()
+        if version == head_version:
+            raise ValueError(f"version {version} is already the head")
+        target = self._read_manifest(version)
+        missing = [
+            d
+            for d in target.data_dirs
+            if not os.path.isdir(os.path.join(self.root, d))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.root} to version {version}: data "
+                f"dirs {missing} were vacuumed"
+            )
+        cons = self.constraints()
+        if cons:
+            self._enforce(self.snapshot(version), cons)
+        self._publish(
+            head_version + 1,
+            list(target.data_dirs),
+            "restore",
+            target.partition_by,
+            target.schema_json,
+            extra={"restored_version": version},
+        )
+        return head_version + 1
+
+    def clone(self, dest_root: str, shallow: bool = True) -> "TxTable":
+        """CLONE the head into a new table root. ``shallow=True`` is
+        zero-copy: the clone's v1 manifest references the source's data
+        directories by ABSOLUTE path (snapshot() joins relative entries
+        onto the root, so absolute entries pass through untouched), and
+        later commits to the clone write their own local directories — the
+        source never sees them. Caveat (same as Delta shallow clone):
+        VACUUM on the SOURCE can drop directories the clone references;
+        vacuum on the clone only ever touches its own ``data/``.
+        ``shallow=False`` copies the referenced directories into the clone
+        root — a self-contained backup. Schema, hive layout, and CHECK
+        constraints carry over; history does not (the clone starts at v1,
+        Delta clone semantics)."""
+        head = self._read_manifest(self.latest_version())
+        dest = TxTable(self.spark, dest_root)
+        if dest.exists():
+            raise ValueError(f"clone destination {dest_root} already exists")
+        if shallow:
+            dirs = [
+                d
+                if os.path.isabs(d)
+                else os.path.join(os.path.abspath(self.root), d)
+                for d in head.data_dirs
+            ]
+        else:
+            dirs = []
+            for i, d in enumerate(head.data_dirs):
+                rel = os.path.join("data", f"c1-clone{i}-{uuid.uuid4().hex[:8]}")
+                shutil.copytree(
+                    os.path.join(self.root, d), os.path.join(dest_root, rel)
+                )
+                dirs.append(rel)
+        dest._publish(
+            1,
+            dirs,
+            "clone",
+            head.partition_by,
+            head.schema_json,
+            constraints=dict(head.constraints),
+            extra={
+                "source_root": os.path.abspath(self.root),
+                "source_version": head.version,
+                "shallow": shallow,
+            },
+        )
+        return dest
+
     # -- maintenance -------------------------------------------------------
 
     def optimize(

@@ -722,3 +722,152 @@ def test_stream_sink_enforces_and_carries_constraints(spark, tmp_path):
     assert t.constraints() == {"id_small": "id < 1000"}
     assert t.history()[-1]["operation"] == "stream_append"
     assert t.snapshot().count() == 8
+
+
+# -- change data feed / restore / clone --------------------------------------
+
+
+def test_changes_classifies_insert_update_delete(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "cdf"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, None)], "id long, v string"
+        )
+    )
+    # v2: delete id=1, update id=2 (b->B), id=4 stays NULL (no change),
+    # insert id=5
+    t.overwrite(
+        spark.createDataFrame(
+            [(2, "B"), (3, "c"), (4, None), (5, "e")], "id long, v string"
+        )
+    )
+    got = sorted(
+        (r._change_type, r.id, r.v)
+        for r in t.changes(1, 2, keys=["id"]).collect()
+    )
+    assert got == [
+        ("delete", 1, "a"),
+        ("insert", 5, "e"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
+
+
+def test_changes_null_safe_and_unchanged_rows_absent(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "cdfnull"))
+    t.overwrite(spark.createDataFrame([(1, None), (2, "x")], "id long, v string"))
+    # NULL -> value and value -> NULL are both updates; NULL -> NULL is not
+    t.overwrite(spark.createDataFrame([(1, "now"), (2, None)], "id long, v string"))
+    got = sorted(
+        (r._change_type, r.id) for r in t.changes(1, 2, keys=["id"]).collect()
+    )
+    assert got == [
+        ("update_postimage", 1),
+        ("update_postimage", 2),
+        ("update_preimage", 1),
+        ("update_preimage", 2),
+    ]
+
+
+def test_changes_spans_schema_evolution(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "cdfevo"))
+    t.overwrite(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.append(spark.createDataFrame([(3, "new")], "id long, extra string"))
+    got = sorted(
+        (r._change_type, r.id, r.extra)
+        for r in t.changes(1, 2, keys=["id"]).collect()
+    )
+    # pre rows null-fill `extra` exactly like a v2 reader sees them, so ids
+    # 1 and 2 are unchanged; only the appended row is an insert
+    assert got == [("insert", 3, "new")]
+
+
+def test_changes_validates_arguments(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "cdfargs"))
+    t.overwrite(spark.range(3))
+    t.append(spark.range(3, 5))
+    with pytest.raises(ValueError, match="requires key columns"):
+        t.changes(1, 2)
+    with pytest.raises(ValueError, match="same version"):
+        t.changes(2, 2, keys=["id"])
+    with pytest.raises(ValueError, match="newer than"):
+        t.changes(2, 1, keys=["id"])
+    with pytest.raises(ValueError, match="not a table column"):
+        t.changes(1, 2, keys=["nope"])
+
+
+def test_restore_is_a_new_commit_preserving_history(spark, table):
+    table.append(spark.range(10, 15))
+    table.overwrite(spark.range(3))
+    v = table.restore(1)
+    assert v == 4
+    assert _ids(table.snapshot()) == list(range(10))
+    # the pre-restore head is still time travelable, and the restore itself
+    # is one more history entry
+    assert _ids(table.snapshot(version=3)) == list(range(3))
+    assert table.history()[-1]["operation"] == "restore"
+    # restoring the restore works too (it is just another version)
+    table.restore(3)
+    assert _ids(table.snapshot()) == list(range(3))
+
+
+def test_restore_enforces_current_constraints(spark, tmp_path):
+    from payroll_etl_fastapi_spark.sources.txtable import ConstraintViolation
+
+    t = TxTable(spark, str(tmp_path / "rc"))
+    t.overwrite(spark.range(100))          # v1 has ids up to 99
+    t.delete(F.col("id") >= 10)            # v2: only small ids remain
+    t.add_constraint("small", "id < 10")   # valid for v2's data
+    with pytest.raises(ConstraintViolation):
+        t.restore(1)                       # v1's rows violate it
+    assert _ids(table_df := t.snapshot()) == list(range(10))
+
+
+def test_restore_refuses_vacuumed_versions(spark, table):
+    import os as _os
+    import time as _time
+
+    table.overwrite(spark.range(3))
+    # age v1's directory so vacuum (keep_last=1) drops it immediately
+    removed = table.vacuum(keep_last=1, min_orphan_age_seconds=0)
+    assert removed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.restore(1)
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, table, tmp_path):
+    clone = table.clone(str(tmp_path / "clone"))
+    assert _ids(clone.snapshot()) == list(range(10))
+    assert clone.history() == [{"version": 1, "operation": "clone", "n_dirs": 1}]
+    # no data files were copied into the clone root
+    assert not os.path.isdir(str(tmp_path / "clone" / "data"))
+    # writes to the clone do not touch the source, and vice versa
+    clone.append(spark.range(10, 12))
+    table.append(spark.range(20, 21))
+    assert _ids(clone.snapshot()) == list(range(12))
+    assert _ids(table.snapshot()) == list(range(10)) + [20]
+    # vacuum on the clone only touches its own data/ (source dirs survive)
+    clone.overwrite(spark.range(2))
+    clone.vacuum(keep_last=1, min_orphan_age_seconds=0)
+    assert _ids(table.snapshot()) == list(range(10)) + [20]
+
+
+def test_deep_clone_survives_source_vacuum(spark, table, tmp_path):
+    clone = table.clone(str(tmp_path / "deep"), shallow=False)
+    table.overwrite(spark.range(2))
+    table.vacuum(keep_last=1, min_orphan_age_seconds=0)
+    assert _ids(clone.snapshot()) == list(range(10))
+
+
+def test_clone_carries_schema_and_constraints(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "csrc"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.add_constraint("pos", "id > 0")
+    clone = t.clone(str(tmp_path / "cdst"))
+    assert clone.constraints() == {"pos": "id > 0"}
+    from payroll_etl_fastapi_spark.sources.txtable import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        clone.append(spark.createDataFrame([(0, "bad")], "id long, v string"))
+    with pytest.raises(ValueError, match="already exists"):
+        t.clone(str(tmp_path / "cdst"))
