@@ -95,6 +95,48 @@ def _block_dist(vec: Column | str, off: int, centroid: list[float]) -> Column:
     return out
 
 
+def _book_lit(book: list[list[float]]) -> Column:
+    """One per-block codebook as a FOLDABLE ``array<array<double>>`` literal:
+    ConstantFolding collapses it to a single Literal node before codegen, so
+    the generated code no longer grows with k·dsub. The previous unrolled
+    per-centroid +-chains generated ~m·k·dsub expression nodes in one
+    projection, pushing janino past its 64 KB method limit — whole-stage
+    codegen silently fell back to interpreted eval on every encode/ADC run."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")" for c in book
+        )
+        + ")"
+    )
+
+
+def _block_dist_cells(vec_col: str, off: int, dsub: int, book: list[list[float]]) -> Column:
+    """Array of (d, i) structs: squared L2 of the vector's block slice to
+    EVERY centroid of one block, as zip_with/aggregate folds over the
+    foldable codebook literal. The fold accumulates left-associatively from
+    0.0 in element order — bit-identical to the literal +-chain (IEEE:
+    0.0 + x == x for the non-negative squared terms, same argument as the
+    IVF coarse-assignment fold below) — but evaluates as a runtime loop,
+    keeping the codegen method size constant in k and dsub."""
+    sl = F.slice(F.col(vec_col), off + 1, dsub)
+    return F.transform(
+        _book_lit(book),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    sl,
+                    c,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -104,21 +146,58 @@ def pq_encode(
 ) -> DataFrame:
     """(id, [keep...,] c0 … c{m-1}): each block's nearest-centroid code
     (squared-L2 argmin, ties to the smaller code via (dist, code)
-    struct-min). Pure projection — the 100 TB path encodes in one scan."""
+    struct-min). Pure projection — the 100 TB path encodes in one scan,
+    and the fold-based distance cells keep the whole stage inside one
+    compiled WholeStageCodegen method regardless of m·k·dsub."""
     dsub = len(codebooks[0][0])
     cols = [F.col(id_col).alias("id"), *[F.col(c) for c in keep]]
     for j, book in enumerate(codebooks):
-        cells = F.array(
-            *[
-                F.struct(
-                    _block_dist(vec_col, j * dsub, c).alias("d"),
-                    F.lit(ci).alias("i"),
-                )
-                for ci, c in enumerate(book)
-            ]
-        )
+        cells = _block_dist_cells(vec_col, j * dsub, dsub, book)
         cols.append(F.array_min(cells).getField("i").alias(f"c{j}"))
     return df.select(*cols)
+
+
+def _adc_entries(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """The per-query ADC distance table as ONE array column of
+    (block, code, du) structs — du = the query block's squared L2 to that
+    code's centroid, snapped to integer micros. Fold-built per block and
+    concatenated, for the same constant-codegen-size reason as
+    _block_dist_cells (the unrolled m·k struct literals with chained
+    distances were the other 64 KB codegen blowup site)."""
+    dsub = len(codebooks[0][0])
+
+    def _entry_fn(j: int):
+        # pyspark derives the HOF arity from the lambda's parameter count,
+        # so the block index binds via this closure, not a default arg
+        def fn(c, i):
+            return F.struct(
+                F.lit(j).alias("block"),
+                i.alias("code"),
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                            c,
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("du"),
+            )
+
+        return fn
+
+    per_block = [
+        F.transform(_book_lit(book), _entry_fn(j))
+        for j, book in enumerate(codebooks)
+    ]
+    return per_block[0] if len(per_block) == 1 else F.concat(*per_block)
 
 
 def pq_adc_topk(
@@ -147,19 +226,11 @@ def pq_adc_topk(
             )
         ).alias("bc"),
     ).select("id", "bc.block", "bc.code")
-    entries = [
-        F.struct(
-            F.lit(j).alias("block"),
-            F.lit(ci).alias("code"),
-            F.floor(_block_dist(vec_col, j * dsub, c) * F.lit(1e6) + F.lit(0.5))
-            .cast("long")
-            .alias("du"),
-        )
-        for j, book in enumerate(codebooks)
-        for ci, c in enumerate(book)
-    ]
     table = (
-        queries.select(F.col(id_col).alias("query_id"), F.explode(F.array(*entries)).alias("e"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_adc_entries(vec_col, codebooks)).alias("e"),
+        )
         .select("query_id", "e.block", "e.code", "e.du")
     )
     scored = (
@@ -376,21 +447,10 @@ def ivf_pq_topk(
         lambda a, b: a.cast("double") - b,
     )
     probed_res = probed.select("query_id", "list_id", qres.alias("qres"))
-    entries = [
-        F.struct(
-            F.lit(j).alias("block"),
-            F.lit(ci).alias("code"),
-            F.floor(
-                _block_dist("qres", j * dsub, c) * F.lit(1e6) + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("du"),
-        )
-        for j, book in enumerate(codebooks)
-        for ci, c in enumerate(book)
-    ]
     table = probed_res.select(
-        "query_id", "list_id", F.explode(F.array(*entries)).alias("e")
+        "query_id",
+        "list_id",
+        F.explode(_adc_entries("qres", codebooks)).alias("e"),
     ).select("query_id", "list_id", "e.block", "e.code", "e.du")
 
     scored = (
