@@ -266,6 +266,7 @@ _SECONDARY: tuple[str, ...] = (
     "graph_triangle_counts",
     "search_hybrid_rrf",
     "txtable_change_feed",
+    "corpus_cluster_split",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -657,3 +657,118 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "n_tokens", "log_weight", "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup-cluster-aware split (leakage-safe across LSH clusters)
+# ---------------------------------------------------------------------------
+
+def _cluster_split_oracle() -> str:
+    from payroll_etl_fastapi_spark.plans import suite_dedup as SD
+
+    split_case = (
+        f"CASE WHEN {_SQL_H28.format(x='md5(CAST(comp AS VARCHAR))')} % 100"
+        f" < {C.TRAIN_UPPER} THEN 'train'"
+        f" WHEN {_SQL_H28.format(x='md5(CAST(comp AS VARCHAR))')} % 100"
+        f" < {C.VAL_UPPER} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH RECURSIVE {SD._sql_corpus(mutated=True)},
+    {SD._SQL_SHINGLES},
+    {SD._minhash_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM vpairs
+        UNION
+        SELECT id_b, id_a FROM vpairs
+    ),
+    walk(id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.id
+    ),
+    compmap AS (SELECT id, min(label) AS comp FROM walk GROUP BY id),
+    assign AS (
+        SELECT c.id, coalesce(m.comp, c.id) AS comp
+        FROM corpus c LEFT JOIN compmap m ON m.id = c.id
+    ),
+    spl AS (SELECT id, comp, {split_case} AS split FROM assign),
+    leak AS (
+        SELECT CAST(count(*) AS BIGINT) AS leaked_clusters FROM (
+            SELECT comp FROM spl GROUP BY comp
+            HAVING count(DISTINCT split) > 1
+        )
+    )
+    SELECT split,
+           count(*)               AS n_docs,
+           count(DISTINCT comp)   AS n_clusters,
+           (SELECT leaked_clusters FROM leak) AS leaked_clusters
+    FROM spl
+    GROUP BY split
+    ORDER BY split
+    """
+
+
+@query("corpus_cluster_split", oracle=_cluster_split_oracle())
+def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-cluster-aware train/val/test split: the full leakage-safe
+    pipeline — MinHash-LSH banded candidates, candidate-restricted exact
+    Jaccard verify (counts mode), connected components over the verified
+    pairs, then split assignment hashed from the CLUSTER representative —
+    so a document and all its near-duplicates (even chained A~B~C) land in
+    the same split. ``corpus_train_val_test`` is only EXACT-dup-safe (its
+    fingerprint is the content hash); this closes the gap that near-dup
+    survivors of different spellings leak eval content into train — the
+    benchmark-contamination failure mode of real LLM training corpora.
+
+    Output rows per split carry a driver-verified ``leaked_clusters``
+    column (clusters spanning >1 split) that must be 0 by construction —
+    the leakage guarantee itself is part of the gate hash, and the oracle
+    recomputes pairs, components (recursive CTE), assignment, and the
+    audit from scratch.
+
+    Scale shape (100 TB): candidates are banded equality joins (never
+    all-pairs), verify touches candidates only, components run one job per
+    iteration on the PAIR list (tiny vs corpus), and the final assignment
+    is a LEFT join of the corpus against the component map (near-dup
+    clusters are a small fraction of docs) + a pure-projection split hash.
+    Identical plan family to dedup_ngram_jaccard + dedup_connected_
+    components, composed end-to-end."""
+    from payroll_etl_fastapi_spark.plans import suite_dedup as SD
+
+    corpus = SD._spark_corpus(spark, sf_dir, mutated=True)
+    pairs = D.minhash_verified_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5,
+        verify_via="counts",
+    )
+    cc = D.connected_components(pairs.select("id_a", "id_b"))
+    assign = (
+        corpus.select(F.col("doc_id").alias("id"))
+        .join(cc.withColumnRenamed("component", "comp"), "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("cluster"))
+    )
+    # split_of hashes its argument, which by family convention is an md5
+    # fingerprint — here the cluster representative's id rendered through
+    # md5, matching the oracle's md5(CAST(comp AS VARCHAR))
+    spl = assign.withColumn(
+        "split", C.split_of(F.md5(F.col("cluster").cast("string")))
+    )
+    leak = (
+        spl.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("leaked_clusters")
+        )
+    )
+    return (
+        spl.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )

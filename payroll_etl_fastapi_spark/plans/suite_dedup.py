@@ -278,9 +278,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
 
 
-def _minhash_verified_oracle(
+def _minhash_pairs_ctes(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> str:
+    """The LSH-candidates + exact-verify pipeline as a CTE chain ending in
+    ``vpairs(id_a, id_b, jaccard)`` — verified near-dup pairs (jaccard
+    r6-rounded, threshold applied to the raw ratio). Assumes ``corpus`` and
+    the shingle CTEs precede it; shared by the minhash-verified gates and
+    the cluster-aware split oracle so every consumer replays the identical
+    pipeline."""
     coeffs = dedup.minhash_coefficients(num_hashes)
     p = dedup.MERSENNE_P
     h = _SQL_H28.format(col="s")
@@ -297,10 +303,7 @@ def _minhash_verified_oracle(
         )
         for b in range(bands)
     )
-    return f"""
-    WITH {_sql_corpus(mutated=True)},
-    {_SQL_SHINGLES},
-    mh AS (
+    return f"""mh AS (
         SELECT id, {mins}
         FROM sh GROUP BY id
     ),
@@ -318,13 +321,25 @@ def _minhash_verified_oracle(
         JOIN sh sa ON sa.id = c.id_a
         JOIN sh sb ON sb.id = c.id_b AND sa.s = sb.s
         GROUP BY c.id_a, c.id_b
-    )
-    SELECT common.id_a, common.id_b,
-           {_sql_r6('common.common * 1.0 / (sa.n_shingles + sb.n_shingles - common.common)')} AS jaccard
-    FROM common
-    JOIN sizes sa ON common.id_a = sa.id
-    JOIN sizes sb ON common.id_b = sb.id
-    WHERE common.common * 1.0 / (sa.n_shingles + sb.n_shingles - common.common) >= {threshold}
+    ),
+    vpairs AS (
+        SELECT common.id_a, common.id_b,
+               {_sql_r6('common.common * 1.0 / (sa.n_shingles + sb.n_shingles - common.common)')} AS jaccard
+        FROM common
+        JOIN sizes sa ON common.id_a = sa.id
+        JOIN sizes sb ON common.id_b = sb.id
+        WHERE common.common * 1.0 / (sa.n_shingles + sb.n_shingles - common.common) >= {threshold}
+    )"""
+
+
+def _minhash_verified_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    return f"""
+    WITH {_sql_corpus(mutated=True)},
+    {_SQL_SHINGLES},
+    {_minhash_pairs_ctes(num_hashes, bands, threshold)}
+    SELECT id_a, id_b, jaccard FROM vpairs
     ORDER BY id_a, id_b
     """
 

@@ -271,3 +271,25 @@ def test_dsir_resample_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cluster_split_no_cluster_spans_splits(spark):
+    """The leakage guarantee end to end: every near-dup cluster (including
+    chained A~B~C members) lands in exactly one split, the audit column
+    reports 0, and the splits partition the whole corpus."""
+    from tests.conftest import SF_SMALL
+    from payroll_etl_fastapi_spark.plans.suite_corpus import corpus_cluster_split
+
+    rows = corpus_cluster_split(spark, SF_SMALL).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.leaked_clusters == 0 for r in rows)
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchone()[0]
+    # corpus = documents ∪ mutated copies
+    assert sum(r.n_docs for r in rows) == 2 * n_docs
+    # clusters exist (the synthetic copies guarantee near-dup pairs), so
+    # the cluster count is strictly below the doc count in some split
+    assert sum(r.n_clusters for r in rows) < sum(r.n_docs for r in rows)
