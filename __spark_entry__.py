@@ -267,6 +267,7 @@ _SECONDARY: tuple[str, ...] = (
     "search_hybrid_rrf",
     "txtable_change_feed",
     "corpus_cluster_split",
+    "corpus_temperature_mix",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

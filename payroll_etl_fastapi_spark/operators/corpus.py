@@ -116,6 +116,61 @@ def stratified_sample(
     return (h28(key) % 1000) < rate
 
 
+def temperature_shares(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    token_col: Column | None = None,
+) -> DataFrame:
+    """(stratum, n_docs, weight_micro, share_bp, boost_bp): temperature-
+    based mixture shares across corpus strata — the multilingual/source
+    resampling recipe (mT5 / Llama style, p_s ∝ n_s^α) at α = 1/2, which
+    up-weights small sources and damps the head so one giant crawl can't
+    drown every minority slice.
+
+    α = 1/2 is the one temperature exponent that is BIT-PORTABLE: sqrt is
+    IEEE-754 correctly-rounded in both engines (an arbitrary pow(x, 0.7)
+    is not), the per-stratum sqrt snaps to integer micros BEFORE the total
+    (integer sums commute — aggregation-order-proof), and shares come from
+    integer division only. share_bp = the stratum's mixture share in basis
+    points; boost_bp = share relative to its natural (proportional) share,
+    >10000 meaning the mixture over-samples the stratum.
+
+    One grouped count + one tiny cross join against the one-row total —
+    strata counts are dimension-sized at any corpus scale. ``token_col``
+    weights by tokens instead of docs when given."""
+    size = token_col if token_col is not None else F.lit(1)
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(size).cast("long").alias("n_docs")
+    )
+    w = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    per = per.withColumn("weight_micro", w)
+    tot = per.agg(
+        F.sum("weight_micro").alias("tot_w"), F.sum("n_docs").alias("tot_n")
+    )
+    # integral DIV end to end — double division truncated can land on the
+    # wrong side of an integer boundary; DIV cannot. boost derives from the
+    # already-reduced share_bp and the natural share in micro precision so
+    # no product exceeds ~1e10 (the naive w·tot_n·1e4 cross-product
+    # overflows long at petascale corpus sizes); nat_micro = 0 (a stratum
+    # under a millionth of the corpus) yields NULL boost rather than a
+    # division error.
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_docs",
+            "weight_micro",
+            F.expr("weight_micro * 10000 DIV tot_w").alias("share_bp"),
+            F.expr(
+                "(weight_micro * 10000 DIV tot_w) * 1000000"
+                " DIV nullif(n_docs * 1000000 DIV tot_n, 0)"
+            ).alias("boost_bp"),
+        )
+    )
+
+
 # PII patterns — RE2-compatible subsets so the Java (Spark) and RE2 (DuckDB)
 # engines agree: no backrefs, no lookaround
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"

@@ -772,3 +772,47 @@ def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH per AS (
+        SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT stratum, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS weight_micro
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(sum(weight_micro) AS BIGINT) AS tot_w,
+               CAST(sum(n_docs) AS BIGINT) AS tot_n
+        FROM w
+    )
+    SELECT stratum, n_docs, weight_micro,
+           weight_micro * 10000 // tot_w AS share_bp,
+           (weight_micro * 10000 // tot_w) * 1000000
+               // nullif(n_docs * 1000000 // tot_n, 0) AS boost_bp
+    FROM w, tot
+    ORDER BY stratum
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture shares across document sources
+    (operators.corpus.temperature_shares): p_s ∝ n_s^(1/2), the
+    multilingual/source resampling recipe that up-weights minority slices.
+    α = 1/2 is the bit-portable temperature (sqrt is IEEE correctly-rounded
+    in both engines; an arbitrary pow exponent is not); per-stratum sqrts
+    snap to integer micros BEFORE the total so the sum commutes, and every
+    share/boost is integral DIV — the oracle replays the arithmetic
+    bit-for-bit. One grouped count + one broadcast one-row total join;
+    strata stay dimension-sized at any corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.temperature_shares(docs, "source").orderBy("stratum")

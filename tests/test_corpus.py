@@ -293,3 +293,36 @@ def test_cluster_split_no_cluster_spans_splits(spark):
     # clusters exist (the synthetic copies guarantee near-dup pairs), so
     # the cluster count is strictly below the doc count in some split
     assert sum(r.n_clusters for r in rows) < sum(r.n_docs for r in rows)
+
+
+def test_temperature_shares_damps_head_and_boosts_tail(spark):
+    from payroll_etl_fastapi_spark.operators.corpus import temperature_shares
+
+    df = spark.createDataFrame(
+        [("big",)] * 900 + [("small",)] * 100, "source string"
+    )
+    rows = {r.stratum: r for r in temperature_shares(df, "source").collect()}
+    # sqrt damping: 900/100 docs -> weights 30/10 -> shares 7500/2500 bp
+    assert rows["big"].share_bp == 7500
+    assert rows["small"].share_bp == 2500
+    # the mixture over-samples the tail (boost > 1x) and damps the head
+    assert rows["small"].boost_bp > 10_000 > rows["big"].boost_bp
+    # shares can only under-shoot 100% via truncation, never exceed it
+    assert sum(r.share_bp for r in rows.values()) <= 10_000
+
+
+def test_temperature_shares_token_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators.corpus import temperature_shares
+
+    df = spark.createDataFrame(
+        [("a", 160), ("a", 240), ("b", 100)], "source string, n_tokens long"
+    )
+    rows = {
+        r.stratum: r
+        for r in temperature_shares(df, "source", F.col("n_tokens")).collect()
+    }
+    # weighted by tokens: a=400, b=100 -> sqrt 20/10 -> 6666/3333 bp
+    assert rows["a"].n_docs == 400 and rows["b"].n_docs == 100
+    assert rows["a"].share_bp == 6666 and rows["b"].share_bp == 3333
