@@ -268,6 +268,7 @@ _SECONDARY: tuple[str, ...] = (
     "txtable_change_feed",
     "corpus_cluster_split",
     "corpus_temperature_mix",
+    "events_rolling_distinct",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

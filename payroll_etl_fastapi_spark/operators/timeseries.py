@@ -60,3 +60,61 @@ def resample_locf(
         F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+def rolling_distinct(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """(day, dau, wau, stickiness_bp): per-day distinct entities and the
+    TRAILING ``window_days``-day distinct count — rolling DAU/WAU, the
+    sliding-window COUNT(DISTINCT) that plain window frames cannot express
+    (distinct does not decompose over a moving frame).
+
+    Plan shape, chosen for 100 TB of events:
+    1. reduce the raw stream to DISTINCT (day, entity) pairs FIRST — one
+       shuffle, output bounded by days × active entities, orders of
+       magnitude below event volume;
+    2. explode each reduced pair to the ``window_days`` window ends it
+       contributes to (array-local ×W fan-out of the REDUCED set — the
+       naive range self-join fans out raw events instead);
+    3. one grouped exact count-distinct per window end, trimmed to days
+       ≤ the stream's max day via a broadcast one-row bound.
+    Early days report partial (growing) windows, the standard rolling-DAU
+    convention. stickiness = dau/wau in integer basis points (DIV). For
+    approximate at extreme cardinality, swap step 3 for the mergeable HLL
+    sketch (operators.sketch) — same fan-out skeleton."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = events.select(
+        day.alias("day"), F.col(entity_col).alias("entity")
+    ).distinct()
+    per_day = daily.groupBy("day").agg(
+        F.countDistinct("entity").alias("dau")
+    )
+    bound = daily.agg(F.max("day").alias("max_day"))
+    expanded = (
+        daily.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("off"),
+            "day",
+            "entity",
+        )
+        .select(F.date_add(F.col("day"), F.col("off")).alias("wday"), "entity")
+        .crossJoin(F.broadcast(bound))
+        .filter(F.col("wday") <= F.col("max_day"))
+    )
+    rolled = expanded.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("entity").alias("wau")
+    )
+    return (
+        per_day.join(rolled, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("dau * 10000 DIV wau").alias("stickiness_bp"),
+        )
+    )

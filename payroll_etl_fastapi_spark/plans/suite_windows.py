@@ -337,3 +337,53 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return FN.transition_matrix(events)
+
+
+@query(
+    "events_rolling_distinct",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                        user_id AS entity
+        FROM events
+    ),
+    per_day AS (
+        SELECT day, count(DISTINCT entity) AS dau FROM daily GROUP BY day
+    ),
+    bound AS (SELECT max(day) AS max_day FROM daily),
+    expanded AS (
+        SELECT day + CAST(i AS INTEGER) AS wday, entity
+        FROM daily, range(0, 7) AS r(i), bound
+        WHERE day + CAST(i AS INTEGER) <= max_day
+    ),
+    rolled AS (
+        SELECT wday AS day, count(DISTINCT entity) AS wau
+        FROM expanded GROUP BY wday
+    )
+    SELECT strftime(p.day, '%Y-%m-%d') AS day, p.dau, r.wau,
+           p.dau * 10000 // r.wau AS stickiness_bp
+    FROM per_day p JOIN rolled r USING (day)
+    ORDER BY day
+    """,
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DAU / trailing-7-day WAU / stickiness per day
+    (operators.timeseries.rolling_distinct): the sliding-window
+    COUNT(DISTINCT) no window frame can express — distinct does not
+    decompose over a moving frame. The plan reduces the raw stream to
+    DISTINCT (day, user) pairs FIRST, fans the REDUCED set out ×7
+    array-locally to the window ends it feeds, and runs one grouped exact
+    distinct per window end — raw events are scanned once, never
+    range-self-joined. Early days report partial windows (standard rolling
+    convention); stickiness is integral-DIV basis points. The oracle
+    replays reduction, fan-out, trim, and ratio exactly."""
+    events = _t(spark, sf_dir, "events")
+    from payroll_etl_fastapi_spark.operators.timeseries import rolling_distinct
+
+    out = rolling_distinct(events, "user_id", "ts", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        "stickiness_bp",
+    ).orderBy("day")

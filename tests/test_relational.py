@@ -129,3 +129,32 @@ def test_pivot_is_single_aggregate_pass(spark):
     df = QUERIES["pivot_segment_balances"](spark, SF_ORACLE)
     row = df.filter(F.col("nationkey") == 0).first()
     assert row is not None and len(df.columns) == 6
+
+
+def test_rolling_distinct_exact_window_semantics(spark):
+    """Hand-checkable trailing-7-day distinct: user A active on days 1 and 9
+    (outside each other's windows), user B on day 5 only."""
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators.timeseries import rolling_distinct
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", 1),
+            ("2024-01-01 11:00:00", 1),   # same day, same user — no double count
+            ("2024-01-09 10:00:00", 1),
+            ("2024-01-05 10:00:00", 2),
+        ],
+        "ts string, user_id long",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    rows = {
+        str(r.day): r for r in rolling_distinct(df, "user_id", "ts", 7).collect()
+    }
+    # only days with events report (inner-join convention)
+    assert set(rows) == {"2024-01-01", "2024-01-05", "2024-01-09"}
+    assert (rows["2024-01-01"].dau, rows["2024-01-01"].wau) == (1, 1)
+    # day 5 window [jan-1 .. jan-5 + trailing]: covers A(day1) + B(day5)
+    assert (rows["2024-01-05"].dau, rows["2024-01-05"].wau) == (1, 2)
+    # day 9 window [jan-3 .. jan-9]: A(day9) + B(day5); A's day-1 visit aged out
+    assert (rows["2024-01-09"].dau, rows["2024-01-09"].wau) == (1, 2)
+    assert rows["2024-01-09"].stickiness_bp == 5000
