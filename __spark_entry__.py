@@ -269,6 +269,7 @@ _SECONDARY: tuple[str, ...] = (
     "corpus_cluster_split",
     "corpus_temperature_mix",
     "events_rolling_distinct",
+    "events_journey_trigrams",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -387,3 +387,38 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         "stickiness_bp",
     ).orderBy("day")
+
+
+@query(
+    "events_journey_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id AS u,
+               event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS ngram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 20
+    """,
+)
+def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent three-step user journeys
+    (operators.funnel.journey_ngrams): fixed-length sequential pattern
+    mining — the order-sensitive step up from the bigram transition
+    matrix. One user-partitioned window for the two leads (bounded
+    per-user state, event_id tiebreak), one grouped count with map-side
+    combine (key space ≤ |types|³), TakeOrderedAndProject for the cut;
+    the total (count desc, ngram) order makes the top-20 deterministic so
+    the oracle replays it exactly."""
+    from payroll_etl_fastapi_spark.operators import funnel as FN
+
+    events = _t(spark, sf_dir, "events")
+    return FN.journey_ngrams(events, n=3, top_k=20)

@@ -98,3 +98,26 @@ def test_transition_matrix_tiebreak_is_total(spark):
 
     out = [(r.from_type, r.to_type) for r in transition_matrix(df).collect()]
     assert out == [("y", "x")]
+
+
+def test_journey_ngrams_order_sensitive_and_complete(spark):
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators.funnel import journey_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (2, 5, "a"), (2, 6, "b"), (2, 7, "c"),
+            (3, 8, "c"), (3, 9, "b"), (3, 10, "a"),
+        ],
+        "user_id long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id")))
+    rows = {r.ngram: r for r in journey_ngrams(df, n=3, top_k=10).collect()}
+    # a>b>c appears in user 1 and user 2; reversed c>b>a only in user 3
+    assert rows["a>b>c"].n_occurrences == 2 and rows["a>b>c"].n_users == 2
+    assert rows["c>b>a"].n_occurrences == 1
+    # user 1 also contributes the shifted window b>c>b
+    assert rows["b>c>b"].n_occurrences == 1
+    # windows never cross users: only 3 + 1 + 1 + 1 = no b>c>a etc.
+    assert "c>a>b" not in rows and "b>a>b" not in rows
