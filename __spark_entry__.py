@@ -270,6 +270,7 @@ _SECONDARY: tuple[str, ...] = (
     "corpus_temperature_mix",
     "events_rolling_distinct",
     "events_journey_trigrams",
+    "multimodal_cdc_neardup",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -231,6 +231,138 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 3) -> Da
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
+CDC_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+_CDC_KNUTH = 2654435761  # Knuth multiplicative constant (public domain)
+
+
+def cdc_chunk_digests(media: DataFrame, mask_bits: int = 6) -> DataFrame:
+    """Content-defined chunking over opaque binary payloads → one row per
+    DISTINCT chunk digest per media row (rsync / FastCDC lineage).
+
+    A chunk boundary falls AFTER byte ``i`` when the rolling 4-byte window
+    ending at ``i`` (big-endian uint32 ``w``) satisfies
+    ``((w * KNUTH) mod 2^32) >> (32 - mask_bits) == 0`` — the TOP
+    ``mask_bits`` bits of a multiplicative hash, giving expected chunk
+    length 2^mask_bits. Taking high bits matters: the low bits of
+    ``w * KNUTH (mod 2^32)`` depend only on the low bits of ``w`` (the last
+    byte), which on text-like payloads fires never or always.
+
+    Because boundaries depend only on local content, an insertion or
+    deletion re-aligns within one window — edited payloads still share
+    every untouched chunk. That makes the digest SET a shift-robust
+    fingerprint for binary near-dup detection, where position-based
+    hashes (aHash-style chunk means) scramble after one early edit
+    (measured: byte-identical 80-char-prefix near-dups land at hamming
+    17+/64 under position chunking).
+
+    Digests are md5 over the LOWERCASE HEX of the chunk bytes — hex, not
+    raw bytes, so an ANSI-SQL oracle replays the digest exactly.
+
+    Scale: one mapInPandas pass (Arrow-batched, numpy window math — no
+    per-row Python UDF); payload bytes never shuffle. The output is
+    (media_id, digest) — constant ~16 B/chunk regardless of chunk size.
+    """
+    import numpy as np
+
+    shift = np.uint64(32 - mask_bits)
+    knuth = np.uint64(_CDC_KNUTH)
+    mod32 = np.uint64(2**32)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            digs: list = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                p = bytes(payload)
+                n = len(p)
+                if n == 0:
+                    continue
+                a = np.frombuffer(p, np.uint8)
+                cut: list[int] = []
+                if n >= 4:
+                    u = a.astype(np.uint64)
+                    w = (
+                        (u[:-3] << np.uint64(24))
+                        | (u[1:-2] << np.uint64(16))
+                        | (u[2:-1] << np.uint64(8))
+                        | u[3:]
+                    )
+                    anchor = ((w * knuth) % mod32) >> shift == 0
+                    cut = (np.nonzero(anchor)[0] + 4).tolist()
+                    if cut and cut[-1] == n:  # no empty trailing chunk
+                        cut = cut[:-1]
+                seen = set()
+                for q in np.split(a, cut):
+                    d = hashlib.md5(bytes(q).hex().encode()).hexdigest()
+                    if d not in seen:
+                        seen.add(d)
+                        ids.append(mid)
+                        digs.append(d)
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "digest": digs})
+
+    return media.mapInPandas(run, CDC_SCHEMA)
+
+
+def cdc_neardup_pairs(
+    digests: DataFrame, max_df: int = 50, min_jaccard_bp: int = 5000
+) -> DataFrame:
+    """Near-duplicate media pairs by Jaccard over content-defined chunk
+    digests: (id_a, id_b, shared, na, nb, jaccard_bp), id_a < id_b.
+
+    The digest universe is first capped at document frequency ``max_df``
+    (boilerplate chunks shared by many payloads — intros, headers — are
+    dropped BEFORE the self-join; they are exactly the skew keys that
+    would blow up candidate fan-out at scale, and they carry no
+    discriminating signal). na/nb/shared/Jaccard are all computed over
+    the capped universe, so the similarity definition is self-consistent.
+
+    Candidates come from one equality join on digest (never all-pairs);
+    per-digest fan-out is bounded by max_df, so candidate volume is
+    O(Σ df²) ≤ max_df · Σ df — linear in corpus chunks. jaccard_bp is
+    integer basis points (10000·shared DIV (na+nb−shared)): exact,
+    aggregation-order-proof, SQL-replayable."""
+    capped = (
+        digests.join(
+            digests.groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("digest"),
+            "digest",
+            "semi",
+        )
+    ).cache()
+    sizes = capped.groupBy("media_id").agg(F.count(F.lit(1)).alias("nd"))
+    cand = (
+        capped.alias("x")
+        .join(capped.alias("y"), "digest")
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .groupBy(
+            F.col("x.media_id").alias("id_a"), F.col("y.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        cand.join(sizes.withColumnRenamed("media_id", "id_a").withColumnRenamed("nd", "na"), "id_a")
+        .join(sizes.withColumnRenamed("media_id", "id_b").withColumnRenamed("nd", "nb"), "id_b")
+        .withColumn(
+            "jaccard_bp",
+            F.expr("(10000 * shared) div (na + nb - shared)"),
+        )
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+        .select("id_a", "id_b", "shared", "na", "nb", "jaccard_bp")
+    )
+    return scored
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter: forge a media table from the documents table (UTF-8 bytes as
     payload) so the multimodal plumbing is exercisable on driver testdata."""

@@ -45,6 +45,80 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+_CDC_ORACLE = """
+    WITH pay AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+             lower(hex(encode(text))) AS hx
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    bytes AS (
+      SELECT media_id, n, i.i AS i,
+             CAST(('0x' || substr(hx, 2*i.i + 1, 2)) AS BIGINT) AS v,
+             substr(hx, 2*i.i + 1, 2) AS hv
+      FROM pay, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+    ),
+    win AS (
+      SELECT media_id, i, hv,
+             lag(v, 3) OVER w AS v3, lag(v, 2) OVER w AS v2,
+             lag(v, 1) OVER w AS v1, v
+      FROM bytes WINDOW w AS (PARTITION BY media_id ORDER BY i)
+    ),
+    anch AS (
+      SELECT media_id, i, hv,
+             CASE WHEN i >= 3
+                       AND ((CAST(v3*16777216 + v2*65536 + v1*256 + v AS HUGEINT)
+                             * 2654435761) % 4294967296) // 67108864 = 0
+                  THEN 1 ELSE 0 END AS is_anchor
+      FROM win
+    ),
+    cid AS (
+      SELECT media_id, i, hv,
+             COALESCE(SUM(is_anchor) OVER (
+               PARTITION BY media_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM anch
+    ),
+    chunks AS (
+      SELECT media_id, chunk_id, md5(string_agg(hv, '' ORDER BY i)) AS digest
+      FROM cid GROUP BY media_id, chunk_id
+    ),
+    dset AS (SELECT DISTINCT media_id, digest FROM chunks),
+    dfreq AS (SELECT digest FROM dset GROUP BY digest HAVING count(*) <= 50),
+    capped AS (SELECT media_id, digest FROM dset SEMI JOIN dfreq USING (digest)),
+    sizes AS (SELECT media_id, count(*) AS nd FROM capped GROUP BY media_id),
+    cand AS (
+      SELECT x.media_id AS id_a, y.media_id AS id_b, count(*) AS shared
+      FROM capped x JOIN capped y USING (digest)
+      WHERE x.media_id < y.media_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, a.nd AS na, b.nd AS nb,
+           CAST((10000 * shared) // (a.nd + b.nd - shared) AS BIGINT) AS jaccard_bp
+    FROM cand JOIN sizes a ON id_a = a.media_id JOIN sizes b ON id_b = b.media_id
+    WHERE (10000 * shared) // (a.nd + b.nd - shared) >= 5000
+    ORDER BY jaccard_bp DESC, id_a, id_b
+"""
+
+
+@query("multimodal_cdc_neardup", oracle=_CDC_ORACLE)
+def multimodal_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup detection via content-defined chunking: payloads →
+    rolling-hash-anchored chunks (mapInPandas decode stage) → Jaccard over
+    the df-capped chunk-digest sets via ONE equality join on digest.
+
+    The shift-robust multimodal dedup primitive: position-based hashes
+    (aHash chunk means) scramble after one early insertion, while CDC
+    boundaries re-align within one 4-byte window — so edited copies of
+    the same payload still share every untouched chunk. The oracle
+    replays boundary detection, chunk digests, the df cap, and the
+    integer Jaccard exactly (hex-string md5 on both sides)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    digests = MM.cdc_chunk_digests(media, mask_bits=6)
+    pairs = MM.cdc_neardup_pairs(digests, max_df=50, min_jaccard_bp=5000)
+    return pairs.orderBy(F.desc("jaccard_bp"), "id_a", "id_b")
+
+
 @query(
     "multimodal_binary_stats",
     oracle="""

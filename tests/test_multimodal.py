@@ -111,3 +111,114 @@ def test_resize_passes_non_image_rows_untouched(spark):
     # video whose len(payload) == width*height must NOT be "resized"
     assert bytes(got[2].payload) == b"y" * 12 and got[2].meta.duration_ms == 1000
     assert bytes(got[3].payload) == b"z" * 12 and got[3].meta.width == 4
+
+
+def _cdc_digests_py(p: bytes) -> set[str]:
+    """Exact python replica of cdc_chunk_digests for one payload."""
+    import numpy as np
+
+    n = len(p)
+    if n == 0:
+        return set()
+    a = np.frombuffer(p, np.uint8)
+    cut: list[int] = []
+    if n >= 4:
+        u = a.astype(np.uint64)
+        w = (
+            (u[:-3] << np.uint64(24))
+            | (u[1:-2] << np.uint64(16))
+            | (u[2:-1] << np.uint64(8))
+            | u[3:]
+        )
+        anchor = ((w * np.uint64(2654435761)) % np.uint64(2**32)) >> np.uint64(26) == 0
+        cut = (np.nonzero(anchor)[0] + 4).tolist()
+        if cut and cut[-1] == n:
+            cut = cut[:-1]
+    import numpy as np2
+
+    return {
+        hashlib.md5(bytes(q).hex().encode()).hexdigest() for q in np2.split(a, cut)
+    }
+
+
+def _media(spark, payloads: dict[int, bytes]):
+    rows = [
+        (mid, "image", bytearray(p), ("application/octet-stream", None, None, None))
+        for mid, p in payloads.items()
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_cdc_chunk_digests_match_python_replica(spark):
+    import random
+
+    rng = random.Random(7)
+    payloads = {
+        1: bytes(rng.randrange(256) for _ in range(500)),
+        2: b"abc",  # n < 4: single whole-payload chunk
+        3: b"",  # empty: no rows
+        4: bytes(rng.randrange(256) for _ in range(64)),
+    }
+    got: dict[int, set[str]] = {}
+    for r in MM.cdc_chunk_digests(_media(spark, payloads)).collect():
+        got.setdefault(r.media_id, set()).add(r.digest)
+    assert 3 not in got
+    for mid in (1, 2, 4):
+        assert got[mid] == _cdc_digests_py(payloads[mid]), mid
+    assert len(got[2]) == 1
+
+
+def test_cdc_boundaries_realign_after_edit(spark):
+    """The CDC contract: inserting bytes EARLY in the payload leaves the
+    chunks after the edit window intact — the digest sets still overlap
+    heavily, which is exactly what position-based chunking loses."""
+    import random
+
+    rng = random.Random(11)
+    base = bytes(rng.randrange(256) for _ in range(2000))
+    edited = base[:50] + b"INSERTED!" + base[50:]
+    a, b = _cdc_digests_py(base), _cdc_digests_py(edited)
+    shared = len(a & b)
+    assert len(a) > 10  # payload actually chunked
+    jacc = shared / len(a | b)
+    assert jacc > 0.7, (len(a), len(b), shared)
+    # Spark agrees with the replica on the edited payload too
+    got = {
+        r.digest
+        for r in MM.cdc_chunk_digests(_media(spark, {9: edited})).collect()
+    }
+    assert got == b
+
+
+def test_cdc_neardup_pairs_df_cap_and_jaccard(spark):
+    # Doc 1 and 2 share 3 of 4 distinctive digests; digest "hot" appears in
+    # all four docs and must be dropped by max_df=3 BEFORE scoring.
+    rows = [
+        (1, "hot"), (1, "a"), (1, "b"), (1, "c"), (1, "x1"),
+        (2, "hot"), (2, "a"), (2, "b"), (2, "c"), (2, "y1"),
+        (3, "hot"), (3, "z1"), (3, "z2"),
+        (4, "hot"), (4, "w1"),
+    ]
+    digests = spark.createDataFrame(rows, ["media_id", "digest"])
+    got = {
+        (r.id_a, r.id_b): r
+        for r in MM.cdc_neardup_pairs(digests, max_df=3, min_jaccard_bp=5000).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # capped universe: doc1 {a,b,c,x1} doc2 {a,b,c,y1} -> 3 shared of 5 union
+    assert (r.shared, r.na, r.nb, r.jaccard_bp) == (3, 4, 4, 10000 * 3 // 5)
+
+
+def test_cdc_neardup_finds_edited_copy_not_unrelated(spark):
+    import random
+
+    rng = random.Random(13)
+    base = bytes(rng.randrange(256) for _ in range(2000))
+    edited = base[:300] + b"@@@@" + base[300:1200] + base[1210:]
+    unrelated = bytes(rng.randrange(256) for _ in range(2000))
+    media = _media(spark, {1: base, 2: edited, 3: unrelated})
+    pairs = MM.cdc_neardup_pairs(
+        MM.cdc_chunk_digests(media), max_df=50, min_jaccard_bp=5000
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
