@@ -271,6 +271,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_rolling_distinct",
     "events_journey_trigrams",
     "multimodal_cdc_neardup",
+    "events_rolling_hll",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -118,3 +118,51 @@ def rolling_distinct(
             F.expr("dau * 10000 DIV wau").alias("stickiness_bp"),
         )
     )
+
+
+def rolling_hll_distinct(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """(day, dau_est, wau_est): approximate rolling DAU/WAU from mergeable
+    HLL registers — the 100 TB swap `rolling_distinct` names: identical
+    fan-out skeleton, but what fans out is the per-day REGISTER SET
+    (≤ HLL_M = 256 rows/day) instead of the distinct-entity set.
+
+    Why this is the scale path: the exact version explodes days × active
+    entities × W rows into a count-distinct shuffle — at a billion DAU the
+    windowed distinct dominates the job. Here each day is first reduced to
+    its register rows (one grouped max with map-side combine, register
+    build is rho-max and therefore needs NO pre-distinct), the ×W fan-out
+    touches ≤ 256·W rows per day TOTAL, and the window merge is a
+    bucket-wise max — HLL merge is lossless, so the rolled registers equal
+    the single-pass registers of the true 7-day window exactly (pinned by
+    test). Error is the standard ~1.04/√256 ≈ 6.5% regardless of scale."""
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    keyed = events.select(day.alias("day"), F.col(entity_col).alias("entity"))
+    regs = SK.hll_registers(keyed, "entity", ["day"]).cache()
+    dau = SK.hll_estimate(regs, ["day"]).select(
+        "day", F.col("hll_est").alias("dau_est")
+    )
+    bound = regs.agg(F.max("day").alias("max_day"))
+    expanded = (
+        regs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off"),
+            "day",
+            "bucket",
+            "rho",
+        )
+        .select(F.date_add(F.col("day"), F.col("off")).alias("day"), "bucket", "rho")
+        .crossJoin(F.broadcast(bound))
+        .filter(F.col("day") <= F.col("max_day"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    wau = SK.hll_estimate(expanded, ["day"]).select(
+        "day", F.col("hll_est").alias("wau_est")
+    )
+    return dau.join(wau, "day").select("day", "dau_est", "wau_est")

@@ -389,6 +389,66 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def _rolling_hll_oracle() -> str:
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    num = 2.0 * SK.hll_alpha_m2()
+    est = f"""floor({num!r} / CAST(
+                   sum(CAST(1 AS BIGINT) << ({SK.HLL_WBITS + 1} - rho))
+                   + ({SK.HLL_M} - count(*)) * {1 << (SK.HLL_WBITS + 1)}
+                   AS DOUBLE) * 1000000 + 0.5) / 1000000"""
+    return f"""
+    WITH h AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                    1, 7)) AS BIGINT) AS hv
+        FROM events
+    ),
+    b AS (
+        SELECT day, hv % {SK.HLL_M} AS bucket,
+               CASE WHEN (hv // {SK.HLL_M}) = 0 THEN {SK.HLL_WBITS + 1}
+                    ELSE {SK.HLL_WBITS + 1} - length(bin(hv // {SK.HLL_M}))
+               END AS rho
+        FROM h
+    ),
+    reg AS (SELECT day, bucket, max(rho) AS rho FROM b GROUP BY day, bucket),
+    dau AS (SELECT day, {est} AS dau_est FROM reg GROUP BY day),
+    bound AS (SELECT max(day) AS max_day FROM reg),
+    expanded AS (
+        SELECT day + CAST(i AS INTEGER) AS wday, bucket, rho
+        FROM reg, range(0, 7) AS r(i), bound
+        WHERE day + CAST(i AS INTEGER) <= max_day
+    ),
+    wreg AS (
+        SELECT wday AS day, bucket, max(rho) AS rho
+        FROM expanded GROUP BY wday, bucket
+    ),
+    wau AS (SELECT day, {est} AS wau_est FROM wreg GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau_est, w.wau_est
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY day
+    """
+
+
+@query("events_rolling_hll", oracle=_rolling_hll_oracle())
+def events_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate rolling DAU/WAU via mergeable HLL registers
+    (operators.timeseries.rolling_hll_distinct) — the 100 TB twin of
+    events_rolling_distinct: per-day register sets (≤ 256 rows/day,
+    whatever the cardinality) fan out ×7 instead of the distinct-entity
+    set, and the trailing window merges by bucket-wise max (lossless HLL
+    merge, pinned equal to single-pass window registers by pytest). The
+    oracle replays hash, registers, fan-out, merge, and the raw estimator
+    bit-for-bit — one IEEE division per estimate, micro-snapped."""
+    events = _t(spark, sf_dir, "events")
+    from payroll_etl_fastapi_spark.operators.timeseries import rolling_hll_distinct
+
+    out = rolling_hll_distinct(events, "user_id", "ts", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau_est", "wau_est"
+    ).orderBy("day")
+
+
 @query(
     "events_journey_trigrams",
     oracle="""

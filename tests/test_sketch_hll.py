@@ -67,3 +67,39 @@ def test_estimate_matches_python_formula(spark):
     got = SK.hll_estimate(SK.hll_registers(df, "k")).collect()[0]
     assert got.hll_est == expect
     assert got.n_buckets_used == len(reg)
+
+
+def test_rolling_hll_window_merge_equals_single_pass(spark):
+    """The rolled (×7 register fan-out + bucket-max) registers must equal
+    the single-pass registers of the true trailing window — HLL merge is
+    lossless, so rolling_hll_distinct's WAU estimate is EXACTLY the
+    estimate a from-scratch sketch of the 7-day window would give."""
+    import datetime as dt
+
+    from payroll_etl_fastapi_spark.operators.timeseries import rolling_hll_distinct
+
+    base = dt.datetime(2025, 3, 1)
+    rows = []
+    # 10 days, each day d has users [d*400 .. d*400 + 1000) -> overlapping
+    # sets, cardinalities inside the raw estimator's valid range (> 2.5m)
+    for d in range(10):
+        for u in range(d * 400, d * 400 + 1000):
+            rows.append((dt.datetime.fromordinal(base.toordinal() + d), f"u{u}"))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id string")
+    out = {r.day: r for r in rolling_hll_distinct(ev, "user_id", "ts").collect()}
+    assert len(out) == 10
+
+    for probe in (0, 3, 9):
+        day = (base + dt.timedelta(days=probe)).date()
+        lo = day - dt.timedelta(days=6)
+        windowed = ev.filter(
+            (F.col("ts").cast("date") >= F.lit(lo))
+            & (F.col("ts").cast("date") <= F.lit(day))
+        )
+        single = SK.hll_estimate(SK.hll_registers(windowed, "user_id")).collect()[0]
+        assert out[day].wau_est == single.hll_est, probe
+
+    # estimates track the exact counts within raw-HLL error (~6.5% at m=256;
+    # allow 3 sigma)
+    exact_day0 = 1000
+    assert abs(out[base.date()].dau_est - exact_day0) / exact_day0 < 0.25
