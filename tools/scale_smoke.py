@@ -38,11 +38,14 @@ from payroll_etl_fastapi_spark.operators import sketch as SK  # noqa: E402
 from payroll_etl_fastapi_spark.operators import quality  # noqa: E402
 from payroll_etl_fastapi_spark.operators import search  # noqa: E402
 from payroll_etl_fastapi_spark.operators import similarity as sim  # noqa: E402
+from payroll_etl_fastapi_spark.operators import multimodal as MM  # noqa: E402
+from payroll_etl_fastapi_spark.operators import timeseries as TS  # noqa: E402
 from payroll_etl_fastapi_spark.operators.asof import asof_join  # noqa: E402
 from payroll_etl_fastapi_spark.sources.txtable import TxTable  # noqa: E402
 
 MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+ONLY = set(sys.argv[3:])  # optional op-name subset
 
 
 def scaled(spark, table: str, id_cols: list[str], base_dir: str, mult: int) -> str:
@@ -171,6 +174,13 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame, lineitem:
         "assoc_rules": lambda: _assoc(lineitem),
         "label_propagation": lambda: _label_prop(lineitem),
         "triangle_counts": lambda: _triangles(lineitem),
+        # round-4 third-session additions: CDC binary near-dup, rolling HLL
+        "cdc_neardup": lambda: MM.cdc_neardup_pairs(
+            MM.cdc_chunk_digests(MM.media_from_documents(docs))
+        ).count(),
+        "rolling_hll": lambda: TS.rolling_hll_distinct(
+            events, "user_id", "ts"
+        ).count(),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
             [
@@ -314,6 +324,8 @@ def main() -> None:
             events = spark.read.parquet(tables[mult]["events"])
             lineitem = spark.read.parquet(tables[mult]["lineitem"])
             for name, fn in ops_for(spark, docs, emb, events, lineitem).items():
+                if ONLY and name not in ONLY:
+                    continue
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 sec, n = timed(fn)
