@@ -242,3 +242,34 @@ def test_hdr_gate_single_shuffle_no_sort_of_data(spark):
     plan = _plan(spark, "sketch_hdr_quantiles")
     assert _nodes(plan, "CartesianProduct") == 0
     assert _nodes(plan, "Window") == 0
+
+
+def test_cdc_neardup_digest_join_no_cartesian_no_window(spark):
+    """CDC near-dup: candidates come from ONE equality join on digest (plus
+    the df-cap semi and the two size attaches); nothing may degrade to a
+    cartesian/nested-loop, and no window — the fingerprint is mapInPandas,
+    the rest grouped aggregates."""
+    import payroll_etl_fastapi_spark.plans.suite_multimodal  # noqa: F401
+
+    plan = _plan(spark, "multimodal_cdc_neardup")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert _nodes(plan, "Window") == 0
+
+
+def test_rolling_hll_fans_out_registers_not_entities(spark):
+    """The ×7 fan-out must sit ABOVE the register aggregation (explode of
+    the ≤256-rows/day reduced set), never on the raw event scan, and the
+    whole plan needs no window and no nested loop (the max-day bound rides
+    a 1-row broadcast)."""
+    plan = _plan(spark, "events_rolling_hll")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "Window") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 2  # 1-row bound attach
+    # explode(sequence(0,6)) appears after a HashAggregate in the tree:
+    # the Generate node's child chain must contain an aggregate, which is
+    # only true for the reduced-register frame (raw events see no explode)
+    gen = re.search(r"^\(\d+\) Generate", plan, flags=re.M)
+    assert gen is not None
+    pre = plan[: gen.start()]
+    assert "HashAggregate" in pre  # registers reduced before any fan-out
