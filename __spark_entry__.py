@@ -272,6 +272,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_journey_trigrams",
     "multimodal_cdc_neardup",
     "events_rolling_hll",
+    "graph_bfs_hops",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

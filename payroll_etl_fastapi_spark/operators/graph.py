@@ -241,3 +241,56 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ).alias("cc_bp"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    broadcast_frontier: bool = False,
+) -> DataFrame:
+    """(node, dist): multi-source breadth-first search over a SYMMETRIC edge
+    set — dist = hop count to the NEAREST source, exploring ``max_hops``
+    levels. Nodes not reached within the cap are absent (callers left-join
+    the node set to surface them). ``sources`` is a (node) frame.
+
+    The iterative frontier-expansion primitive beside the label-diffusion
+    ones (connected components propagates min-ids to a fixed point, LPA
+    diffuses plurality labels; BFS tracks the expanding REACHED SET, which
+    neither expresses): per level ONE src-keyed equality join fans the
+    frontier to its neighbors, one distinct dedups the level, one left-anti
+    join against the visited set keeps first discoveries only — so a node's
+    dist is final the level it first appears (the BFS invariant), making
+    the result a pure function of (graph, sources) and therefore
+    SQL-replayable level by level.
+
+    Scale shape (100 TB of edges): the per-level joins are equality joins
+    on src; each level's output is lazily localCheckpoint'd so lineage
+    stays flat (the CC/LPA convention — swap for checkpoint() on a real
+    cluster). With ``broadcast_frontier`` (dimension-sized graphs) the
+    frontier and visited sets ride broadcasts and the edge table NEVER
+    shuffles; for web-scale graphs leave it False and the frontier join
+    shuffles the (much smaller) frontier against the edge partitioning.
+    A frontier that goes empty makes the remaining levels no-op joins."""
+    visited = (
+        sources.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("node")
+    maybe_b = F.broadcast if broadcast_frontier else (lambda df: df)
+    for h in range(1, max_hops + 1):
+        reached = (
+            edges.join(maybe_b(frontier.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(maybe_b(visited.select("node")), "node", "left_anti")
+            .select("node", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(new)
+        frontier = new.select("node")
+    return visited

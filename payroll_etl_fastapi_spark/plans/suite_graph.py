@@ -263,3 +263,84 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )
+
+
+_BFS_HOPS = 4
+_BFS_SOURCES = 3
+
+
+def _bfs_oracle(hops: int = _BFS_HOPS, n_src: int = _BFS_SOURCES) -> str:
+    parts = [
+        "WITH li AS MATERIALIZED ("
+        " SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem"
+        " WHERE l_orderkey % 7 = 0),",
+        "pr AS MATERIALIZED ("
+        " SELECT a.p AS u, b.p AS v FROM li a JOIN li b"
+        " ON a.o = b.o AND a.p < b.p),",
+        "edges AS MATERIALIZED ("
+        " SELECT DISTINCT src, dst FROM ("
+        "  SELECT u AS src, v AS dst FROM pr"
+        "  UNION ALL SELECT v, u FROM pr)),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),",
+        f"v0 AS MATERIALIZED ("
+        f" SELECT node, 0 AS dist FROM ("
+        f"  SELECT node FROM nodes ORDER BY node LIMIT {n_src})),",
+    ]
+    for k in range(1, hops + 1):
+        prev, vis = f"v{k - 1}", f"v{k - 1}"
+        # visited so far = v{k-1} (it already accumulates all levels)
+        parts.append(
+            f"f{k} AS MATERIALIZED ("
+            f" SELECT DISTINCT e.dst AS node FROM edges e"
+            f" JOIN {prev} p ON e.src = p.node AND p.dist = {k - 1}),"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED ("
+            f" SELECT node, dist FROM {vis}"
+            f" UNION ALL"
+            f" SELECT f.node, {k} AS dist FROM f{k} f"
+            f" LEFT JOIN {vis} v ON f.node = v.node WHERE v.node IS NULL),"
+        )
+    parts.append(
+        f"fin AS ("
+        f" SELECT coalesce(v.dist, -1) AS dist, n.node"
+        f" FROM nodes n LEFT JOIN v{hops} v ON n.node = v.node)"
+        f" SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,"
+        f" min(node) AS min_node, max(node) AS max_node"
+        f" FROM fin GROUP BY dist ORDER BY dist"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reachability profile (operators.graph.bfs_hops):
+    hop-distance histogram from the three lowest-id parts over the
+    degree-bounded co-purchase subgraph (the triangle gate's order-key
+    subset, which keeps real hop diversity — the full basket graph has
+    diameter ~2). dist = −1 counts nodes unreached within 4 hops. The
+    frontier-expansion iterative primitive beside CC (fixed-point
+    reachability) and LPA (plurality diffusion); per level one src-keyed
+    equality join + distinct + left-anti first-discovery filter, frontier
+    and visited sets broadcast (dimension graph) so edges never shuffle.
+    The oracle replays every BFS level in materialized CTEs — a level-
+    ordering or first-discovery bug flips the hash, not just the counts."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    edges = G.copurchase_edges(li)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    sources = nodes.orderBy("node").limit(_BFS_SOURCES)
+    visited = G.bfs_hops(
+        edges, sources, max_hops=_BFS_HOPS, broadcast_frontier=True
+    )
+    profile = (
+        nodes.join(visited, "node", "left")
+        .select(F.coalesce("dist", F.lit(-1)).alias("dist"), "node")
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+    return profile

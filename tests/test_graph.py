@@ -154,3 +154,44 @@ def test_triangle_counts_no_triangles_in_a_path(spark):
     sym = path | {(b, a) for a, b in path}
     got = {r.node: r.n_triangles for r in G.triangle_counts(_edges_df(spark, sym)).collect()}
     assert all(v == 0 for v in got.values())
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 1-2-3-4-5 plus isolated edge 8-9: dist from {1} is the path
+    index, capped at max_hops; unreached nodes are absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], ["u", "v"]
+    )
+    edges = G.symmetric_edges(pairs)
+    sources = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.dist for r in G.bfs_hops(edges, sources, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond cap, 8/9 unreachable
+
+
+def test_bfs_hops_multi_source_takes_nearest(spark):
+    """Two sources on a path: every node gets the distance to the NEAREST
+    source (first-discovery wins), identical broadcast or not."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["u", "v"]
+    )  # path 1..8
+    edges = G.symmetric_edges(pairs)
+    sources = spark.createDataFrame([(1,), (8,)], ["node"])
+    want = {1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 2, 7: 1, 8: 0}
+    for bc in (False, True):
+        got = {
+            r.node: r.dist
+            for r in G.bfs_hops(
+                edges, sources, max_hops=3, broadcast_frontier=bc
+            ).collect()
+        }
+        assert got == want, bc
+
+
+def test_bfs_hops_cycle_no_revisit(spark):
+    """On a 4-cycle the wave meets itself: each node keeps its FIRST
+    discovery level, never a later one."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    edges = G.symmetric_edges(pairs)
+    sources = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.dist for r in G.bfs_hops(edges, sources, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}
