@@ -170,9 +170,9 @@ _WINDOW: tuple[str, ...] = (
     "quality_constraint_audit",
     "skew_salted_rollup",
     "bucketed_join_rollup",
-    # multimodal + end-to-end pipeline flagships
+    # multimodal flagships (CDC near-dup swapped in third session: see below)
     "multimodal_binary_stats",
-    "pipeline_training_data",
+    "multimodal_cdc_neardup",
 )
 
 # Registered past the driver's window (round-4 rotation): every one of these
@@ -270,7 +270,13 @@ _SECONDARY: tuple[str, ...] = (
     "corpus_temperature_mix",
     "events_rolling_distinct",
     "events_journey_trigrams",
-    "multimodal_cdc_neardup",
+    # ceded its slot to multimodal_cdc_neardup (third session): holds a
+    # green r3 driver row, unchanged in r4, and every stage it composes
+    # (dedup verify, quality filters, splits, packing) has its own
+    # in-window gate
+    "pipeline_training_data",
+    # NEW round-4 third-session gates (locally oracle-verified at
+    # sf0.001 + sf0.01 + sf0.1; round-5 rotation candidates)
     "events_rolling_hll",
     "graph_bfs_hops",
 )
