@@ -279,6 +279,7 @@ _SECONDARY: tuple[str, ...] = (
     # sf0.001 + sf0.01 + sf0.1; round-5 rotation candidates)
     "events_rolling_hll",
     "graph_bfs_hops",
+    "streaming_enrich_dim",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -720,3 +720,70 @@ def streaming_sketch_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r.event_type, r.n, r.p50, r.p90, r.p99) for r in rows], schema
     )
+
+
+@query(
+    "streaming_enrich_dim",
+    oracle=f"""
+    WITH dim AS (
+        SELECT user_id,
+               date_trunc('week', min(CAST(date_trunc('day', ts) AS DATE)))
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(d.cohort_week, '%Y-%m-%d') AS cohort_week,
+           e.event_type,
+           count(*)               AS n_events,
+           {_sql_msum('e.value')} AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week, event_type
+    """,
+)
+def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the remaining basic streaming join shape
+    beside the stream-stream interval join: each micro-batch broadcast-joins
+    a BATCH-computed dimension (per-user signup-week cohort, the
+    user-profile table of a real pipeline) before a grouped rollup by
+    (cohort_week, event_type).
+
+    Scale shape: the static side is computed once and broadcast — the
+    stream never shuffles for the join; aggregation state is bounded by
+    weeks × event types (dimension-bounded, no watermark needed — this is
+    the complete-mode case where state provably cannot grow with stream
+    length). The oracle replays dim build, join, and cents-exact sums in
+    one SQL statement — micro-batch boundaries cannot move the answer."""
+    from payroll_etl_fastapi_spark.plans.suite import _t
+
+    batch = _t(spark, sf_dir, "events")
+    dim = (
+        batch.groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("first_day")
+        )
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_day")).cast("date").alias("cohort_week"),
+        )
+    )
+    stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+    rolled = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("cohort_week", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("cents"),
+        )
+    )
+    name = f"t_gate_enrich_{next(_counter)}"
+    SE.run_available_now(rolled, name, "complete")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "event_type",
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("cohort_week", "event_type")
+    )

@@ -84,3 +84,38 @@ def test_dedup_events_suppresses_duplicate_delivery(spark, events_stream, events
     got = _drain(spark, SE.dedup_events(noisy), "t_dedup_unit", "append")
     assert got.count() == events_batch.count()
     assert got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_enrich_dim_gate_matches_batch_join(spark):
+    """The stream-static enrichment gate must equal the pure-batch
+    dim-join rollup row for row — micro-batch boundaries cannot move a
+    broadcast dim join or cents-exact sums."""
+    import payroll_etl_fastapi_spark.plans.suite_streaming  # noqa: F401
+    from payroll_etl_fastapi_spark.plans.suite import QUERIES, _cents, _t
+
+    got = {
+        (r.cohort_week, r.event_type): (r.n_events, r.total_value)
+        for r in QUERIES["streaming_enrich_dim"](spark, SF_SMALL).collect()
+    }
+    batch = _t(spark, SF_SMALL, "events")
+    dim = (
+        batch.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("fd"))
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("fd")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+        )
+    )
+    want = {
+        (r.cohort_week, r.event_type): (r.n_events, r.total_value)
+        for r in batch.join(dim, "user_id")
+        .groupBy("cohort_week", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
