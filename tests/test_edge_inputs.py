@@ -68,3 +68,57 @@ def test_text_operators_on_degenerate_docs(spark):
     assert all(0.0 <= r.q <= 1.0 for r in out)
     assert out[0].fp == 0 and out[1].fp == 0  # no tokens → identity fold
     assert out[2].bpe == 3  # digit run + two punct marks
+
+
+def test_cdc_neardup_on_empty_and_identical_payloads(spark):
+    from payroll_etl_fastapi_spark.operators import multimodal as MM
+
+    empty_media = spark.createDataFrame([], MM.MEDIA_SCHEMA)
+    assert MM.cdc_chunk_digests(empty_media).count() == 0
+    assert (
+        MM.cdc_neardup_pairs(MM.cdc_chunk_digests(empty_media)).count() == 0
+    )
+    # 4 byte-identical payloads: every pair is an exact dup (jaccard 10000)
+    # ... unless the df cap removes the shared digests; max_df must count
+    # DOCS, so cap 4 keeps them and cap 3 yields no pairs at all
+    rows = [
+        (i, "image", bytearray(b"same-bytes-here " * 40), (None, None, None, None))
+        for i in range(1, 5)
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    digests = MM.cdc_chunk_digests(media)
+    pairs = MM.cdc_neardup_pairs(digests, max_df=4).collect()
+    assert len(pairs) == 6 and all(r.jaccard_bp == 10000 for r in pairs)
+    assert MM.cdc_neardup_pairs(digests, max_df=3).count() == 0
+
+
+def test_bfs_hops_empty_edges_and_unknown_sources(spark):
+    from payroll_etl_fastapi_spark.operators import graph as G
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    sources = spark.createDataFrame([(7,)], ["node"])
+    got = G.bfs_hops(edges, sources, max_hops=2).collect()
+    # sources themselves always appear at dist 0, even with no edges
+    assert [(r.node, r.dist) for r in got] == [(7, 0)]
+    # a source absent from the graph reaches nothing else
+    pairs = spark.createDataFrame([(1, 2)], ["u", "v"])
+    got2 = {
+        r.node: r.dist
+        for r in G.bfs_hops(G.symmetric_edges(pairs), sources, max_hops=2).collect()
+    }
+    assert got2 == {7: 0}
+
+
+def test_rolling_hll_single_day(spark):
+    import datetime as dt
+
+    from payroll_etl_fastapi_spark.operators.timeseries import rolling_hll_distinct
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1, 9), f"u{i}") for i in range(700)],
+        "ts timestamp, user_id string",
+    )
+    rows = rolling_hll_distinct(ev, "user_id", "ts").collect()
+    assert len(rows) == 1
+    # one day: the trailing window IS the day, estimates must coincide
+    assert rows[0].dau_est == rows[0].wau_est
