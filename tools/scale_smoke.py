@@ -181,6 +181,7 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame, lineitem:
         "rolling_hll": lambda: TS.rolling_hll_distinct(
             events, "user_id", "ts"
         ).count(),
+        "bfs_hops": lambda: _bfs(lineitem),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
             [
@@ -251,6 +252,16 @@ def _triangles(lineitem: DataFrame) -> int:
     # same degree bound as the gate: wedge volume is the intended cost
     sub = lineitem.filter(F.col("l_orderkey") % 7 == 0)
     return triangle_counts(copurchase_edges(sub)).count()
+
+
+def _bfs(lineitem: DataFrame) -> int:
+    from payroll_etl_fastapi_spark.operators.graph import bfs_hops, copurchase_edges
+
+    edges = copurchase_edges(lineitem.filter(F.col("l_orderkey") % 7 == 0))
+    sources = (
+        edges.select(F.col("src").alias("node")).distinct().orderBy("node").limit(3)
+    )
+    return bfs_hops(edges, sources, max_hops=4, broadcast_frontier=True).count()
 
 
 def _pagerank(lineitem: DataFrame) -> int:
