@@ -311,3 +311,57 @@ def test_transition_matrix_conservation_property(spark, rows):
         assert r.n > 0
         by_from[r.from_type] += r.row_bp
     assert all(total <= 10000 for total in by_from.values())
+
+
+# -- content-defined chunking invariants (operators/multimodal.py) ----------
+
+_payloads = st.binary(min_size=0, max_size=3000)
+
+
+def _cdc_chunks_bytes(p: bytes) -> list[bytes]:
+    """Chunk BYTES (not digests) via the exact anchor rule, for invariants."""
+    import numpy as np
+
+    n = len(p)
+    if n == 0:
+        return []
+    a = np.frombuffer(p, np.uint8)
+    cut: list[int] = []
+    if n >= 4:
+        u = a.astype(np.uint64)
+        w = (
+            (u[:-3] << np.uint64(24))
+            | (u[1:-2] << np.uint64(16))
+            | (u[2:-1] << np.uint64(8))
+            | u[3:]
+        )
+        anchor = ((w * np.uint64(2654435761)) % np.uint64(2**32)) >> np.uint64(26) == 0
+        cut = (np.nonzero(anchor)[0] + 4).tolist()
+        if cut and cut[-1] == n:
+            cut = cut[:-1]
+    return [bytes(q) for q in np.split(a, cut)]
+
+
+@given(_payloads)
+@settings(max_examples=200, deadline=None)
+def test_cdc_chunks_partition_the_payload(payload):
+    """Chunks must concatenate back to the payload, each non-empty — the
+    fingerprint covers every byte exactly once (no gap/overlap bug can
+    hide: any off-by-one in the split indices breaks reconstruction)."""
+    chunks = _cdc_chunks_bytes(payload)
+    assert b"".join(chunks) == payload
+    assert all(len(c) > 0 for c in chunks)
+
+
+@given(_payloads, st.binary(min_size=1, max_size=16))
+@settings(max_examples=100, deadline=None)
+def test_cdc_suffix_append_preserves_interior_chunks(payload, suffix):
+    """Appending bytes may only affect the LAST chunk's neighborhood: all
+    chunks strictly before the old final chunk survive verbatim — the
+    locality property that makes the digest set shift-robust."""
+    before = _cdc_chunks_bytes(payload)
+    after = _cdc_chunks_bytes(payload + suffix)
+    if len(before) <= 1:
+        return  # nothing interior to preserve
+    interior = before[:-1]
+    assert after[: len(interior)] == interior
