@@ -280,6 +280,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_rolling_hll",
     "graph_bfs_hops",
     "streaming_enrich_dim",
+    "events_range_frame_totals",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

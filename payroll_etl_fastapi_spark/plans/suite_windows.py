@@ -482,3 +482,69 @@ def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return FN.journey_ngrams(events, n=3, top_k=20)
+
+
+@query(
+    "events_range_frame_totals",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CAST(count(*) OVER win AS BIGINT)  AS n_trailing,
+               CAST(sum(cents) OVER win AS BIGINT) AS cents_trailing
+        FROM t
+        WINDOW win AS (
+            PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, user_id, ts_s, n_trailing, cents_trailing
+    FROM w
+    ORDER BY cents_trailing DESC, event_id
+    LIMIT 20
+    """,
+)
+def events_range_frame_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT trailing-one-hour per-user totals through a time-RANGE
+    window frame — the per-row rolling aggregate neither tumbling nor
+    sliding windows express (those bucket time; this anchors an exact
+    trailing hour at every event). Top-20 events by trailing cents.
+
+    The frame is RANGE over epoch MICROSECONDS (integer on both engines:
+    unix_micros here, epoch_us in the oracle), so peer rows — same user,
+    same microsecond — enter the frame together and the result is
+    independent of any within-timestamp tiebreak, which is what makes the
+    frame hash-replayable. Scale shape: ONE user-partitioned window
+    (bounded per-user state, the sliding-window state Spark spills by
+    key), cents sums exact integers, top-20 is TakeOrderedAndProject."""
+    events = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    t = events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        cents.alias("cents"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-(3600 * 1_000_000 - 1), Window.currentRow)
+    )
+    return (
+        t.select(
+            "event_id",
+            "user_id",
+            "ts_s",
+            F.count(F.lit(1)).over(win).cast("long").alias("n_trailing"),
+            F.sum("cents").over(win).cast("long").alias("cents_trailing"),
+        )
+        .orderBy(F.desc("cents_trailing"), "event_id")
+        .limit(20)
+    )

@@ -158,3 +158,49 @@ def test_rolling_distinct_exact_window_semantics(spark):
     # day 9 window [jan-3 .. jan-9]: A(day9) + B(day5); A's day-1 visit aged out
     assert (rows["2024-01-09"].dau, rows["2024-01-09"].wau) == (1, 2)
     assert rows["2024-01-09"].stickiness_bp == 5000
+
+
+def test_range_frame_totals_matches_bruteforce(spark):
+    """The RANGE-frame trailing sum must equal the brute-force inequality
+    self-join definition (sum over same-user events in (t-1h, t])."""
+    import datetime as dt
+
+    import payroll_etl_fastapi_spark.plans.suite_windows  # noqa: F401
+    from payroll_etl_fastapi_spark.plans.suite import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in ("a", "b"):
+        for m in (0, 10, 59, 60, 61, 150, 3000):
+            eid += 1
+            rows.append((eid, u, base + dt.timedelta(minutes=m), 1.0 + eid))
+    ev = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, value double")
+    ev.createOrReplaceTempView("t_range_ev")
+    got = spark.sql("""
+        SELECT event_id,
+               count(*) OVER w AS n_trailing,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS cents_trailing
+        FROM t_range_ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """).collect()
+    brute = {
+        r.event_id: (r.n, r.c)
+        for r in spark.sql("""
+            SELECT a.event_id, count(*) AS n,
+                   sum(CAST(floor(b.value * 100 + 0.5) AS BIGINT)) AS c
+            FROM t_range_ev a JOIN t_range_ev b
+              ON a.user_id = b.user_id
+             AND unix_micros(b.ts) > unix_micros(a.ts) - 3600000000
+             AND unix_micros(b.ts) <= unix_micros(a.ts)
+            GROUP BY a.event_id
+        """).collect()
+    }
+    for r in got:
+        assert (r.n_trailing, r.cents_trailing) == brute[r.event_id], r.event_id
+    # the gate itself runs and returns the top-20 shape
+    out = QUERIES["events_range_frame_totals"](spark, "/root/testdata/sf0.001")
+    rows20 = out.collect()
+    assert 0 < len(rows20) <= 20
+    assert rows20 == sorted(rows20, key=lambda r: (-r.cents_trailing, r.event_id))
