@@ -281,6 +281,7 @@ _SECONDARY: tuple[str, ...] = (
     "graph_bfs_hops",
     "streaming_enrich_dim",
     "events_range_frame_totals",
+    "quality_observed_audit",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -23,7 +23,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["Rule", "not_null", "in_range", "matches", "check", "unique", "foreign_key"]
+__all__ = [
+    "Rule",
+    "not_null",
+    "in_range",
+    "matches",
+    "check",
+    "observed_check",
+    "unique",
+    "foreign_key",
+]
 
 
 @dataclass(frozen=True)
@@ -76,6 +85,31 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_rule).alias("r")).select("r.*")
+
+
+def observed_check(df: DataFrame, rules: Sequence[Rule]):
+    """Attach ``check()``'s audit aggregates as OBSERVED METRICS on the main
+    job (``Dataset.observe``): returns ``(observed_df, observation)`` where
+    ``observed_df`` is ``df`` with the metrics piggybacked — build the real
+    query on top of it, run its action, then read ``observation.get``
+    ({'n_rows': ..., '<rule>': violations...}).
+
+    Why this exists at 100 TB: ``check()`` is a second full scan; observe
+    rides the SAME scan the business query already pays for — audit metrics
+    become free. The trade: metrics arrive on the driver as one tiny dict
+    (accumulator-style, one row of aggregates), not as a DataFrame, and
+    distinct aggregates are not allowed in observed expressions (Spark
+    contract) — uniqueness audits stay on the ``unique()`` path."""
+    from pyspark.sql import Observation
+
+    if not rules:
+        raise ValueError("no rules given")
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.coalesce(F.sum(F.when(r.valid, 0).otherwise(1)), F.lit(0)).alias(r.name)
+        for r in rules
+    ]
+    return df.observe(obs, *aggs), obs
 
 
 def unique(df: DataFrame, keys: Sequence[str]) -> DataFrame:

@@ -85,3 +85,80 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orphans").alias("n_violations"),
     )
     return row_local.unionByName(uniq).unionByName(fk).orderBy("rule")
+
+
+@query(
+    "quality_observed_audit",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT) AS c,
+               l_quantity
+        FROM lineitem
+    ),
+    biz AS (
+        SELECT 'flag_' || l_returnflag AS k, CAST(sum(c) AS BIGINT) AS v
+        FROM cents GROUP BY l_returnflag
+    ),
+    audit AS (
+        SELECT 'audit_n_rows' AS k, CAST(count(*) AS BIGINT) AS v FROM cents
+        UNION ALL
+        SELECT 'audit_range_l_quantity',
+               CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                              AND (l_quantity < 1 OR l_quantity > 45)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM cents
+        UNION ALL
+        SELECT 'audit_not_null_l_returnflag',
+               CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM cents
+    )
+    SELECT k, v FROM biz
+    UNION ALL
+    SELECT k, v FROM audit
+    ORDER BY k
+    """,
+)
+def quality_observed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit metrics for FREE on the business query's own scan
+    (operators.quality.observed_check / Dataset.observe): the revenue
+    rollup by returnflag runs once, and the not-null + range rules ride
+    that same scan as observed metrics — no second audit pass, the shape
+    a 100 TB pipeline needs (check() re-scans; observe doesn't).
+
+    The gate output unions the rollup rows with the observation payload
+    (both (k, v) BIGINT — cents revenue and violation counts are exact
+    integers), so the driver hash covers the BUSINESS answer AND the
+    audit values the observation actually delivered; the range rule has a
+    real positive path (l_quantity runs 1-50, the rule caps at 45). The
+    observation dict is driver-sized by construction (one aggregate row),
+    like a sketch collect."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    rules = [
+        Q.in_range("l_quantity", 1, 45),
+        Q.not_null("l_returnflag"),
+    ]
+    observed, obs = Q.observed_check(li, rules)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    rollup = (
+        observed.groupBy("l_returnflag")
+        .agg(F.sum(cents).alias("v"))
+        .select(F.concat(F.lit("flag_"), F.col("l_returnflag")).alias("k"), "v")
+    )
+    rollup.collect()  # the ONE action that runs business + audit together
+    m = obs.get
+    metrics = spark.createDataFrame(
+        [
+            ("audit_n_rows", int(m["n_rows"])),
+            ("audit_range_l_quantity", int(m["range_l_quantity"])),
+            ("audit_not_null_l_returnflag", int(m["not_null_l_returnflag"])),
+        ],
+        "k string, v long",
+    )
+    return rollup.unionByName(metrics).orderBy("k")

@@ -54,3 +54,26 @@ def test_empty_table_audits_zero_not_null(spark):
     assert got == {"not_null_k": (0, 0), "range_x": (0, 0)}
     r = Q.unique(empty, ["k"]).first()
     assert (r.n_keys, r.n_duplicate_keys, r.n_excess_rows) == (0, 0, 0)
+
+
+def test_observed_check_matches_second_pass_audit(spark):
+    """observe-piggybacked metrics must equal the standalone check() pass,
+    including the violation positive path and the empty-frame zero fill."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0), (None, 5.0)], "k long, v double"
+    )
+    rules = [Q.not_null("k"), Q.in_range("v", 0.0, 50.0)]
+    observed, obs = Q.observed_check(df, rules)
+    observed.count()  # any action populates the observation
+    m = obs.get
+    want = {r.rule: (r.n_rows, r.n_violations) for r in Q.check(df, rules).collect()}
+    assert m["n_rows"] == 4
+    for rule, (_, nv) in want.items():
+        assert m[rule] == nv, rule
+    assert m["not_null_k"] == 1 and m["range_v"] == 1  # real positives
+
+    empty = spark.createDataFrame([], "k long, v double")
+    observed_e, obs_e = Q.observed_check(empty, rules)
+    observed_e.count()
+    me = obs_e.get
+    assert me["n_rows"] == 0 and me["not_null_k"] == 0 and me["range_v"] == 0
