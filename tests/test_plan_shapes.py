@@ -273,3 +273,44 @@ def test_rolling_hll_fans_out_registers_not_entities(spark):
     assert gen is not None
     pre = plan[: gen.start()]
     assert "HashAggregate" in pre  # registers reduced before any fan-out
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """The 100 TB join-pruning mechanism: a month-partitioned fact joined to
+    a filtered dim must plan a dynamicpruningexpression partition filter —
+    only the dim's surviving months are scanned — and the pruned join must
+    return exactly the plain join's rows."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    d = str(tmp_path / "fact")
+    li.withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    ).write.partitionBy("ship_month").parquet(d)
+    fact = spark.read.parquet(d)
+    # independent dim: March months only (filter NOT derivable from fact)
+    dim = (
+        fact.select("ship_month").distinct()
+        .filter(F.substring("ship_month", 6, 2) == "03")
+    )
+    joined = fact.join(dim, "ship_month").groupBy("ship_month").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower()
+    got = {(r.ship_month, r.n) for r in joined.collect()}
+    want = {
+        (r.ship_month, r.n)
+        for r in fact.filter(F.substring("ship_month", 6, 2) == "03")
+        .groupBy("ship_month")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
