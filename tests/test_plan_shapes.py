@@ -314,3 +314,33 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_nested_schema_pruning_reads_only_meta_subfield(spark, tmp_path):
+    """A metadata-only query over the media table must prune the parquet
+    ReadSchema down to the single struct subfield it touches — at 100 TB
+    of media, reading meta.width must never drag the payload bytes or the
+    rest of the meta struct through the scan."""
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "media")
+    MM.media_from_documents(docs).write.parquet(d)
+    media = spark.read.parquet(d)
+    q = media.select(F.col("meta.width").alias("w")).filter(F.col("w").isNull())
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "width" in schema
+    assert "payload" not in schema  # binary column never read
+    assert "mime" not in schema and "duration_ms" not in schema  # struct pruned
