@@ -282,6 +282,7 @@ _SECONDARY: tuple[str, ...] = (
     "streaming_enrich_dim",
     "events_range_frame_totals",
     "quality_observed_audit",
+    "streaming_txcatalog_dual",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -787,3 +787,87 @@ def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "event_type")
     )
+
+
+@query(
+    "streaming_txcatalog_dual",
+    oracle=f"""
+    WITH win AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               event_type, {_sql_cents('value')} AS cents
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    ),
+    raw_n AS (SELECT CAST(count(*) AS BIGINT) AS raw_rows FROM win)
+    SELECT hour, event_type,
+           CAST(count(*) AS BIGINT)   AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           raw_rows
+    FROM win, raw_n
+    GROUP BY hour, event_type, raw_rows
+    ORDER BY hour, event_type
+    """,
+)
+def streaming_txcatalog_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MULTI-TABLE streaming commit (write_stream_txcatalog): each
+    micro-batch appends the raw slice AND a mergeable hourly-rollup partial,
+    then ONE catalog pointer swap pins both new versions — catalog readers
+    see raw and rollup advance together or not at all, the streaming analog
+    of the reference's single-transaction multi-table load
+    (/root/reference/src/etl.py:15). Idempotence is two-level (epoch key in
+    every table manifest AND in the catalog pointer), pinned by
+    test_stream_txcatalog_dual_table_atomic_exactly_once incl. the
+    crash-between-commits orphan-reuse path.
+
+    The gate reads BOTH tables back through the pinned catalog: the rollup
+    partials re-aggregate (mergeable integer sums — micro-batch boundaries
+    cannot move them) and the raw count rides every row, so the driver hash
+    covers raw/rollup consistency, not just one sink."""
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources.txtable import (
+        TxCatalog,
+        write_stream_txcatalog,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="spark_txcat_gate_")
+    try:
+        cat = TxCatalog(spark, scratch + "/cat")
+        stream = SE.read_events_stream(spark, sf_dir, max_files_per_trigger=10)
+        windowed = stream.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+        ).select(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+            .alias("hour"),
+            "event_type",
+            _cents(F.col("value")).alias("cents"),
+        )
+        write_stream_txcatalog(
+            windowed,
+            cat,
+            scratch + "/ckpt",
+            {
+                "raw": lambda b: b,
+                "rollup": lambda b: b.groupBy("hour", "event_type").agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+                ),
+            },
+        )
+        raw_rows = cat.read("raw").count()
+        merged = (
+            cat.read("rollup")
+            .groupBy("hour", "event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n_events"),
+                F.sum("c").cast("long").alias("cents"),
+            )
+            .withColumn("raw_rows", F.lit(raw_rows).cast("long"))
+            .orderBy("hour", "event_type")
+        )
+        # materialize before the scratch dir disappears
+        rows = merged.collect()
+        return spark.createDataFrame(rows, merged.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -896,6 +896,122 @@ class TxTable:
         return removed
 
 
+def _stream_append_commit(table: TxTable, batch_df: DataFrame, epoch_key: str) -> int:
+    """One micro-batch → one epoch-stamped append commit; returns the new
+    version. Shared by the single-table and catalog streaming sinks so the
+    evolution/constraint/publish contract cannot drift between them."""
+    base = table._versions()
+    version = (base[-1] if base else 0) + 1
+    prev: tuple[str, ...] = ()
+    schema_json = batch_df.schema.json()
+    cons: dict[str, str] = {}
+    if base:
+        head = table._read_manifest(base[-1])
+        prev = head.data_dirs
+        cons = dict(head.constraints)
+        # the SAME evolution contract as append(): a batch missing a
+        # table column or changing a type raises instead of stamping the
+        # narrower/conflicting batch schema as the table read schema
+        # (which would make previously-evolved columns' data invisible
+        # on every subsequent read)
+        schema_json = table._evolved_schema(head, batch_df)
+    # CHECK constraints guard the stream path like every batch DML —
+    # and the manifest must CARRY them (this publish bypasses
+    # _publish's carry-forward, which would silently drop them)
+    table._enforce(batch_df, cons)
+    rel = table._write_data_dir(batch_df, version)
+    # append-with-epoch publish (same CAS; a lost race reraises so the
+    # streaming query retries the batch, and the epoch check deduplicates)
+    _cas_publish(
+        table._tx,
+        version,
+        {
+            "operation": "stream_append",
+            "data_dirs": [*prev, rel],
+            "epoch_key": epoch_key,
+            "schema": schema_json,
+            "constraints": cons,
+        },
+        table.root,
+    )
+    return version
+
+
+def _table_epoch_versions(table: TxTable) -> dict[str, int]:
+    """epoch_key → committed version, scanned once per drain."""
+    out: dict[str, int] = {}
+    for v in table._versions():
+        with open(os.path.join(table._tx, f"v{v}.json")) as fh:
+            key = json.load(fh).get("epoch_key")
+        if key:
+            out[key] = v
+    return out
+
+
+def write_stream_txcatalog(
+    stream_df: DataFrame,
+    catalog: "TxCatalog",
+    checkpoint: str,
+    outputs: dict,
+) -> None:
+    """Exactly-once MULTI-TABLE streaming sink: every micro-batch appends to
+    each output table (``outputs``: table name → batch_df → rows to commit,
+    e.g. the raw slice and a mergeable per-batch rollup), then publishes ONE
+    catalog commit pinning all the new versions — catalog readers see every
+    table advance together or not at all (the streaming analog of the
+    reference's single-transaction multi-table load,
+    /root/reference/src/etl.py:15).
+
+    Idempotence is TWO-LEVEL, because the batch can crash between the table
+    commits and the catalog commit:
+    - the epoch key rides in each TABLE manifest: on replay, a table that
+      already committed this epoch is REUSED at its recorded version, never
+      re-committed — re-appending would double the rows in the chained
+      data-dir history;
+    - the epoch key rides in the CATALOG manifest: a replay after the full
+      commit is a no-op.
+    Orphan table versions from a mid-batch crash are invisible (catalog
+    readers only see pinned versions) and become the reused commit on
+    replay — nothing needs cleanup for correctness.
+
+    Scale shape: per batch, one append commit per table + one pointer swap;
+    no history rewrite. Rollup outputs should be per-batch PARTIALS of a
+    mergeable aggregate (sums/counts/sketches) re-aggregated on read."""
+    cat_seen: set[str] = set()
+    for v in catalog._versions():
+        with open(os.path.join(catalog._cat, f"v{v}.json")) as fh:
+            key = json.load(fh).get("epoch_key")
+        if key:
+            cat_seen.add(key)
+    tbl_seen = {name: _table_epoch_versions(catalog.table(name)) for name in outputs}
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
+        if epoch_key in cat_seen:
+            return  # fully committed batch: replay is a no-op
+        versions: dict[str, int] = {}
+        for name, fn in outputs.items():
+            if epoch_key in tbl_seen[name]:
+                # crashed after this table's commit last time: reuse it
+                versions[name] = tbl_seen[name][epoch_key]
+                continue
+            table = catalog.table(name)
+            v = _stream_append_commit(table, fn(batch_df), epoch_key)
+            versions[name] = v
+            tbl_seen[name][epoch_key] = v
+        catalog.commit({**catalog.current(), **versions}, epoch_key=epoch_key)
+        cat_seen.add(epoch_key)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def write_stream_txtable(
     stream_df: DataFrame,
     table: TxTable,
@@ -957,40 +1073,7 @@ def write_stream_txtable(
             # replayed batch is skipped before any recompute, and the
             # commit still lands the transformed rows exactly once
             batch_df = transform(batch_df)
-        base = table._versions()
-        version = (base[-1] if base else 0) + 1
-        prev: tuple[str, ...] = ()
-        schema_json = batch_df.schema.json()
-        cons: dict[str, str] = {}
-        if base:
-            head = table._read_manifest(base[-1])
-            prev = head.data_dirs
-            cons = dict(head.constraints)
-            # the SAME evolution contract as append(): a batch missing a
-            # table column or changing a type raises instead of stamping the
-            # narrower/conflicting batch schema as the table read schema
-            # (which would make previously-evolved columns' data invisible
-            # on every subsequent read)
-            schema_json = table._evolved_schema(head, batch_df)
-        # CHECK constraints guard the stream path like every batch DML —
-        # and the manifest must CARRY them (this publish bypasses
-        # _publish's carry-forward, which would silently drop them)
-        table._enforce(batch_df, cons)
-        rel = table._write_data_dir(batch_df, version)
-        # append-with-epoch publish (same CAS; a lost race reraises so the
-        # streaming query retries the batch, and the epoch check deduplicates)
-        _cas_publish(
-            table._tx,
-            version,
-            {
-                "operation": "stream_append",
-                "data_dirs": [*prev, rel],
-                "epoch_key": epoch_key,
-                "schema": schema_json,
-                "constraints": cons,
-            },
-            table.root,
-        )
+        _stream_append_commit(table, batch_df, epoch_key)
         seen_epochs.add(epoch_key)
 
     q = (
@@ -1102,13 +1185,17 @@ class TxCatalog:
         with open(os.path.join(self._cat, f"v{vs[-1]}.json")) as fh:
             return json.load(fh)["tables"]
 
-    def commit(self, table_versions: dict[str, int]) -> int:
-        """Atomically publish a new catalog state (full map, not a delta)."""
+    def commit(self, table_versions: dict[str, int], epoch_key: str | None = None) -> int:
+        """Atomically publish a new catalog state (full map, not a delta).
+        ``epoch_key`` stamps streaming-batch identity into the pointer so
+        the multi-table stream sink can deduplicate replays at the
+        atomicity point itself (write_stream_txcatalog)."""
         vs = self._versions()
         version = (vs[-1] if vs else 0) + 1
-        _cas_publish(
-            self._cat, version, {"tables": table_versions}, f"catalog {self.root}"
-        )
+        payload: dict = {"tables": table_versions}
+        if epoch_key is not None:
+            payload["epoch_key"] = epoch_key
+        _cas_publish(self._cat, version, payload, f"catalog {self.root}")
         return version
 
     def read(self, name: str) -> DataFrame:

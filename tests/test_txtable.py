@@ -871,3 +871,74 @@ def test_clone_carries_schema_and_constraints(spark, tmp_path):
         clone.append(spark.createDataFrame([(0, "bad")], "id long, v string"))
     with pytest.raises(ValueError, match="already exists"):
         t.clone(str(tmp_path / "cdst"))
+
+
+def test_stream_txcatalog_dual_table_atomic_exactly_once(spark, tmp_path):
+    """Multi-table streaming sink: every micro-batch appends raw + rollup
+    and ONE catalog commit makes both visible together; re-drain and
+    crash-replay commit nothing; a crash BETWEEN the table commits and the
+    catalog commit leaves the orphan version invisible and reused."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.sources.txtable import (
+        TxCatalog,
+        write_stream_txcatalog,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(src)
+    cat = TxCatalog(spark, str(tmp_path / "cat"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def outputs():
+        return {
+            "raw": lambda b: b,
+            "rollup": lambda b: b.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+            ),
+        }
+
+    def stream():
+        return (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    write_stream_txcatalog(stream(), cat, ckpt, outputs())
+    assert sorted(r.id for r in cat.read("raw").collect()) == list(range(30))
+    merged = cat.read("rollup").agg(F.sum("n").alias("n"), F.sum("s").alias("s")).collect()[0]
+    assert (merged.n, merged.s) == (30, sum(range(30)))
+    assert cat.current() == {"raw": 3, "rollup": 3}
+
+    # re-drain: no new input -> no new commits anywhere
+    write_stream_txcatalog(stream(), cat, ckpt, outputs())
+    assert cat.current() == {"raw": 3, "rollup": 3}
+    assert cat.table("raw").latest_version() == 3
+
+    # crash-replay: wipe streaming commit acks; epoch keys swallow everything
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    write_stream_txcatalog(stream(), cat, ckpt, outputs())
+    assert sorted(r.id for r in cat.read("raw").collect()) == list(range(30))
+    assert cat.table("raw").latest_version() == 3
+
+    # mid-batch crash: commit a table version with a FUTURE epoch key but no
+    # catalog commit (the orphan) — a later drain of one new file must REUSE
+    # it, not re-append
+    from payroll_etl_fastapi_spark.sources.txtable import _stream_append_commit
+
+    spark.range(100, 110).coalesce(1).write.mode("append").parquet(src)
+    orphan_key = f"{os.path.abspath(ckpt)}#3"  # the epoch the next drain gets
+    new_batch = spark.range(100, 110).toDF("id")
+    v_orphan = _stream_append_commit(cat.table("raw"), new_batch, orphan_key)
+    assert cat.current()["raw"] == 3  # orphan invisible to catalog readers
+    write_stream_txcatalog(stream(), cat, ckpt, outputs())
+    assert cat.current()["raw"] == v_orphan  # reused, not re-committed
+    assert sorted(r.id for r in cat.read("raw").collect()) == (
+        list(range(30)) + list(range(100, 110))
+    )
+    # raw history: 3 drained + 1 orphan-turned-commit, nothing doubled
+    assert cat.table("raw").latest_version() == 4
