@@ -283,6 +283,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_range_frame_totals",
     "quality_observed_audit",
     "streaming_txcatalog_dual",
+    "warclite_scan",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

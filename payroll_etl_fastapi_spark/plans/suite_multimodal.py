@@ -153,3 +153,60 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "warclite_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                           AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)    AS total_bytes,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT))
+                AS BIGINT)                                    AS payload_checksum,
+           CAST(min(doc_id) AS BIGINT)                        AS min_id,
+           CAST(max(doc_id) AS BIGINT)                        AS max_id
+    FROM documents
+    """,
+)
+def warclite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom binary container (sources/warclite.py, Spark 4
+    Python Data Source API): the documents table is written as
+    length-prefixed warclite shards (one per partition, executor-side
+    mapInPandas sink — payload bytes never touch the driver), scanned back
+    through ``spark.read.format("warclite")`` (one InputPartition per
+    shard, driver does directory listing only), and reduced to exact
+    integer aggregates + the family-standard order-free 28-bit md5
+    checksum. The oracle replays the same numbers straight from the
+    documents table, so one dropped/duplicated/corrupted record anywhere
+    in the frame-parse path flips the hash."""
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources import warclite as WL
+
+    docs = _t(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="spark_warclite_gate_")
+    try:
+        WL.write_corpus(
+            docs.select(
+                "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+            ).repartition(8),
+            scratch,
+            "doc_id",
+            "payload",
+        )
+        WL.register(spark)
+        scanned = spark.read.format("warclite").load(scratch)
+        checksum = F.conv(
+            F.substring(F.md5(F.col("payload")), 1, 7), 16, 10
+        ).cast("long")
+        out = scanned.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+            F.sum(checksum).cast("long").alias("payload_checksum"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+        rows = out.collect()  # materialize before the shards disappear
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

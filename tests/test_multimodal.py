@@ -222,3 +222,37 @@ def test_cdc_neardup_finds_edited_copy_not_unrelated(spark):
         MM.cdc_chunk_digests(media), max_df=50, min_jaccard_bp=5000
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_warclite_roundtrip_parallelism_and_poison(spark, tmp_path):
+    """Custom binary-container source: executor-written shards scan back
+    exactly, one partition per shard, truncated tails poison not crash."""
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.sources import warclite as WL
+
+    docs = spark.createDataFrame(
+        [(i, bytes([i % 251]) * (10 + i)) for i in range(50)],
+        "doc_id long, payload binary",
+    ).repartition(4)
+    out = str(tmp_path / "shards")
+    n_shards = WL.write_corpus(docs, out, "doc_id", "payload")
+    assert 1 <= n_shards <= 4
+
+    WL.register(spark)
+    scanned = spark.read.format("warclite").load(out)
+    assert scanned.rdd.getNumPartitions() == n_shards
+    got = {r.doc_id: bytes(r.payload) for r in scanned.collect()}
+    assert got == {i: bytes([i % 251]) * (10 + i) for i in range(50)}
+
+    # truncate one shard mid-payload: scan yields ONE poison row for it
+    import os
+
+    shard = sorted(os.listdir(out))[0]
+    full = os.path.join(out, shard)
+    os.truncate(full, os.path.getsize(full) - 3)
+    rescanned = spark.read.format("warclite").load(out)
+    poison = rescanned.filter(F.col("payload").isNull()).collect()
+    assert len(poison) == 1 and poison[0].shard == shard
+    ok = rescanned.filter(F.col("payload").isNotNull()).count()
+    assert ok == 50 - 1  # only the truncated record is lost
