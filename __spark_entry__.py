@@ -284,6 +284,7 @@ _SECONDARY: tuple[str, ...] = (
     "quality_observed_audit",
     "streaming_txcatalog_dual",
     "warclite_scan",
+    "warclite_stream_rollup",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from payroll_etl_fastapi_spark.operators import multimodal as MM
 from payroll_etl_fastapi_spark.plans.suite import _r6, _sql_r6, _t, query
 
+import itertools
+
+_WL_COUNTER = itertools.count()  # unique memory-sink name per invocation
+
 
 @query(
     "multimodal_features",
@@ -210,3 +214,71 @@ def warclite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "warclite_stream_rollup",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                        AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT))
+                AS BIGINT)                                 AS payload_checksum
+    FROM documents
+    """,
+)
+def warclite_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom container consumed as a STREAM: the same warclite shards
+    read through the source's SimpleDataSourceStreamReader (offset =
+    consumed-shard count, committed via the engine checkpoint — a restart
+    resumes at the acknowledged shard; pinned by
+    test_warclite_stream_tails_new_shards_exactly_once), rolled up in
+    complete mode and drained. Micro-batch boundaries cannot move exact
+    integer aggregates, so the oracle is the same one SQL statement as the
+    batch twin — hash-identical whether records arrive as one batch or
+    shard by shard."""
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources import warclite as WL
+
+    docs = _t(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="spark_warclite_stream_gate_")
+    try:
+        WL.write_corpus(
+            docs.select(
+                "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+            ).repartition(8),
+            scratch + "/shards",
+            "doc_id",
+            "payload",
+        )
+        WL.register(spark)
+        stream = (
+            spark.readStream.format("warclite")
+            .option("path", scratch + "/shards")
+            .load()
+        )
+        checksum = F.conv(
+            F.substring(F.md5(F.col("payload")), 1, 7), 16, 10
+        ).cast("long")
+        rolled = stream.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+            F.sum(checksum).cast("long").alias("payload_checksum"),
+        )
+        name = f"t_gate_warclite_{next(_WL_COUNTER)}"
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", scratch + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+

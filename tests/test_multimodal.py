@@ -256,3 +256,49 @@ def test_warclite_roundtrip_parallelism_and_poison(spark, tmp_path):
     assert len(poison) == 1 and poison[0].shard == shard
     ok = rescanned.filter(F.col("payload").isNotNull()).count()
     assert ok == 50 - 1  # only the truncated record is lost
+
+
+def test_warclite_stream_tails_new_shards_exactly_once(spark, tmp_path):
+    """Custom streaming source: a second drain with the same checkpoint
+    reads ONLY the shards that appeared in between — offset = consumed
+    shard count, committed through the engine checkpoint."""
+    import os
+
+    from payroll_etl_fastapi_spark.sources import warclite as WL
+
+    d = str(tmp_path / "shards")
+    os.makedirs(d)
+
+    def add_shard(idx, ids):
+        with open(os.path.join(d, f"part-{idx:05d}.warclite"), "wb") as fh:
+            for i in ids:
+                fh.write(WL.pack_record(i, b"p" * 4))
+
+    add_shard(0, [1, 2])
+    add_shard(1, [3])
+    WL.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("warclite")
+            .option("path", d)
+            .load()
+            .select("doc_id", "shard")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    assert drain() == [1, 2, 3]
+    add_shard(2, [4, 5])
+    # SAME checkpoint: only the new shard arrives (cumulative sink output)
+    assert drain() == [1, 2, 3, 4, 5]
+    # nothing new: drain adds nothing
+    assert drain() == [1, 2, 3, 4, 5]
