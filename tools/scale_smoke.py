@@ -182,6 +182,8 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame, lineitem:
             events, "user_id", "ts"
         ).count(),
         "bfs_hops": lambda: _bfs(lineitem),
+        "range_frame": lambda: _range_frame(events),
+        "warclite_roundtrip": lambda: _warclite(spark, docs),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
             [
@@ -262,6 +264,44 @@ def _bfs(lineitem: DataFrame) -> int:
         edges.select(F.col("src").alias("node")).distinct().orderBy("node").limit(3)
     )
     return bfs_hops(edges, sources, max_hops=4, broadcast_frontier=True).count()
+
+
+def _range_frame(events: DataFrame) -> int:
+    from pyspark.sql import Window
+
+    # raw parquet carries TIMESTAMP_NTZ; the catalog loader normalizes, the
+    # smoke casts inline
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-(3600 * 1_000_000 - 1), Window.currentRow)
+    )
+    return (
+        events.select(
+            "event_id", F.sum(F.floor(F.col("value") * 100)).over(win).alias("c")
+        ).count()
+    )
+
+
+def _warclite(spark, docs: DataFrame) -> int:
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources import warclite as WL
+
+    scratch = tempfile.mkdtemp(prefix="scale_warclite_")
+    try:
+        WL.write_corpus(
+            docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("p"))
+            .repartition(32),
+            scratch,
+            "doc_id",
+            "p",
+        )
+        WL.register(spark)
+        return spark.read.format("warclite").load(scratch).count()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _pagerank(lineitem: DataFrame) -> int:
