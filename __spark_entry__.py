@@ -285,6 +285,7 @@ _SECONDARY: tuple[str, ...] = (
     "streaming_txcatalog_dual",
     "warclite_scan",
     "warclite_stream_rollup",
+    "txtable_data_skipping",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -262,3 +262,65 @@ def txtable_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "txtable_data_skipping",
+    oracle=f"""
+    WITH o AS (
+        SELECT strftime(o_orderdate, '%Y') AS oy, {_sql_cents('o_totalprice')} AS cents
+        FROM orders
+    ),
+    hit AS (SELECT * FROM o WHERE oy BETWEEN '1994' AND '1996')
+    SELECT CAST((SELECT count(*) FROM hit) AS BIGINT)       AS n_orders,
+           CAST((SELECT sum(cents) FROM hit) AS BIGINT)     AS sum_cents,
+           CAST((SELECT count(DISTINCT oy) FROM hit) AS BIGINT)
+                                                            AS n_dirs_scanned,
+           CAST((SELECT count(DISTINCT oy) FROM o) AS BIGINT)
+                                                            AS n_dirs_total
+    """,
+)
+def txtable_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level DATA SKIPPING, driver-verified: orders land in the
+    transactional table as one append per order-year (each data dir gets a
+    min/max sidecar for the year column via ``stats_cols``), then
+    ``scan_between('oy', '1994', '1996')`` must read ONLY the three
+    overlapping directories — the Delta-style skipping that turns a
+    decade-wide scan into a three-dir scan before Spark lists a single
+    file. The gate emits the scanned aggregate AND the skipping counts;
+    because dirs are exactly the distinct years, the oracle replays the
+    pruning arithmetic itself from SQL — a sidecar bug that reads too few
+    dirs flips the sums, one that reads too many flips n_dirs_scanned.
+    Physical never-listed pin: tests/test_txtable.py (inputFiles ⊆ kept
+    dir)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy").alias("oy"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    years = sorted(
+        r.oy for r in orders.select("oy").distinct().collect()
+    )  # driver-sized: ≤ #years in the dataset
+    scratch = tempfile.mkdtemp(prefix="spark_txskip_gate_")
+    try:
+        t = TxTable(spark, scratch + "/t", stats_cols=["oy"])
+        for i, y in enumerate(years):
+            batch = orders.filter(F.col("oy") == y)
+            if i == 0:
+                t.overwrite(batch)
+            else:
+                t.append(batch)
+        keep, total = t.pruned_dirs("oy", "1994", "1996")
+        hit = t.scan_between("oy", "1994", "1996")
+        out = hit.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ).select(
+            "n_orders",
+            "sum_cents",
+            F.lit(len(keep)).cast("long").alias("n_dirs_scanned"),
+            F.lit(total).cast("long").alias("n_dirs_total"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

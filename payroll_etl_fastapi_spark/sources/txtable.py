@@ -61,6 +61,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "TxTable",
@@ -127,13 +128,31 @@ class _Snapshot:
 
 
 class TxTable:
-    """One transactional parquet table rooted at ``root``."""
+    """One transactional parquet table rooted at ``root``.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``stats_cols`` opts into Delta-style DATA SKIPPING: every data dir this
+    handle writes also gets a ``_stats.json`` sidecar with per-column
+    min/max (numeric and string columns only — ISO-formatted strings order
+    lexicographically, so date-like strings skip correctly), and
+    ``scan_between`` prunes whole directories whose range cannot overlap a
+    predicate BEFORE Spark ever lists their files. The sidecar rides INSIDE
+    the immutable dir (underscore-prefixed — invisible to Spark's file
+    listing, removed with the dir by vacuum), so no manifest format change
+    and no carry-forward bookkeeping; dirs written without stats are simply
+    never skipped (conservative). Cost: one extra aggregate job over the
+    batch being written, only when opted in."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_cols: Sequence[str] | None = None,
+    ):
         self.spark = spark
         self.root = root
         self._tx = os.path.join(root, "_tx")
         self._data = os.path.join(root, "data")
+        self.stats_cols = tuple(stats_cols or ())
 
     # -- log ---------------------------------------------------------------
 
@@ -192,26 +211,14 @@ class TxTable:
         snap = self._read_manifest(v)
         if not snap.data_dirs:
             raise ValueError(f"version {v} of {self.root} is empty")
-        paths = [os.path.join(self.root, d) for d in snap.data_dirs]
         # the manifest carries the authoritative schema: readers never pay
         # footer-merging scans, and data dirs written BEFORE a column was
-        # added null-fill it (schema evolution, Delta-style)
-        reader = self.spark.read
-        if snap.schema_json is not None:
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
-        if not snap.partition_by:
-            return reader.parquet(*paths)
-        # hive-partitioned commits: one multi-path read would make Spark's
-        # partition discovery see conflicting roots (each c<N>-uuid dir is
-        # its own discovery base), so read per directory and union — each
-        # scan still gets PartitionFilters pruning, and manifests stay short
-        # (optimize() folds history into one dir)
-        out = reader.parquet(paths[0])
-        for p in paths[1:]:
-            out = out.unionByName(reader.parquet(p))
-        return out
+        # added null-fill it (schema evolution, Delta-style). Partitioned
+        # commits read per directory and union — one multi-path read would
+        # make Spark's partition discovery see conflicting roots; each scan
+        # still gets PartitionFilters pruning, and manifests stay short
+        # (optimize() folds history into one dir).
+        return self._read_dirs(snap, snap.data_dirs)
 
     # -- schema evolution --------------------------------------------------
 
@@ -332,7 +339,110 @@ class TxTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.root, rel))
+        if self.stats_cols:
+            self._write_stats_sidecar(df, rel)
         return rel
+
+    # -- data skipping -----------------------------------------------------
+
+    _STATS_FILE = "_stats.json"
+
+    def _write_stats_sidecar(self, df: DataFrame, rel: str) -> None:
+        """Per-dir min/max for the opted-in columns, written BEFORE the
+        manifest publish (a crash leaves an unpublished dir + sidecar —
+        harmless, vacuumed together). NULL-only columns record null bounds
+        and are never skipped on."""
+        from pyspark.sql.types import NumericType, StringType
+
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for c in self.stats_cols:
+            if c not in fields:
+                continue  # schema evolution: column absent in this batch
+            if not isinstance(fields[c], (NumericType, StringType)):
+                raise ValueError(
+                    f"stats_cols supports numeric/string columns, {c!r} is "
+                    f"{fields[c].simpleString()} (cast or format it first)"
+                )
+            cols.append(c)
+        if not cols:
+            return
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        stats = {
+            c: [row[f"mn_{i}"], row[f"mx_{i}"]] for i, c in enumerate(cols)
+        }
+        with open(os.path.join(self.root, rel, self._STATS_FILE), "w") as fh:
+            json.dump(stats, fh)
+
+    def _dir_stats(self, rel: str) -> dict:
+        path = os.path.join(self.root, rel, self._STATS_FILE)
+        if not os.path.isfile(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
+
+    def pruned_dirs(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(dirs a BETWEEN-scan must read, total dirs at that version).
+        A dir survives unless its recorded [min, max] provably cannot
+        overlap [lo, hi]; missing sidecars/columns/null bounds are kept
+        (conservative — skipping may only ever remove provably-dead IO)."""
+        v = self.latest_version() if version is None else version
+        snap = self._read_manifest(v)
+        keep = []
+        for d in snap.data_dirs:
+            bounds = self._dir_stats(d).get(col)
+            if (
+                bounds is None
+                or bounds[0] is None
+                or bounds[1] is None
+                or not (bounds[1] < lo or bounds[0] > hi)
+            ):
+                keep.append(d)
+        return keep, len(snap.data_dirs)
+
+    def scan_between(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """``WHERE col BETWEEN lo AND hi`` with manifest-level data
+        skipping: directories whose sidecar range cannot overlap are never
+        even LISTED — at 100 TB this is the difference between touching a
+        day and touching a decade. The residual filter still applies (the
+        sidecar prunes dirs, parquet footers prune row groups, the filter
+        prunes rows — three nested skipping levels). BETWEEN excludes
+        NULLs, which is what makes min/max pruning sound."""
+        v = self.latest_version() if version is None else version
+        snap = self._read_manifest(v)
+        keep, _ = self.pruned_dirs(col, lo, hi, v)
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not keep:
+            from pyspark.sql.types import StructType
+
+            schema = (
+                StructType.fromJson(json.loads(snap.schema_json))
+                if snap.schema_json
+                else self.snapshot(v).schema
+            )
+            return self.spark.createDataFrame([], schema)
+        return self._read_dirs(snap, keep).filter(pred)
+
+    def _read_dirs(self, snap: _Snapshot, dirs: Sequence[str]) -> DataFrame:
+        paths = [os.path.join(self.root, d) for d in dirs]
+        reader = self.spark.read
+        if snap.schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+        if not snap.partition_by:
+            return reader.parquet(*paths)
+        out = reader.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(reader.parquet(p))
+        return out
 
     def _publish(
         self,

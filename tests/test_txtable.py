@@ -942,3 +942,71 @@ def test_stream_txcatalog_dual_table_atomic_exactly_once(spark, tmp_path):
     )
     # raw history: 3 drained + 1 orphan-turned-commit, nothing doubled
     assert cat.table("raw").latest_version() == 4
+
+
+def test_data_skipping_prunes_dirs_and_matches_full_scan(spark, tmp_path):
+    """Manifest-level data skipping: per-dir _stats.json sidecars prune
+    whole directories; scan_between equals the full-scan filter, and the
+    scan's inputFiles never touch a skipped dir."""
+    from pyspark.sql import functions as F
+
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k", "tag"])
+    # three appends with disjoint key ranges -> three dirs with tight stats
+    t.overwrite(spark.range(0, 100).toDF("k").withColumn("tag", F.lit("a")))
+    t.append(spark.range(100, 200).toDF("k").withColumn("tag", F.lit("b")))
+    t.append(spark.range(200, 300).toDF("k").withColumn("tag", F.lit("c")))
+
+    keep, total = t.pruned_dirs("k", 120, 180)
+    assert total == 3 and len(keep) == 1
+    got = t.scan_between("k", 120, 180)
+    assert sorted(r.k for r in got.collect()) == list(range(120, 181))
+    # physical pin: only the surviving dir's files are read
+    kept_dir = keep[0]
+    assert all(kept_dir in f for f in got.inputFiles())
+
+    # string stats skip too (ISO-like strings order lexicographically)
+    keep_s, _ = t.pruned_dirs("tag", "b", "b")
+    assert len(keep_s) == 1
+    assert {r.tag for r in t.scan_between("tag", "b", "b").collect()} == {"b"}
+
+    # boundary overlap keeps the dir (99 < 100 <= 100: second dir included)
+    keep_b, _ = t.pruned_dirs("k", 99, 100)
+    assert len(keep_b) == 2
+
+    # empty result when nothing overlaps, schema preserved
+    empty = t.scan_between("k", 5000, 6000)
+    assert empty.count() == 0 and empty.columns == ["k", "tag"]
+
+
+def test_data_skipping_conservative_without_stats(spark, tmp_path):
+    """Dirs written WITHOUT stats (another handle, older commits) and
+    NULL-only columns are never skipped — pruning may only remove
+    provably-dead IO."""
+    from pyspark.sql import functions as F
+
+    plain = TxTable(spark, str(tmp_path / "t"))  # no stats_cols
+    plain.overwrite(spark.range(0, 50).toDF("k").withColumn("tag", F.lit("x")))
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["k", "n"])
+    t.append(
+        spark.range(1000, 1050)
+        .toDF("k")
+        .withColumn("tag", F.lit("y"))
+        .withColumn("n", F.lit(None).cast("long"))
+    )
+    # first dir has no sidecar -> kept even though 0-49 can't match
+    keep, total = t.pruned_dirs("k", 1000, 2000)
+    assert total == 2 and len(keep) == 2
+    assert sorted(r.k for r in t.scan_between("k", 1000, 1010).collect()) == list(
+        range(1000, 1011)
+    )
+    # all-NULL stats column: bounds are null -> dir kept
+    keep_n, _ = t.pruned_dirs("n", 0, 1)
+    assert len(keep_n) == 2
+    # non-numeric/string stats column is a loud error at write time
+    import pytest as _pytest
+
+    bad = TxTable(spark, str(tmp_path / "bad"), stats_cols=["ts"])
+    with _pytest.raises(ValueError, match="stats_cols"):
+        bad.overwrite(
+            spark.sql("SELECT TIMESTAMP '2024-01-01' AS ts, 1 AS v")
+        )
