@@ -286,6 +286,11 @@ _SECONDARY: tuple[str, ...] = (
     "warclite_scan",
     "warclite_stream_rollup",
     "txtable_data_skipping",
+    # NEW round-4 fifth-session gates (locally oracle-verified; round-5
+    # rotation candidates)
+    "events_interval_merge",
+    "quality_k_anonymity",
+    "text_vocab_coverage",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -148,3 +148,24 @@ def foreign_key(
     return child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
         orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """(quasi..., class_size): the equivalence classes over the
+    quasi-identifier tuple that hold FEWER than ``k`` rows — each one a
+    re-identification risk under the k-anonymity privacy model (Sweeney
+    2002): a released row in a class of size < k narrows a linking attacker
+    to fewer than k candidates. The privacy-side complement of the PII
+    scrubber (operators/corpus.py): scrubbing removes direct identifiers,
+    this audits the QUASI-identifiers that remain.
+
+    One grouped count on the quasi tuple (map-side combine), one filter —
+    the audit costs the same as any rollup at 100 TB; callers generalize
+    (coarsen bins, drop a column) and re-run until the report is empty."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < k)
+    )

@@ -62,6 +62,53 @@ def resample_locf(
     )
 
 
+def merge_intervals(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """(key, island, start, end, n_intervals): the union of overlapping or
+    touching per-key intervals as maximal merged islands — the interval-merge
+    primitive (range_agg / island detection) that gap-based sessionization
+    cannot express: sessions merge on INACTIVITY GAPS between points, islands
+    merge on explicit [start, end) EXTENT overlap, so two long intervals whose
+    starts are hours apart still fuse when the first spans the second.
+
+    Classic cummax formulation, one shuffle on the key: order each key's
+    intervals by (start, end, tiebreak); an interval opens a NEW island iff
+    its start exceeds the running max of all PRECEDING ends (rows-frame
+    cummax, excludes current); the running sum of open-flags numbers the
+    islands; one grouped aggregate per (key, island) emits extent and size.
+    Touching intervals (start == previous end) merge.
+
+    Scale shape: both window passes and the final aggregate reuse the SAME
+    hash partitioning on the key — one Exchange total; per-key state is one
+    window frame, bounded by that key's interval count. Start/end are plain
+    orderable columns (use integer epoch-micros for cross-engine exactness).
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col, tiebreak_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = intervals.withColumn(
+        "__new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("__new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("start"),
+        F.max(end_col).alias("end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
 def rolling_distinct(
     events: DataFrame,
     entity_col: str,

@@ -162,3 +162,42 @@ def quality_observed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k string, v long",
     )
     return rollup.unionByName(metrics).orderBy("k")
+
+
+_K_ANON = 5
+
+
+@query(
+    "quality_k_anonymity",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, bal_bin,
+           count(*) AS class_size
+    FROM quasi
+    GROUP BY c_nationkey, c_mktsegment, bal_bin
+    HAVING count(*) < {_K_ANON}
+    ORDER BY c_nationkey, c_mktsegment, bal_bin
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.quality.k_anonymity) over the customer
+    quasi-identifiers (nation, market segment, account-balance thousand-bin):
+    every equivalence class smaller than k=5 is a re-identification risk the
+    release pipeline must generalize away. The bin edge is floor(x/1000) —
+    one IEEE divide + floor, bit-identical in both engines.
+
+    Scale shape: exactly one grouped count with map-side combine; the risky
+    classes are by definition the SMALL groups, so the report is never
+    large even when the table is."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bin"),
+    )
+    risky = Q.k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_bin"], _K_ANON)
+    return risky.orderBy("c_nationkey", "c_mktsegment", "bal_bin")

@@ -699,3 +699,71 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEW in round 4 (post-tail); round-5 rotation candidate."""
     docs = _t(spark, sf_dir, "documents")
     return T.pmi_collocations(docs, "text", "doc_id", min_count=5, top_k=30)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_SQL_NORM.format(col='text')}, ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, count(*) AS tf
+        FROM toks WHERE token <> ''
+        GROUP BY token
+    ),
+    total AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM counts),
+    top AS (
+        SELECT token, tf FROM counts
+        ORDER BY tf DESC, token
+        LIMIT 50
+    )
+    SELECT CAST(row_number() OVER ord AS BIGINT)             AS rank,
+           token,
+           tf,
+           CAST(sum(tf) OVER (ord ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               * 10000 // n_total                            AS cum_bp
+    FROM top, total
+    WINDOW ord AS (ORDER BY tf DESC, token)
+    ORDER BY rank
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — for the top-50 tokens by corpus frequency,
+    the CUMULATIVE share of all token occurrences they cover, in integral-DIV
+    basis points. The Zipf diagnostic of vocab design: how far down the rank
+    list a tokenizer must go to cover X% of the stream (the head of this
+    curve is what `vocab_top_tokens` lists; this adds the running integral).
+
+    Scale shape: token counting is the wordcount aggregate (map-side
+    combine, one shuffle); the top-50 is TakeOrderedAndProject (never a
+    global sort of the vocab); the ONLY unpartitioned window runs over the
+    already-limited 50-row frame (bounded by construction — allow-listed in
+    tests/test_bounded_windows.py), and the corpus total joins in as a
+    broadcast one-row frame."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = counts.agg(F.sum("tf").alias("n_total"))
+    top = counts.orderBy(F.col("tf").desc(), "token").limit(50)
+    from pyspark.sql import Window
+
+    ord_w = Window.orderBy(F.col("tf").desc(), "token")
+    ranked = top.crossJoin(F.broadcast(total)).select(
+        F.row_number().over(ord_w).cast("long").alias("rank"),
+        "token",
+        "tf",
+        F.sum("tf")
+        .over(ord_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_tf"),
+        "n_total",
+    )
+    return ranked.select(
+        "rank",
+        "token",
+        "tf",
+        F.expr("cum_tf * 10000 DIV n_total").alias("cum_bp"),
+    ).orderBy("rank")

@@ -548,3 +548,82 @@ def events_range_frame_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cents_trailing"), "event_id")
         .limit(20)
     )
+
+
+@query(
+    "events_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS start_us,
+               epoch_us(ts)
+                 + (1 + ((CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)
+                          % 30) + 30) % 30) * 60000000 AS end_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, start_us, end_us,
+               CASE WHEN max(end_us) OVER prev IS NULL
+                         OR start_us > max(end_us) OVER prev
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+        WINDOW prev AS (
+            PARTITION BY user_id ORDER BY start_us, end_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    ),
+    islands AS (
+        SELECT user_id, start_us, end_us,
+               CAST(sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY start_us, end_us, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS island
+        FROM flagged
+    )
+    SELECT user_id, island,
+           min(start_us)                 AS start_us,
+           max(end_us)                   AS end_us,
+           count(*)                      AS n_events,
+           max(end_us) - min(start_us)   AS span_us
+    FROM islands
+    GROUP BY user_id, island
+    ORDER BY user_id, island
+    """,
+)
+def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union merge (operators.timeseries.merge_intervals): each
+    event opens a DURATION interval — 1..30 minutes derived deterministically
+    from its value cents — and overlapping/touching per-user intervals fuse
+    into maximal islands. This is the extent-overlap primitive gap-based
+    sessionization cannot express: a long interval swallows later short ones
+    that start before it ENDS, regardless of inter-event gaps.
+
+    Determinism: all arithmetic in integer epoch-micros; the duration is
+    (1 + cents mod 30) minutes with a sign-safe mod spelled identically in
+    both engines; ordering carries event_id. Scale shape: one shuffle on
+    user_id serves the cummax window, the island numbering, AND the final
+    per-island aggregate."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (1 + F.pmod(cents, F.lit(30))) * F.lit(60_000_000)
+        ).alias("end_us"),
+    )
+    from payroll_etl_fastapi_spark.operators.timeseries import merge_intervals
+
+    merged = merge_intervals(iv, "user_id", "start_us", "end_us", "event_id")
+    return merged.select(
+        "user_id",
+        "island",
+        F.col("start").alias("start_us"),
+        F.col("end").alias("end_us"),
+        F.col("n_intervals").alias("n_events"),
+        (F.col("end") - F.col("start")).alias("span_us"),
+    ).orderBy("user_id", "island")

@@ -38,6 +38,9 @@ _ALLOWED = {
     "etl.py": 2,  # dept-id assignment, both branches; frame ≤ #dept names
     os.path.join("operators", "corpus.py"): 1,  # offsets; frame = #partitions
     os.path.join("operators", "zorder.py"): 1,  # exact=True opt-in path
+    # text_vocab_coverage rank/cumsum: the window input is .limit(50) —
+    # bounded by construction, runtime-pinned below
+    os.path.join("plans", "suite_text.py"): 1,
 }
 
 
@@ -124,3 +127,19 @@ def test_dept_id_window_frame_bounded_by_dim_cardinality(spark, tmp_path):
     raw = csv_ingest.read_payroll_csv(spark, "/root/reference/data/payroll.csv")
     n_names = csv_ingest.normalize(raw).select("dept").distinct().count()
     assert counts["dim_dept"] == n_names
+
+
+def test_vocab_coverage_window_frame_is_post_limit_bounded(spark):
+    """The rank/cumsum window in text_vocab_coverage runs over the
+    .limit(50) frame — provably ≤ 50 rows regardless of corpus size — and
+    the cumulative basis points are monotone, ending at the top-50's true
+    share of the corpus total."""
+    from payroll_etl_fastapi_spark.plans import suite_text  # noqa: F401
+    from payroll_etl_fastapi_spark.plans.suite import QUERIES
+
+    out = QUERIES["text_vocab_coverage"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) <= 50
+    assert (out["rank"] == range(1, len(out) + 1)).all()
+    assert (out["cum_bp"].diff().dropna() >= 0).all()
+    assert 0 < out["cum_bp"].iloc[-1] <= 10000
+    assert out["tf"].is_monotonic_decreasing

@@ -77,3 +77,30 @@ def test_observed_check_matches_second_pass_audit(spark):
     observed_e.count()
     me = obs_e.get
     assert me["n_rows"] == 0 and me["not_null_k"] == 0 and me["range_v"] == 0
+
+
+def test_k_anonymity_reports_only_small_classes(spark):
+    from payroll_etl_fastapi_spark.operators.quality import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)],
+        "qa string, qb long",
+    )
+    got = {
+        (r["qa"], r["qb"]): r["class_size"]
+        for r in k_anonymity(df, ["qa", "qb"], 5).collect()
+    }
+    # ('a', 1) has 5 rows — NOT risky at k=5; the others are
+    assert got == {("a", 2): 2, ("b", 1): 1}
+
+
+def test_k_anonymity_empty_report_when_generalized(spark):
+    """Coarsening the quasi tuple (dropping qb) empties the report — the
+    generalize-and-rerun loop the operator docstring names."""
+    from payroll_etl_fastapi_spark.operators.quality import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 3 + [("a", 2)] * 2, "qa string, qb long"
+    )
+    assert k_anonymity(df, ["qa", "qb"], 5).count() == 2
+    assert k_anonymity(df, ["qa"], 5).count() == 0

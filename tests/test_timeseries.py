@@ -50,3 +50,63 @@ def test_gapfill_window_is_partitioned(spark):
     # every Window operator in the plan carries a partition spec on key
     for m in re.finditer(r"Window \[[^\]]*\], \[(.*?)\]", plan):
         assert "key" in m.group(1)
+
+
+def _iv(spark, rows):
+    """rows: (key, start, end, id)."""
+    return spark.createDataFrame(
+        rows, "key long, start long, end long, id long"
+    )
+
+
+def test_merge_intervals_overlap_touch_and_gap(spark):
+    """Overlapping intervals fuse, touching (start == prev end) intervals
+    fuse, a strict gap opens a new island — per key, independently."""
+    iv = _iv(
+        spark,
+        [
+            (1, 0, 10, 1),    # island 1
+            (1, 5, 8, 2),     # contained → island 1
+            (1, 10, 20, 3),   # touches end=10 → island 1
+            (1, 25, 30, 4),   # gap → island 2
+            (2, 0, 1, 5),     # other key unaffected
+        ],
+    )
+    out = {
+        (r["key"], r["island"]): (r["start"], r["end"], r["n_intervals"])
+        for r in TS.merge_intervals(iv, "key", "start", "end", "id").collect()
+    }
+    assert out == {
+        (1, 1): (0, 20, 3),
+        (1, 2): (25, 30, 1),
+        (2, 1): (0, 1, 1),
+    }
+
+
+def test_merge_intervals_long_interval_swallows_later_starts(spark):
+    """The extent-overlap semantics sessionization can't express: a long
+    interval fuses later intervals that START before it ENDS even when the
+    gap between their STARTS is large."""
+    iv = _iv(spark, [(1, 0, 100, 1), (1, 90, 95, 2), (1, 99, 150, 3)])
+    rows = TS.merge_intervals(iv, "key", "start", "end", "id").collect()
+    assert len(rows) == 1
+    assert (rows[0]["start"], rows[0]["end"], rows[0]["n_intervals"]) == (0, 150, 3)
+
+
+def test_merge_intervals_unsorted_input_and_equal_starts(spark):
+    """Input order is irrelevant (the window sorts); equal starts are
+    deterministic via the (end, tiebreak) ordering."""
+    iv = _iv(spark, [(1, 50, 60, 9), (1, 0, 10, 2), (1, 0, 5, 1), (1, 8, 20, 3)])
+    rows = sorted(
+        TS.merge_intervals(iv, "key", "start", "end", "id").collect(),
+        key=lambda r: r["island"],
+    )
+    assert [(r["start"], r["end"], r["n_intervals"]) for r in rows] == [
+        (0, 20, 3),
+        (50, 60, 1),
+    ]
+
+
+def test_merge_intervals_empty_input(spark):
+    iv = _iv(spark, []).filter(F.lit(False))
+    assert TS.merge_intervals(iv, "key", "start", "end", "id").count() == 0
