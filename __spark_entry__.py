@@ -291,6 +291,8 @@ _SECONDARY: tuple[str, ...] = (
     "events_interval_merge",
     "quality_k_anonymity",
     "text_vocab_coverage",
+    "dedup_containment",
+    "linkage_blocked_names",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

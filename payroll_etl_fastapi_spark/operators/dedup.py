@@ -726,3 +726,60 @@ def prefix_filter_jaccard_pairs(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment_bp: int = 8000,
+    max_df: int = 16,
+) -> DataFrame:
+    """(id_a, id_b, common, na, nb, cont_a_bp, cont_b_bp): ASYMMETRIC shingle
+    containment — C(A→B) = |A∩B| / |A| — for pairs where either direction
+    reaches ``min_containment_bp`` basis points. The quote-inclusion /
+    fragment detector Jaccard dedup is structurally blind to: a document
+    fully CONTAINED in a much larger one has Jaccard ≈ |A|/|B| (arbitrarily
+    low, below every dedup threshold) while its containment is 10000 bp —
+    and MinHash-LSH candidates inherit the same blindness because banding
+    probability tracks Jaccard. Lee et al. 2022 (dedup) motivates exactly
+    this gap for quoted/boilerplate-wrapped training text.
+
+    Shape (the multimodal cdc_neardup contract, applied to text shingles):
+    the shingle universe is first capped at document frequency ``max_df``
+    (a shingle shared by more docs than that is corpus boilerplate, not
+    containment evidence — and it is also precisely the join key that
+    would go quadratic); ONE equality join on the capped shingles builds
+    per-pair intersections, and per-doc set sizes are counted over the SAME
+    capped universe, so the containment definition is self-consistent.
+    Work is bounded by Σ_shingle df² ≤ max_df · |shingle occurrences| —
+    LINEAR in corpus size times the cap, never corpus². All scores are
+    integral-DIV basis points (no IEEE division anywhere)."""
+    sh = shingles(df, text_col, id_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    capped = sh.join(
+        dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    sizes = capped.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = capped.select(F.col("id").alias("id_a"), "shingle")
+    b = capped.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"id": "id_a", "nsh": "na"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({"id": "id_b", "nsh": "nb"}), "id_b")
+        .withColumn("cont_a_bp", F.expr("common * 10000 DIV na"))
+        .withColumn("cont_b_bp", F.expr("common * 10000 DIV nb"))
+        .filter(
+            (F.col("cont_a_bp") >= min_containment_bp)
+            | (F.col("cont_b_bp") >= min_containment_bp)
+        )
+        .select("id_a", "id_b", "common", "na", "nb", "cont_a_bp", "cont_b_bp")
+    )

@@ -575,3 +575,79 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_jaccard_pairs(
         corpus, "text", "doc_id", n=3, threshold_num=7, threshold_den=10
     ).orderBy("id_a", "id_b")
+
+
+_CONT_DF_CAP = 16
+_CONT_MIN_BP = 8000
+
+_SQL_FRAG_TOKS = "string_split(" + _SQL_NORM + ", ' ')"
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id,
+               array_to_string(
+                   list_slice({_SQL_FRAG_TOKS}, 1,
+                              greatest(3, len({_SQL_FRAG_TOKS}) // 2)),
+                   ' ') AS text
+        FROM documents
+    ),
+    {_SQL_SHINGLES},
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    capped AS (
+        SELECT sh.id, sh.s FROM sh JOIN dfreq USING (s)
+        WHERE df <= {_CONT_DF_CAP}
+    ),
+    sizes AS (SELECT id, count(*) AS nsh FROM capped GROUP BY id),
+    pairs AS (
+        SELECT x.id AS id_a, y.id AS id_b, count(*) AS common
+        FROM capped x JOIN capped y ON x.s = y.s AND x.id < y.id
+        GROUP BY x.id, y.id
+    )
+    SELECT id_a, id_b, common,
+           na.nsh AS na, nb.nsh AS nb,
+           common * 10000 // na.nsh AS cont_a_bp,
+           common * 10000 // nb.nsh AS cont_b_bp
+    FROM pairs
+    JOIN sizes na ON na.id = id_a
+    JOIN sizes nb ON nb.id = id_b
+    WHERE common * 10000 // na.nsh >= {_CONT_MIN_BP}
+       OR common * 10000 // nb.nsh >= {_CONT_MIN_BP}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators.dedup.containment_pairs):
+    the constructed positive is each document's FIRST TOKEN-HALF registered
+    as its own doc — a fragment whose shingles are a strict subset of its
+    source's, so fragment-side containment is exactly 10000 bp while
+    Jaccard sits near |frag|/|src| ≈ 50% — at or below the LSH banding
+    thresholds every symmetric near-dup gate here uses. This is the
+    quote-inclusion blind spot the operator closes.
+
+    Scale contract (pinned in the operator docstring): df-capped shingle
+    universe (boilerplate keys — the quadratic ones — excluded by
+    definition), ONE equality join, integral-DIV scores; the oracle
+    replays fragment construction, capping, sizes, and both containment
+    directions exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(dedup.normalize_text(F.col("text")), " ")
+    half = F.greatest(F.lit(3), F.floor(F.size(toks) / 2).cast("int"))
+    frag = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), half), " ").alias("text"),
+    )
+    corpus = docs.unionByName(frag)
+    pairs = dedup.containment_pairs(
+        corpus,
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        min_containment_bp=_CONT_MIN_BP,
+        max_df=_CONT_DF_CAP,
+    )
+    return pairs.orderBy("id_a", "id_b")

@@ -688,3 +688,82 @@ def unpivot_segment_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("segment", "_cents$", "").alias("segment"),
         F.col("balance_cents").cast("long").alias("balance_cents"),
     ).orderBy("nationkey", "segment")
+
+
+_LINK_OFFSET = 10_000_000
+
+
+@query(
+    "linkage_blocked_names",
+    oracle=f"""
+    WITH clean AS (
+        SELECT min(p_partkey) AS id, lower(trim(p_name)) AS name
+        FROM part
+        GROUP BY lower(trim(p_name))
+        HAVING length(lower(trim(p_name))) >= 6
+    ),
+    dirty AS (
+        SELECT id + {_LINK_OFFSET} AS id,
+               substr(name, 1, (1 + length(name) // 2) - 1)
+                 || substr(name, (1 + length(name) // 2) + 1, length(name))
+                   AS name
+        FROM clean
+    ),
+    dk AS (
+        SELECT id AS dirty_id, name AS dirty_name,
+               substr(name, 1, 3) AS bkey FROM dirty
+        UNION ALL
+        SELECT id, name,
+               substr(name, greatest(1, length(name) - 3 + 1), 3) FROM dirty
+    ),
+    ck AS (
+        SELECT id AS clean_id, name AS clean_name,
+               substr(name, 1, 3) AS bkey FROM clean
+        UNION ALL
+        SELECT id, name,
+               substr(name, greatest(1, length(name) - 3 + 1), 3) FROM clean
+    ),
+    cand AS (
+        SELECT DISTINCT dirty_id, dirty_name, clean_id, clean_name
+        FROM dk JOIN ck USING (bkey)
+    )
+    SELECT dirty_id, clean_id, dirty_name, clean_name,
+           levenshtein(dirty_name, clean_name) AS distance
+    FROM cand
+    WHERE levenshtein(dirty_name, clean_name) <= 2
+    ORDER BY dirty_id, clean_id
+    """,
+)
+def linkage_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with content-derived multi-pass blocking
+    (operators.linkage.blocked_edit_pairs): the distinct part names with
+    their MIDDLE character deleted play the dirty feed — a 1-edit
+    corruption the prefix/suffix block-key union provably cannot lose
+    (names are filtered to length ≥ 2·block_len, the bound the operator's
+    completeness proof needs) — and every dirty record links back to its
+    clean entity, plus whatever true near-collisions the name space holds.
+
+    This complements `similarity_edit_distance` (attribute blocking on
+    brand+size): here the records share NO clean attributes, so the block
+    keys come from the corrupted content itself — the actual dirty-data ER
+    setting. The oracle replays corruption, both key families, candidate
+    dedup, and the verify exactly."""
+    from payroll_etl_fastapi_spark.operators import linkage as L
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .agg(F.min("p_partkey").alias("id"))
+        .filter(F.length("name") >= 6)
+    )
+    clean = names.select("id", "name")
+    dirty = names.select(
+        (F.col("id") + _LINK_OFFSET).alias("id"),
+        F.expr(
+            "concat(substring(name, 1, (1 + length(name) DIV 2) - 1), "
+            "substring(name, (1 + length(name) DIV 2) + 1, length(name)))"
+        ).alias("name"),
+    )
+    return L.blocked_edit_pairs(
+        dirty, clean, name_col="name", id_col="id", max_distance=2, block_len=3
+    ).orderBy("dirty_id", "clean_id")

@@ -369,3 +369,43 @@ def test_prefix_filter_boundary_is_integer_exact(spark):
     ).collect()
     # J = 7/10 exactly == threshold -> INCLUDED (>=, exact integers)
     assert len(got) == 1 and got[0].jaccard_bp == 7000
+
+
+def test_containment_catches_fragment_jaccard_misses(spark):
+    """A fragment whose shingles are a strict subset of its source scores
+    10000 bp containment on the fragment side while its Jaccard sits below
+    the 0.5 dedup threshold — the quote-inclusion blind spot."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 8 shingles
+            (2, "a b c d e"),             # 3 shingles, all ⊂ doc 1
+            (3, "x y z w v u"),           # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.containment_pairs(
+        docs, min_containment_bp=8000, max_df=16
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["common"], r["na"], r["nb"]) == (3, 8, 3)
+    assert r["cont_b_bp"] == 10000
+    assert r["cont_a_bp"] == 3750
+    # the symmetric gate at the standard threshold misses this pair
+    assert (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+    )
+
+
+def test_containment_df_cap_excludes_boilerplate_shingles(spark):
+    """A shingle shared by more than max_df docs is corpus boilerplate:
+    it contributes to neither intersections nor sizes."""
+    boiler = [(i, "the same boiler plate line") for i in range(1, 6)]
+    docs = spark.createDataFrame(boiler, "doc_id long, text string")
+    # df of every shingle is 5 > max_df=4 → whole universe capped away
+    assert dedup.containment_pairs(docs, max_df=4).count() == 0
+    # at max_df=8 the five identical docs pair up fully
+    rows = dedup.containment_pairs(docs, max_df=8).collect()
+    assert len(rows) == 10  # C(5,2)
+    assert all(r["cont_a_bp"] == 10000 and r["cont_b_bp"] == 10000 for r in rows)
