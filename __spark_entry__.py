@@ -293,6 +293,7 @@ _SECONDARY: tuple[str, ...] = (
     "text_vocab_coverage",
     "dedup_containment",
     "linkage_blocked_names",
+    "events_ewma_hourly",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

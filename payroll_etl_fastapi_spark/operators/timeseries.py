@@ -213,3 +213,43 @@ def rolling_hll_distinct(
         "day", F.col("hll_est").alias("wau_est")
     )
     return dau.join(wau, "day").select("day", "dau_est", "wau_est")
+
+
+def ewma_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(keys..., n_obs, ewma): exponential smoothing s_t = (s_{t-1} + v_t)
+    DIV 2 (α = 1/2) folded left-to-right over each key's observations in
+    ``order_col`` order — the monitoring/forecast-baseline primitive that
+    is inherently SEQUENTIAL: no window frame or associative aggregate can
+    express it, so it runs as an array-local fold.
+
+    Determinism contract: values must be non-negative INTEGERS (scale
+    cents/micros first) — then the fold is pure integer arithmetic,
+    bit-identical across engines and partition layouts; α = 1/2 keeps every
+    intermediate an exact integer DIV. ``order_col`` must be unique within
+    a key (bucket first).
+
+    Scale shape: one grouped collect per key AFTER the caller has bucketed
+    the series (e.g. hourly sums per (entity, day) — ≤ 24 elements), so
+    per-key state is the BUCKET count, never raw event volume; the fold is
+    a row-local array expression inside codegen, no shuffle beyond the one
+    grouped aggregate, no Python."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v"))
+        )
+    )
+    g = df.groupBy(*key_cols).agg(arr.alias("a"))
+    vals = F.transform(F.col("a"), lambda s: s["v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("long"),
+        lambda acc, x: F.floor((acc + x) / 2).cast("long"),
+    )
+    return g.select(
+        *key_cols, F.size("a").cast("long").alias("n_obs"), ewma.alias("ewma")
+    )

@@ -627,3 +627,60 @@ def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_intervals").alias("n_events"),
         (F.col("end") - F.col("start")).alias("span_us"),
     ).orderBy("user_id", "island")
+
+
+@query(
+    "events_ewma_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               extract(hour FROM ts) AS h,
+               CAST(sum(CAST(floor(abs(coalesce(value, 0)) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, day,
+           count(*) AS n_obs,
+           list_reduce(list(c ORDER BY h), (acc, x) -> (acc + x) // 2)
+               AS ewma_cents
+    FROM hourly
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) exponential smoothing of hourly spend
+    (operators.timeseries.ewma_fold): the inherently SEQUENTIAL per-key
+    recurrence s_t = (s_{t-1} + v_t) DIV 2 that no window frame or
+    associative aggregate expresses — run as an array-local integer fold
+    over each key's ≤ 24 hourly buckets, after one grouped cents sum.
+
+    Determinism: non-negative integer cents, α = 1/2 ⇒ every intermediate
+    is an exact integer; the oracle re-runs the identical fold with
+    DuckDB's list_reduce over the hour-ordered list. Scale shape: bucket
+    FIRST (per-key state = bucket count, never event volume), fold inside
+    codegen, no Python, no window."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(
+        F.abs(F.coalesce(F.col("value"), F.lit(0.0))) * 100 + F.lit(0.5)
+    ).cast("long")
+    hourly = (
+        e.select(
+            "user_id",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.hour("ts").alias("h"),
+            cents.alias("v"),
+        )
+        .groupBy("user_id", "day", "h")
+        .agg(F.sum("v").alias("c"))
+    )
+    from payroll_etl_fastapi_spark.operators.timeseries import ewma_fold
+
+    out = ewma_fold(hourly, ["user_id", "day"], "h", "c")
+    return out.select(
+        "user_id", "day", "n_obs", F.col("ewma").alias("ewma_cents")
+    ).orderBy("user_id", "day")

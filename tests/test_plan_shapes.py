@@ -344,3 +344,34 @@ def test_nested_schema_pruning_reads_only_meta_subfield(spark, tmp_path):
     assert "width" in schema
     assert "payload" not in schema  # binary column never read
     assert "mime" not in schema and "duration_ms" not in schema  # struct pruned
+
+
+def test_containment_equality_join_no_cartesian(spark):
+    """The containment intersection comes from ONE equality join on the
+    df-capped shingle key — never a cross/nested-loop join — and the only
+    windows are none at all."""
+    plan = _plan(spark, "dedup_containment")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert _nodes(plan, "Window") == 0
+
+
+def test_linkage_blocks_are_equality_joins(spark):
+    """Record-linkage candidates come from equality joins on the block
+    keys; the Levenshtein verify runs on candidates only (filter above the
+    join), never as a join condition that would force nested loops."""
+    plan = _plan(spark, "linkage_blocked_names")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_interval_merge_single_exchange_on_key(spark):
+    """Both window passes and the island aggregate of the interval merge
+    reuse ONE hash partitioning on user_id: exactly one shuffle of the
+    interval frame (plus the presentation sort's range exchange)."""
+    plan = _plan(spark, "events_interval_merge")
+    assert _nodes(plan, "CartesianProduct") == 0
+    ex = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    hashparts = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(ex) <= 2  # one hash (windows+agg), one range (orderBy)
+    assert len(hashparts) >= 1

@@ -110,3 +110,31 @@ def test_merge_intervals_unsorted_input_and_equal_starts(spark):
 def test_merge_intervals_empty_input(spark):
     iv = _iv(spark, []).filter(F.lit(False))
     assert TS.merge_intervals(iv, "key", "start", "end", "id").count() == 0
+
+
+def test_ewma_fold_exact_integer_recurrence(spark):
+    """The fold replays the sequential recurrence exactly, in order-col
+    order regardless of input order; a single observation returns itself."""
+    df = spark.createDataFrame(
+        [(1, 2, 9), (1, 0, 1), (1, 1, 5), (2, 0, 7)],
+        "k long, o long, v long",
+    )
+    got = {
+        r["k"]: (r["n_obs"], r["ewma"])
+        for r in TS.ewma_fold(df, ["k"], "o", "v").collect()
+    }
+    # key 1 ordered values [1, 5, 9]: s=1 → (1+5)//2=3 → (3+9)//2=6
+    assert got == {1: (3, 6), 2: (1, 7)}
+
+
+def test_ewma_fold_partition_layout_independent(spark):
+    """Repartitioning the input does not change the fold (array_sort makes
+    the collected order canonical)."""
+    rows = [(1, o, (o * 37) % 101) for o in range(24)]
+    df = spark.createDataFrame(rows, "k long, o long, v long")
+    a = TS.ewma_fold(df, ["k"], "o", "v").collect()[0]["ewma"]
+    b = TS.ewma_fold(df.repartition(13), ["k"], "o", "v").collect()[0]["ewma"]
+    s = rows[0][2]
+    for _, _, v in rows[1:]:
+        s = (s + v) // 2
+    assert a == b == s

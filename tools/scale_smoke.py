@@ -183,6 +183,10 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame, lineitem:
         ).count(),
         "bfs_hops": lambda: _bfs(lineitem),
         "range_frame": lambda: _range_frame(events),
+        # round-4 fifth-session additions: interval-union merge and
+        # df-capped containment join
+        "interval_merge": lambda: _interval_merge(events),
+        "containment": lambda: dedup.containment_pairs(docs).count(),
         "warclite_roundtrip": lambda: _warclite(spark, docs),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
@@ -281,6 +285,20 @@ def _range_frame(events: DataFrame) -> int:
             "event_id", F.sum(F.floor(F.col("value") * 100)).over(win).alias("c")
         ).count()
     )
+
+
+def _interval_merge(events: DataFrame) -> int:
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (1 + F.pmod(F.floor(F.col("value") * 100).cast("long"), F.lit(30)))
+            * F.lit(60_000_000)
+        ).alias("e"),
+    )
+    return TS.merge_intervals(iv, "user_id", "s", "e", "event_id").count()
 
 
 def _warclite(spark, docs: DataFrame) -> int:
