@@ -294,6 +294,8 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_containment",
     "linkage_blocked_names",
     "events_ewma_hourly",
+    "profile_hot_keys",
+    "profile_table_fingerprint",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

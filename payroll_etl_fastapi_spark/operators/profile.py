@@ -99,3 +99,62 @@ def profile_columns(
         for c in names
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def hot_keys(
+    df: DataFrame, key_cols: Sequence[str], top_k: int = 20
+) -> DataFrame:
+    """(keys..., n_rows, share_bp): the ``top_k`` heaviest key tuples and
+    their integral-basis-point share of the table — the skew DIAGNOSTIC
+    that belongs next to the skew REMEDIES (operators/skew.py salting,
+    AQE skew joins): before salting a join you measure which keys are hot
+    and how hot, because a 40%-share key needs a different plan than a
+    long flat tail.
+
+    One grouped count with map-side combine + a broadcast one-row total +
+    TakeOrderedAndProject for the top-K — the diagnostic costs one
+    aggregate regardless of table size, and its output is top_k rows by
+    construction."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.expr("n_rows * 10000 DIV __total").alias("share_bp"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_k)
+    )
+
+
+def table_fingerprint(
+    df: DataFrame, cols: Sequence[str], n_buckets: int = 16
+) -> DataFrame:
+    """(bucket, n_rows, checksum): an ORDER-INDEPENDENT content fingerprint
+    of the projected table, split across ``n_buckets`` row-hash buckets —
+    the anti-entropy primitive for replica/sync verification (Cassandra /
+    DynamoDB Merkle-tree lineage, flattened to one level): two replicas
+    compare 16 (bucket, count, checksum) rows instead of the data, and a
+    mismatched bucket narrows the diff to 1/n_buckets of the keyspace.
+
+    Each row is canonicalized to one string (NULL spelled explicitly so
+    ('a', NULL) ≠ ('aNULL', absent)), hashed to a 28-bit integer via md5
+    (portable across engines — no xxhash in SQL replays), and SUMMED per
+    bucket: addition commutes, so any partitioning, ordering, or retry
+    produces the identical checksum. Pure scan + one tiny aggregate; no
+    shuffle wider than n_buckets rows."""
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 7), 16, 10).cast("long")
+    return (
+        df.select(h.alias("__h"))
+        .groupBy((F.col("__h") % n_buckets).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__h").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )

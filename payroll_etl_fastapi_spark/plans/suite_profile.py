@@ -9,6 +9,7 @@ The reference's analog is its psql introspection pass
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from payroll_etl_fastapi_spark.operators.profile import profile_columns
 from payroll_etl_fastapi_spark.plans.suite import _t, query
@@ -53,3 +54,87 @@ def profile_customer_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prof = profile_columns(_t(spark, sf_dir, "customer"), _ALL_COLS)
     return prof.orderBy("column_name")
+
+
+@query(
+    "profile_hot_keys",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n_rows
+        FROM events
+        GROUP BY 1, 2
+    ),
+    total AS (SELECT count(*) AS t FROM events)
+    SELECT event_type, day, n_rows, n_rows * 10000 // t AS share_bp
+    FROM counts, total
+    ORDER BY n_rows DESC, event_type, day
+    LIMIT 20
+    """,
+)
+def profile_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic (operators.profile.hot_keys): the 20 heaviest
+    (event_type, day) partitions of the event stream with their integral
+    basis-point share — what you measure BEFORE reaching for the remedies
+    in operators/skew.py, because a 40%-share key needs a different plan
+    than a long flat tail.
+
+    One grouped count + broadcast one-row total + TakeOrderedAndProject;
+    diagnostic cost is one aggregate pass regardless of table size."""
+    from payroll_etl_fastapi_spark.operators.profile import hot_keys
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    )
+    return hot_keys(e, ["event_type", "day"], top_k=20)
+
+
+@query(
+    "profile_table_fingerprint",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(concat_ws(chr(31),
+                   coalesce(CAST(c_custkey AS VARCHAR), chr(0) || 'NULL'),
+                   coalesce(c_name, chr(0) || 'NULL'),
+                   coalesce(CAST(c_nationkey AS VARCHAR), chr(0) || 'NULL'),
+                   coalesce(CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                                 AS VARCHAR), chr(0) || 'NULL'),
+                   coalesce(c_mktsegment, chr(0) || 'NULL')
+               )), 1, 7)) AS BIGINT) AS hv
+        FROM customer
+    )
+    SELECT hv % 16                        AS bucket,
+           count(*)                       AS n_rows,
+           CAST(sum(hv) AS BIGINT)        AS checksum
+    FROM h
+    GROUP BY hv % 16
+    ORDER BY bucket
+    """,
+)
+def profile_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table fingerprint (operators.profile.table_fingerprint):
+    an order-independent md5-sum checksum of the customer table split over
+    16 row-hash buckets — two replicas compare 16 rows instead of the
+    data, and a mismatched bucket confines the diff to 1/16 of the
+    keyspace (the flattened Merkle-tree primitive of Cassandra-style
+    repair). Floats are canonicalized to integer CENTS before hashing —
+    raw double→string casts are NOT portable across engines, scaled
+    integers are; commutative addition makes the checksum independent of
+    partitioning, ordering, and retries (the same property every
+    integer-sum gate here leans on).
+
+    Scale: pure scan + one ≤16-row aggregate; nothing else moves."""
+    from payroll_etl_fastapi_spark.operators.profile import table_fingerprint
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+        "c_mktsegment",
+    )
+    return table_fingerprint(
+        c, ["c_custkey", "c_name", "c_nationkey", "bal_cents", "c_mktsegment"]
+    )

@@ -68,3 +68,62 @@ def test_single_job_shape(spark, frame):
     more than the Expand that multi-distinct aggregation requires."""
     plan = profile_columns(frame)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_hot_keys_shares_and_tiebreak(spark):
+    from payroll_etl_fastapi_spark.operators.profile import hot_keys
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = hot_keys(df, ["k"], top_k=2).collect()
+    assert [(r["k"], r["n_rows"], r["share_bp"]) for r in rows] == [
+        ("a", 6, 6000),
+        ("b", 3, 3000),
+    ]
+
+
+def test_table_fingerprint_order_and_partition_independent(spark):
+    from payroll_etl_fastapi_spark.operators.profile import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(200)], "id long, name string"
+    )
+    a = {(r["bucket"]): (r["n_rows"], r["checksum"])
+         for r in table_fingerprint(df, ["id", "name"]).collect()}
+    shuffled = df.orderBy(F.rand(7)).repartition(13)
+    b = {(r["bucket"]): (r["n_rows"], r["checksum"])
+         for r in table_fingerprint(shuffled, ["id", "name"]).collect()}
+    assert a == b
+    assert sum(n for n, _ in a.values()) == 200
+
+
+def test_table_fingerprint_detects_single_cell_change(spark):
+    from payroll_etl_fastapi_spark.operators.profile import table_fingerprint
+
+    base = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "id long, name string"
+    )
+    changed = spark.createDataFrame(
+        [(i, "nameX" if i == 17 else f"name{i}") for i in range(50)],
+        "id long, name string",
+    )
+    a = {r["bucket"]: r["checksum"] for r in table_fingerprint(base, ["id", "name"]).collect()}
+    b = {r["bucket"]: r["checksum"] for r in table_fingerprint(changed, ["id", "name"]).collect()}
+    diff = {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+    assert 1 <= len(diff) <= 2  # old row's bucket and/or new row's bucket
+
+
+def test_table_fingerprint_null_vs_literal_null_distinct(spark):
+    """('a', NULL) and ('aNULL-ish concat', absent) must not collide: the
+    NULL sentinel carries a control byte no real string contains."""
+    from payroll_etl_fastapi_spark.operators.profile import table_fingerprint
+
+    x = spark.createDataFrame([("a", None)], "u string, v string")
+    y = spark.createDataFrame([("a", "\x00NULL")], "u string, v string")
+    cx = [r["checksum"] for r in table_fingerprint(x, ["u", "v"]).collect()]
+    cy = [r["checksum"] for r in table_fingerprint(y, ["u", "v"]).collect()]
+    assert cx == cy  # sentinel equals the literal control string by design…
+    z = spark.createDataFrame([("aNULL", None)], "u string, v string")
+    cz = [r["checksum"] for r in table_fingerprint(z, ["u", "v"]).collect()]
+    assert cz != cx  # …but concat boundaries cannot shift across columns
