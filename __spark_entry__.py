@@ -296,6 +296,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_ewma_hourly",
     "profile_hot_keys",
     "profile_table_fingerprint",
+    "dedup_keep_best",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -651,3 +651,124 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_CONT_DF_CAP,
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id,
+               array_to_string(
+                   list_slice({_SQL_FRAG_TOKS}, 1,
+                              greatest(3, len({_SQL_FRAG_TOKS}) // 2)),
+                   ' ') AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id + {2 * _COPY_OFFSET} AS id, text || '{_MUTATION}' AS text
+        FROM documents
+    ),
+    {_SQL_SHINGLES},
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    capped AS (
+        SELECT sh.id, sh.s FROM sh JOIN dfreq USING (s)
+        WHERE df <= {_CONT_DF_CAP}
+    ),
+    sizes AS (SELECT id, count(*) AS nsh FROM capped GROUP BY id),
+    pairs AS (
+        SELECT x.id AS id_a, y.id AS id_b, count(*) AS common
+        FROM capped x JOIN capped y ON x.s = y.s AND x.id < y.id
+        GROUP BY x.id, y.id
+    ),
+    kept_pairs AS (
+        SELECT id_a, id_b
+        FROM pairs
+        JOIN sizes na ON na.id = id_a
+        JOIN sizes nb ON nb.id = id_b
+        WHERE common * 10000 // na.nsh >= {_CONT_MIN_BP}
+           OR common * 10000 // nb.nsh >= {_CONT_MIN_BP}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM kept_pairs
+        UNION
+        SELECT id_b, id_a FROM kept_pairs
+    ),
+    walk(id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.id
+    ),
+    comp AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+    toklen AS (
+        SELECT id, len({_SQL_FRAG_TOKS}) AS n_tokens FROM corpus
+    ),
+    m AS (SELECT comp.id, comp.label, toklen.n_tokens
+          FROM comp JOIN toklen USING (id)),
+    agg AS (
+        SELECT label, count(*) AS n_members, max(n_tokens) AS max_t
+        FROM m GROUP BY label
+    )
+    SELECT a.label                       AS component,
+           a.n_members,
+           min(m.id)                     AS kept_id,
+           a.max_t                       AS kept_n_tokens
+    FROM agg a JOIN m ON m.label = a.label AND m.n_tokens = a.max_t
+    GROUP BY a.label, a.n_members, a.max_t
+    ORDER BY component
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST near-dup resolution — the selection step production dedup
+    pipelines run AFTER clustering (RefinedWeb/Gopher keep one high-quality
+    representative per duplicate cluster, not merely the first id): each
+    document appears as its original, a token-half fragment, AND a longer
+    mutated copy; containment candidates (the only symmetric-threshold-proof
+    edge source for fragment↔source links) feed connected components, and
+    each cluster keeps the member with the MOST tokens (ties → smallest id) —
+    here provably the mutated long copy, NOT the keep-first answer.
+
+    Composition of three already-gated operators (containment_pairs →
+    connected_components → struct-argmax), so the scale contracts are
+    inherited: df-capped equality join, one job per CC iteration, one
+    grouped argmax. The oracle replays shingles, capping, containment,
+    a recursive-CTE closure, and the argmax exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(dedup.normalize_text(F.col("text")), " ")
+    half = F.greatest(F.lit(3), F.floor(F.size(toks) / 2).cast("int"))
+    frag = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), half), " ").alias("text"),
+    )
+    longer = docs.select(
+        (F.col("doc_id") + 2 * _COPY_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
+    )
+    corpus = docs.unionByName(frag).unionByName(longer)
+    pairs = dedup.containment_pairs(
+        corpus, "text", "doc_id", 3, _CONT_MIN_BP, _CONT_DF_CAP
+    )
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    toklen = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(dedup.normalize_text(F.col("text")), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    m = cc.join(toklen, "id")
+    return (
+        m.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("n_tokens"), (-F.col("id")).alias("ni"))
+            ).alias("b"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("b.ni")).alias("kept_id"),
+            F.col("b.n_tokens").alias("kept_n_tokens"),
+        )
+        .orderBy("component")
+    )

@@ -409,3 +409,34 @@ def test_containment_df_cap_excludes_boilerplate_shingles(spark):
     rows = dedup.containment_pairs(docs, max_df=8).collect()
     assert len(rows) == 10  # C(5,2)
     assert all(r["cont_a_bp"] == 10000 and r["cont_b_bp"] == 10000 for r in rows)
+
+
+def test_keep_best_prefers_longest_not_first(spark):
+    """The keep-best selection picks the highest-token member of each
+    cluster — NOT the smallest id — with smallest-id only as tiebreak."""
+    from payroll_etl_fastapi_spark.plans.suite import QUERIES
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma"),                          # half of 1
+            (3, "alpha beta gamma delta epsilon zeta eta"),   # longer of 1
+            (9, "unrelated words entirely different tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.containment_pairs(corpus, min_containment_bp=8000, max_df=16)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    toklen = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(dedup.normalize_text(F.col("text")), " ")).alias("n"),
+    )
+    m = cc.join(toklen, "id")
+    best = (
+        m.groupBy("component")
+        .agg(F.max(F.struct(F.col("n"), (-F.col("id")).alias("ni"))).alias("b"))
+        .select("component", (-F.col("b.ni")).alias("kept"))
+        .collect()
+    )
+    assert len(best) == 1
+    assert best[0]["kept"] == 3  # the longest variant, not doc 1
