@@ -297,6 +297,7 @@ _SECONDARY: tuple[str, ...] = (
     "profile_hot_keys",
     "profile_table_fingerprint",
     "dedup_keep_best",
+    "events_decayed_popularity",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -684,3 +684,64 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "day", "n_obs", F.col("ewma").alias("ewma_cents")
     ).orderBy("user_id", "day")
+
+
+@query(
+    "events_decayed_popularity",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(floor(abs(coalesce(value, 0)) * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM events
+    ),
+    b AS (SELECT max(day) AS max_day FROM d)
+    SELECT event_type,
+           CAST(sum(cents >> least(date_diff('day', day, max_day), 40))
+                AS BIGINT)                 AS decayed_cents,
+           CAST(sum(cents) AS BIGINT)      AS raw_cents,
+           count(*)                        AS n_events
+    FROM d, b
+    GROUP BY event_type
+    ORDER BY decayed_cents DESC, event_type
+    """,
+)
+def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity scoring with a one-day half-life — the
+    trending/recency ranker — made EXACT and order-independent by integer
+    arithmetic: 2^-age decay is a RIGHT SHIFT of integer cents by the age
+    in days (capped at 40, past which the contribution is zero anyway), so
+    per-row contributions are integers and the grouped sum commutes.
+    Float pow() decay would be aggregation-order-sensitive; shifts aren't.
+
+    Scale shape: one scan, a broadcast one-row max-day bound, one grouped
+    sum with map-side combine — the decayed score costs exactly what the
+    raw rollup costs, and both ride the same aggregate."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(
+        F.abs(F.coalesce(F.col("value"), F.lit(0.0))) * 100 + F.lit(0.5)
+    ).cast("long")
+    d = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        cents.alias("cents"),
+    )
+    b = d.agg(F.max("day").alias("max_day"))
+    return (
+        d.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.expr(
+                "shiftright(cents, least(datediff(max_day, day), 40))"
+            ).alias("dec"),
+            "cents",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("dec").alias("decayed_cents"),
+            F.sum("cents").alias("raw_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("decayed_cents"), "event_type")
+    )
