@@ -298,6 +298,7 @@ _SECONDARY: tuple[str, ...] = (
     "profile_table_fingerprint",
     "dedup_keep_best",
     "events_decayed_popularity",
+    "quality_iqr_outliers",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

@@ -201,3 +201,111 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     risky = Q.k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_bin"], _K_ANON)
     return risky.orderBy("c_nationkey", "c_mktsegment", "bal_bin")
+
+
+def _iqr_oracle() -> str:
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    m, lo = SK.HDR_MBITS, 1 << SK.HDR_MBITS
+    key = (
+        f"CASE WHEN v < {lo} THEN v "
+        f"ELSE (length(bin(v)) - 1) * {lo} "
+        f"+ ((v >> (length(bin(v)) - 1 - {m})) - {lo}) END"
+    )
+
+    def lb(k: str) -> str:
+        return (
+            f"CAST(CASE WHEN {k} < {lo} THEN {k} "
+            f"ELSE (({k} % {lo}) + {lo}) << (({k} // {lo}) - {m}) END AS BIGINT)"
+        )
+
+    return f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(abs(coalesce(value, 0)) * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    k AS (
+        SELECT event_type, {key} AS key, count(*) AS cnt FROM v GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, key, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY key) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM k
+    ),
+    q AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN key END) AS k25,
+               min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN key END) AS k75
+        FROM c GROUP BY event_type
+    ),
+    f AS (
+        SELECT event_type, n,
+               {lb('k25')} AS p25,
+               {lb('k75')} AS p75,
+               {lb('k25')} - (3 * ({lb('k75')} - {lb('k25')})) // 2 AS lo_fence,
+               {lb('k75')} + (3 * ({lb('k75')} - {lb('k25')})) // 2 AS hi_fence
+        FROM q
+    )
+    SELECT f.event_type, f.n, f.p25, f.p75, f.lo_fence, f.hi_fence,
+           CAST(sum(CASE WHEN v.v < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below,
+           CAST(sum(CASE WHEN v.v > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above
+    FROM f JOIN v ON v.event_type = f.event_type
+    GROUP BY 1, 2, 3, 4, 5, 6
+    ORDER BY f.event_type
+    """
+
+
+@query("quality_iqr_outliers", oracle=_iqr_oracle())
+def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type, with the quartiles coming
+    from the MERGEABLE HDR quantile sketch instead of an exact global sort
+    — the composition a 100 TB pipeline actually runs: p25/p75 from the
+    bounded log-scale histogram (≤ ~1.9k rows per group at any input
+    size), fences p25 ∓ 3·IQR DIV 2 in pure integer arithmetic, then ONE
+    more scan counts violations against the broadcast ≤|groups|-row fence
+    table. Complements the exact-median MAD anomaly gate (A6, plans/kpi):
+    same statistical idea, sketch-scale machinery.
+
+    Everything is integers (cents values, bucket keys, rank targets,
+    lower-bound answers, fences, counts), so the oracle replays sketch,
+    fences, and violation counts bit-for-bit."""
+    from payroll_etl_fastapi_spark.operators import sketch as SK
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.floor(F.abs(F.coalesce(F.col("value"), F.lit(0.0))) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    hist = SK.hdr_histogram(d, "v", ["event_type"])
+    q = SK.hdr_quantiles(
+        hist, quantiles=[("p25", 1, 4), ("p75", 3, 4)], group_cols=["event_type"]
+    )
+    iqr15 = F.expr("3 * (p75 - p25) DIV 2")
+    fences = q.select(
+        "event_type",
+        "n",
+        "p25",
+        "p75",
+        (F.col("p25") - iqr15).alias("lo_fence"),
+        (F.col("p75") + iqr15).alias("hi_fence"),
+    )
+    counts = (
+        d.join(F.broadcast(fences.select("event_type", "lo_fence", "hi_fence")),
+               "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("lo_fence"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("v") > F.col("hi_fence"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+        )
+    )
+    return fences.join(counts, "event_type").orderBy("event_type")
