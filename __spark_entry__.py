@@ -299,6 +299,7 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_keep_best",
     "events_decayed_popularity",
     "quality_iqr_outliers",
+    "window_function_breadth",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,

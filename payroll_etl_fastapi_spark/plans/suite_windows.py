@@ -745,3 +745,99 @@ def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("decayed_cents"), "event_type")
     )
+
+
+@query(
+    "window_function_breadth",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               o_orderdate AS d,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_custkey % 7 = 0
+    )
+    SELECT o_orderkey, o_custkey, day,
+           CAST(row_number() OVER seq AS BIGINT)                 AS seq,
+           CAST(coalesce(date_diff('day', lag(d) OVER seq, d), -1)
+                AS BIGINT)                                       AS gap_prev_days,
+           CAST(coalesce(date_diff('day', d, lead(d) OVER seq), -1)
+                AS BIGINT)                                       AS gap_next_days,
+           CAST(ntile(4) OVER seq AS BIGINT)                     AS quartile,
+           CAST(dense_rank() OVER (
+               PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+           ) AS BIGINT)                                          AS price_rank,
+           first_value(o_orderkey) OVER frame                    AS first_key,
+           last_value(o_orderkey) OVER frame                     AS last_key,
+           coalesce(nth_value(o_orderkey, 2) OVER frame, -1)     AS second_key,
+           CAST(floor(percent_rank() OVER seq * 10000 + 0.5)
+                AS BIGINT)                                       AS pr_bp
+    FROM o
+    WINDOW seq AS (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+           frame AS (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, seq
+    """,
+)
+def window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window surface in one gate: row_number, lag/lead
+    day gaps, ntile quartiles, dense_rank under a second ordering,
+    first/last/nth_value over the explicit full-partition ROWS frame, and
+    percent_rank snapped to integral basis points — every function ordered
+    by a unique (date, orderkey) tiebreak so each value is a pure function
+    of the data. Complements the single-purpose window gates (running
+    totals, range frames, per-group top-k) by pinning the REST of the
+    catalog cross-engine.
+
+    Scale shape: ONE hash exchange on o_custkey serves all three window
+    specs (same partition key; Catalyst chains the two sort orders), and
+    the filter on customer bucket is pushed to the scan."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.col("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    seq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    frame = seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = Window.partitionBy("o_custkey").orderBy(
+        F.col("cents").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "day",
+            F.row_number().over(seq).cast("long").alias("seq"),
+            F.coalesce(
+                F.datediff(F.col("d"), F.lag("d").over(seq)), F.lit(-1)
+            )
+            .cast("long")
+            .alias("gap_prev_days"),
+            F.coalesce(
+                F.datediff(F.lead("d").over(seq), F.col("d")), F.lit(-1)
+            )
+            .cast("long")
+            .alias("gap_next_days"),
+            F.ntile(4).over(seq).cast("long").alias("quartile"),
+            F.dense_rank().over(price).cast("long").alias("price_rank"),
+            F.first("o_orderkey").over(frame).alias("first_key"),
+            F.last("o_orderkey").over(frame).alias("last_key"),
+            F.coalesce(
+                F.nth_value("o_orderkey", 2).over(frame), F.lit(-1)
+            ).alias("second_key"),
+            F.floor(F.percent_rank().over(seq) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("pr_bp"),
+        )
+        .orderBy("o_custkey", "seq")
+    )
