@@ -330,16 +330,18 @@ def cdc_neardup_pairs(
     O(Σ df²) ≤ max_df · Σ df — linear in corpus chunks. jaccard_bp is
     integer basis points (10000·shared DIV (na+nb−shared)): exact,
     aggregation-order-proof, SQL-replayable."""
-    capped = (
-        digests.join(
-            digests.groupBy("digest")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("digest"),
-            "digest",
-            "semi",
-        )
-    ).cache()
+    # no .cache(): a cache with no consuming-action hook would pin executor
+    # memory for the session lifetime on every invocation; the self-join's
+    # two sides share this exact subplan, so AQE exchange reuse already
+    # avoids recomputing the df-cap pass per side
+    capped = digests.join(
+        digests.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("digest"),
+        "digest",
+        "semi",
+    )
     sizes = capped.groupBy("media_id").agg(F.count(F.lit(1)).alias("nd"))
     cand = (
         capped.alias("x")

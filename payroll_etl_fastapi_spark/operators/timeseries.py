@@ -191,28 +191,52 @@ def rolling_hll_distinct(
 
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     keyed = events.select(day.alias("day"), F.col(entity_col).alias("entity"))
-    regs = SK.hll_registers(keyed, "entity", ["day"]).cache()
-    dau = SK.hll_estimate(regs, ["day"]).select(
-        "day", F.col("hll_est").alias("dau_est")
-    )
-    bound = regs.agg(F.max("day").alias("max_day"))
-    expanded = (
+    regs = SK.hll_registers(keyed, "entity", ["day"])
+    bound = keyed.agg(F.max("day").alias("max_day"))
+    # ONE fan-out pass carrying `off`: the off=0 slice is exactly the day's
+    # own register set, so DAU and WAU come out of a single grouped frame —
+    # no cache (nothing pinned for the session lifetime) and no second
+    # events scan for the DAU branch
+    merged = (
         regs.select(
             F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off"),
             "day",
             "bucket",
             "rho",
         )
-        .select(F.date_add(F.col("day"), F.col("off")).alias("day"), "bucket", "rho")
+        .select(
+            F.date_add(F.col("day"), F.col("off")).alias("day"), "off", "bucket", "rho"
+        )
         .crossJoin(F.broadcast(bound))
         .filter(F.col("day") <= F.col("max_day"))
         .groupBy("day", "bucket")
-        .agg(F.max("rho").alias("rho"))
+        .agg(
+            F.max("rho").alias("rho_w"),
+            F.max(F.when(F.col("off") == 0, F.col("rho"))).alias("rho_d"),
+        )
     )
-    wau = SK.hll_estimate(expanded, ["day"]).select(
-        "day", F.col("hll_est").alias("wau_est")
+    # inline raw-HLL estimator (same expression shape as sketch.hll_estimate,
+    # so the SQL oracle replays it bit-for-bit): integer harmonic sum, one
+    # IEEE division per estimate, micro-snapped
+    w, m = SK.HLL_WBITS, SK.HLL_M
+    num = F.lit(2.0 * SK.hll_alpha_m2())
+    scale2 = F.lit(2 * (1 << w))
+    s_w = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w} + 1 - rho_w)"))
+    n_w = F.count(F.lit(1))
+    s_d = F.sum(
+        F.expr(
+            f"CASE WHEN rho_d IS NOT NULL THEN shiftleft(CAST(1 AS BIGINT), {w} + 1 - rho_d) ELSE CAST(0 AS BIGINT) END"
+        )
     )
-    return dau.join(wau, "day").select("day", "dau_est", "wau_est")
+    n_d = F.count(F.col("rho_d"))
+
+    def _snapped(s, n):
+        s_int = (s + (F.lit(m) - n) * scale2).cast("double")
+        return F.floor((num / s_int) * 1000000 + F.lit(0.5)) / 1000000.0
+
+    return merged.groupBy("day").agg(
+        _snapped(s_d, n_d).alias("dau_est"), _snapped(s_w, n_w).alias("wau_est")
+    )
 
 
 def ewma_fold(
@@ -245,10 +269,13 @@ def ewma_fold(
     )
     g = df.groupBy(*key_cols).agg(arr.alias("a"))
     vals = F.transform(F.col("a"), lambda s: s["v"])
+    # shiftright, not `/ 2`: IEEE double division loses exactness once
+    # acc + x exceeds 2^53, silently diverging from an integer `//` replay;
+    # a right shift is exact for every non-negative long
     ewma = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
         F.element_at(vals, 1).cast("long"),
-        lambda acc, x: F.floor((acc + x) / 2).cast("long"),
+        lambda acc, x: F.shiftright((acc + x).cast("long"), 1),
     )
     return g.select(
         *key_cols, F.size("a").cast("long").alias("n_obs"), ewma.alias("ewma")

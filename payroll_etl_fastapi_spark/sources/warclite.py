@@ -110,31 +110,40 @@ class _WarcLiteReader(DataSourceReader):
 
 
 class _WarcLiteStreamReader(SimpleDataSourceStreamReader):
-    """Offset-managed shard tailing: the stream offset is the COUNT of
-    shards consumed in lexicographic order (shards are append-only and
-    immutable by `write_corpus` contract — the atomic os.replace publish
-    means a listed shard is always complete). Each micro-batch reads the
-    shards that appeared since the last committed offset, so a restart
-    from the checkpoint resumes exactly where the last acknowledged batch
-    ended — exactly-once ingestion over a custom container, the
-    file-stream contract re-expressed through the Python API."""
+    """Offset-managed shard tailing: the stream offset is the SET of
+    consumed shard NAMES (shards are append-only and immutable by
+    `write_corpus` contract — the atomic os.replace publish means a listed
+    shard is always complete). Each micro-batch reads the set difference
+    listing − consumed, so arrival ORDER doesn't matter: write_corpus
+    tasks finish in arbitrary order, and a lexicographically-earlier shard
+    landing after later ones were consumed is still picked up exactly once
+    (a positional/count offset would re-read the tail AND skip the
+    newcomer). A restart from the checkpoint resumes from the last
+    acknowledged name set — exactly-once ingestion over a custom
+    container, the file-stream contract re-expressed through the Python
+    API.
+
+    Option ``maxShardsPerTrigger`` (int, default unbounded) caps how many
+    new shards one micro-batch consumes, bounding reader memory on the
+    first drain of a large directory."""
 
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
             raise ValueError("warclite: .load(dir) path is required")
         self.path = path
+        self.max_shards = int(options.get("maxShardsPerTrigger", 0) or 0)
 
-    def _shards(self) -> list[str]:
+    def _listing(self) -> list[str]:
         return sorted(n for n in os.listdir(self.path) if n.endswith(".warclite"))
 
     def initialOffset(self):
-        return {"n": 0}
+        return {"consumed": []}
 
     def _records(self, shards) -> list:
         # a LIST, not a generator: the engine caches the read() result for
         # commit-window replay (prefetch copies it), and generators don't
-        # pickle. Batch size is bounded by shards-per-trigger, not corpus.
+        # pickle. Batch size is bounded by maxShardsPerTrigger when set.
         return [
             (doc_id, s, off, payload)
             for s in shards
@@ -142,13 +151,19 @@ class _WarcLiteStreamReader(SimpleDataSourceStreamReader):
         ]
 
     def read(self, start):
-        shards = self._shards()
-        return iter(self._records(shards[start["n"]:])), {"n": len(shards)}
+        consumed = set(start["consumed"])
+        fresh = [n for n in self._listing() if n not in consumed]
+        if self.max_shards:
+            fresh = fresh[: self.max_shards]
+        end = {"consumed": sorted(consumed | set(fresh))}
+        return iter(self._records(fresh)), end
 
     def readBetweenOffsets(self, start, end):
         # replay path (recovery): deterministic because shards are
-        # immutable and the listing is sorted
-        return iter(self._records(self._shards()[start["n"]: end["n"]]))
+        # immutable and the batch is defined by the committed name sets,
+        # not by whatever the directory happens to hold at replay time
+        fresh = sorted(set(end["consumed"]) - set(start["consumed"]))
+        return iter(self._records(fresh))
 
 
 class WarcLiteDataSource(DataSource):

@@ -261,7 +261,7 @@ def test_warclite_roundtrip_parallelism_and_poison(spark, tmp_path):
 def test_warclite_stream_tails_new_shards_exactly_once(spark, tmp_path):
     """Custom streaming source: a second drain with the same checkpoint
     reads ONLY the shards that appeared in between — offset = consumed
-    shard count, committed through the engine checkpoint."""
+    shard NAME set, committed through the engine checkpoint."""
     import os
 
     from payroll_etl_fastapi_spark.sources import warclite as WL
@@ -302,3 +302,72 @@ def test_warclite_stream_tails_new_shards_exactly_once(spark, tmp_path):
     assert drain() == [1, 2, 3, 4, 5]
     # nothing new: drain adds nothing
     assert drain() == [1, 2, 3, 4, 5]
+    # OUT-OF-ORDER arrival: write_corpus tasks finish in arbitrary order, so
+    # a lexicographically-EARLIER shard can land after later ones were
+    # consumed. The name-set offset picks it up exactly once; a count/
+    # positional offset would re-read the tail and skip the newcomer.
+    with open(os.path.join(d, "part-00000-late.warclite"), "wb") as fh:
+        fh.write(WL.pack_record(6, b"p" * 4))
+    assert drain() == [1, 2, 3, 4, 5, 6]
+    assert drain() == [1, 2, 3, 4, 5, 6]
+
+
+def test_warclite_stream_max_shards_per_trigger(spark, tmp_path):
+    """maxShardsPerTrigger caps shards per micro-batch: an availableNow
+    drain over 5 shards with a cap of 2 still consumes everything (the
+    engine loops batches), but no single batch materializes more than 2
+    shards' records in the reader."""
+    import os
+
+    from payroll_etl_fastapi_spark.sources import warclite as WL
+    from payroll_etl_fastapi_spark.sources.warclite import _WarcLiteStreamReader
+
+    d = str(tmp_path / "shards")
+    os.makedirs(d)
+    for idx in range(5):
+        with open(os.path.join(d, f"part-{idx:05d}.warclite"), "wb") as fh:
+            fh.write(WL.pack_record(idx, b"p" * 4))
+
+    # unit-level: one read() consumes at most the cap, and successive reads
+    # from the returned offsets cover the directory exactly once
+    rdr = _WarcLiteStreamReader({"path": d, "maxShardsPerTrigger": "2"})
+    seen: list[int] = []
+    off = rdr.initialOffset()
+    sizes = []
+    for _ in range(4):
+        recs, off = rdr.read(off)
+        batch = [r[0] for r in recs]
+        sizes.append(len(batch))
+        seen.extend(batch)
+    assert sizes == [2, 2, 1, 0]
+    assert sorted(seen) == [0, 1, 2, 3, 4]
+
+    # engine-level: the capped stream still drains the whole directory.
+    # availableNow falls back to SINGLE-batch execution for Python stream
+    # sources, so one drain = one capped micro-batch — successive drains
+    # from the same checkpoint walk the directory 2-2-1 with no re-reads.
+    WL.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain() -> list[int]:
+        q = (
+            spark.readStream.format("warclite")
+            .option("path", d)
+            .option("maxShardsPerTrigger", "2")
+            .load()
+            .select("doc_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    assert len(drain()) == 2
+    assert len(drain()) == 4
+    assert drain() == [0, 1, 2, 3, 4]
+    assert drain() == [0, 1, 2, 3, 4]
