@@ -13,58 +13,28 @@ covers exactly the first 50 registered queries (verified round 2 — the 19
 queries registered past position 50 got no CORRECTNESS row despite passing
 the identical local gate). ``_WINDOW`` below is the hand-picked first-50.
 
-ROUND-4 ROTATION (VERDICT r3 #1): the 20 round-3 ``_SECONDARY`` queries —
-including the three round-3 gates (`quality_constraint_audit`,
-`skew_salted_rollup`, `bucketed_join_rollup`) that had never earned a driver
-row — rotate INTO the window, along with the SEVEN gates built new in
-round 4 (`streaming_session_filesink`, `streaming_stream_join`,
-`streaming_cdc_txtable`, `text_lm_score`, `embedding_dim_stats`,
-`sketch_cms_token_counts`, `ann_pq_adc_topk`); 27 stable near-twins rotate
-out to ``_SECONDARY``, every one holding a green rows+schema+hash row in
-CORRECTNESS_r03.json or earlier (they stay registered and locally gated by
-tools/check_oracle.py). After this round EVERY registered query holds a
-driver-green row from round 4 or earlier — no rotation debt. The window
-still covers every SURVEY.md §2 semantic family: the §2 gates that rotated
-out are those whose semantics remain pinned by an in-window sibling
-(topk_orders → kpi_anomalies_mad's TakeOrderedAndProject + topk_per_group;
-pivot_segment_balances → pivot_conditional_agg; join_anti → join_semi) or by
-golden pytest + the local oracle.
+ROUND-5 ROTATION (VERDICT r4 #1): all THIRTY-FIVE gates that had never
+received a driver correctness row — the round-4 late additions
+(`vocab_bpe_apply` through `events_journey_trigrams`), the third-session
+batch (`events_rolling_hll` … `txtable_data_skipping`, incl. the warclite
+pair and `streaming_txcatalog_dual`), and the fifth-session batch
+(`events_interval_merge` … `window_function_breadth`) — rotate INTO the
+window in one commit, done FIRST this round, before any new gate is built.
+They displace 35 window gates that all earned green rows+schema+hash rows
+in CORRECTNESS_r04.json; 15 anchors keep their slots so the window still
+touches every flagship family (KPI core, LSH-verify + semantic dedup,
+IVF-PQ ANN, BPE train, multimodal, stream-join + CDC streaming, ACID
+TxTable, quality constraints, salting/bucketing, PageRank). NEW gates
+built this round take anchor slots AT REGISTRATION TIME (each anchor they
+displace already holds its r4 row), so the no-debt invariant holds
+continuously — enforced structurally by ``_check_registry``, which now
+FAILS THE IMPORT if any ``_SECONDARY``/``_ARCHIVED`` name lacks a
+driver-green row in some CORRECTNESS_r*.json (VERDICT r4 #2: zero rotation
+debt is a hard invariant, not a habit).
 
-ROUND-4 TAIL SWAP: the four gates built after the rotation commit
-(`join_bloom_filtered`, `sketch_hll_distinct`, `ann_ivf_pq_topk`,
-`dedup_semantic_clusters`) took the window slots of four gates that already
-hold green r3-or-earlier driver rows (`join_semi_urgent_customers`,
-`scalar_subquery_above_brand_avg`, `ann_lsh_topk`,
-`dedup_minhash_verified_counts`), and the two gates built after that
-(`streaming_sketch_cms`, `vocab_bpe_merges`) took the slots of r3-green
-`cdc_apply_orders` / `multimodal_features` — so the no-rotation-debt
-invariant holds for every query registered through the final swap: each
-either gets its driver row this round or already holds one. The one gate
-built after that (`vocab_bpe_apply`) is the round-5 rotation candidate,
-locally oracle-verified at sf0.01 + sf0.1.
-
-ROUND-4 POST-TAIL SWAPS: ten more gates built late in round 4 took the
-window slots of ten gates that each hold green r1-r3 (or r2-r3) driver
-rows with semantics unchanged in r4 — first `sketch_hdr_quantiles` /
-`dedup_duplicate_spans` / `corpus_dsir_weights` for `insert_if_absent` /
-`dedupe_keep_first` / `events_json_extract`, then the analytics batch
-(`graph_pagerank_parts`, `assoc_rules_parts`, `corpus_dsir_resample`,
-`text_pmi_collocations`, `events_funnel_conversion`,
-`events_cohort_retention`, `events_resample_gapfill`) for
-`pivot_conditional_agg` / `distinct_sorted_projection` /
-`upsert_composite_key` / `events_asof_join` / `dedup_embedding_cosine` /
-`kpi_delta_months` / `kpi_rollup_by_nation`. Every demoted gate keeps an
-in-window family sibling and/or golden pytest (KPI surface →
-kpi_summary_month + kpi_anomalies_mad + the reference-CSV goldens;
-upsert/S6/S7 → the keep-first/upsert goldens; as-of → the range-join twin
-+ plan pins; near-dup → the in-window ANN trio), so the
-no-rotation-debt invariant still holds registry-wide. The remaining
-round-5 rotation candidates — gates built after the final swap, locally
-oracle-verified at sf0.001 + sf0.01 + sf0.1 — are `vocab_bpe_apply`,
-`streaming_sketch_hdr`, `events_transition_matrix`,
-`dedup_prefix_filter_jaccard`, `graph_label_propagation`,
-`unpivot_segment_balances`, `sql_pricing_summary`, and
-`graph_triangle_counts`.
+(Rounds 1-4 rotation history: see git log of this docstring — r4 rotated
+the 20-query r3 debt in, then kept building; that ordering bug is what the
+structural check above fixes.)
 
 ``_ARCHIVED`` are four redundant twins retired from the driver registry on
 the round-2 judge's direction (each remains implemented, pytest-covered, and
@@ -112,81 +82,70 @@ from payroll_etl_fastapi_spark.plans import suite_graph  # noqa: E402,F401
 
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
-    # reference SURVEY.md §2 core (KPI plans + ingest/upsert/scalar gates)
+    # --- 15 anchors: flagship-family representatives, all r4-green ---
     "kpi_summary_month",
     "kpi_anomalies_mad",
-    # relational breadth (joins, per-group top-K, OLAP grouping, scalar fns)
-    "join_bloom_filtered",
-    "sketch_hll_distinct",
-    "sketch_hdr_quantiles",
-    "topk_per_group_orders",
-    "similarity_edit_distance",
-    "cube_priority_status",
-    "grouping_sets_nation_segment",
-    # dedup family (scale-safe shapes: LSH-verify + semantic clusters)
     "dedup_ngram_jaccard",
     "dedup_semantic_clusters",
-    "dedup_duplicate_spans",
-    "graph_pagerank_parts",
-    "assoc_rules_parts",
-    # similarity / ANN family (IVF, PQ-ADC, IVF-PQ, near-dup)
     "ann_ivf_pq_topk",
-    "ann_ivf_topk",
-    "ann_pq_adc_topk",
-    "embedding_dim_stats",
-    # text analysis family
-    "text_quality_stats",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_repetition_stats",
-    "text_scrub_stats",
-    "vocab_top_tokens",
-    "text_lm_score",
-    "sketch_cms_token_counts",
-    # search / corpus prep
-    "search_bm25_topk",
-    "corpus_train_val_test",
-    "corpus_pack_sequences",
-    "corpus_sample_stratified",
-    "corpus_distinctive_terms",
-    "corpus_dsir_weights",
-    "corpus_dsir_resample",
-    "text_pmi_collocations",
-    # streaming (exactly-once file sinks, stream-stream join, CDC merge)
-    "streaming_hourly_filesink",
-    "streaming_session_filesink",
+    "vocab_bpe_merges",
+    "multimodal_binary_stats",
+    "multimodal_cdc_neardup",
     "streaming_stream_join",
     "streaming_cdc_txtable",
-    # windows / as-of
-    "events_sliding_window",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "events_resample_gapfill",
-    # streaming sketch + BPE training (round-4-tail flagships)
-    "streaming_sketch_cms",
-    "vocab_bpe_merges",
-    # transactional storage / quality / skew / bucketing
     "txtable_acid_ops",
     "quality_constraint_audit",
     "skew_salted_rollup",
     "bucketed_join_rollup",
-    # multimodal flagships (CDC near-dup swapped in third session: see below)
-    "multimodal_binary_stats",
-    "multimodal_cdc_neardup",
+    "graph_pagerank_parts",
+    # --- the 35 never-driver-verified gates (VERDICT r4 #1), rotated in ---
+    # round-4 late additions
+    "vocab_bpe_apply",
+    "streaming_sketch_hdr",
+    "events_transition_matrix",
+    "dedup_prefix_filter_jaccard",
+    "graph_label_propagation",
+    "unpivot_segment_balances",
+    "sql_pricing_summary",
+    "graph_triangle_counts",
+    "search_hybrid_rrf",
+    "txtable_change_feed",
+    "corpus_cluster_split",
+    "corpus_temperature_mix",
+    "events_rolling_distinct",
+    "events_journey_trigrams",
+    # round-4 third-session batch
+    "events_rolling_hll",
+    "graph_bfs_hops",
+    "streaming_enrich_dim",
+    "events_range_frame_totals",
+    "quality_observed_audit",
+    "streaming_txcatalog_dual",
+    "warclite_scan",
+    "warclite_stream_rollup",
+    "txtable_data_skipping",
+    # round-4 fifth-session batch
+    "events_interval_merge",
+    "quality_k_anonymity",
+    "text_vocab_coverage",
+    "dedup_containment",
+    "linkage_blocked_names",
+    "events_ewma_hourly",
+    "profile_hot_keys",
+    "profile_table_fingerprint",
+    "dedup_keep_best",
+    "events_decayed_popularity",
+    "quality_iqr_outliers",
+    "window_function_breadth",
 )
 
-# Registered past the driver's window (round-4 rotation): every one of these
-# holds a green rows+schema+hash row in CORRECTNESS_r03.json and stays in the
-# local oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
+# Registered past the driver's window: EVERY name here must hold a green
+# rows+schema+hash row in some CORRECTNESS_r*.json — enforced at import by
+# _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
+# oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
 _SECONDARY: tuple[str, ...] = (
-    # r1-r3 driver-green flagships that ceded their round-4 slots to the
-    # NEW gates (stream-stream join, CDC merge, LM score, dim stats, CMS,
-    # PQ-ADC): every family keeps in-window representation — hourly rollup
-    # → hourly filesink; OLAP → cube + grouping-sets; TPC-H joins →
-    # semi-join/top-k-per-group/cube; ANN keeps LSH+IVF+PQ (the k-means
-    # trainer twin ann_ivf_kmeans_topk holds r2+r3 rows); corpus keeps 4;
-    # dedup keeps the recast verify shapes (connected components holds
-    # r1-r3 rows)
+    # r1-r3 driver-green flagships demoted in earlier rotations; every
+    # family keeps in-window representation (see _WINDOW comments)
     "streaming_hourly_rollup",
     "rollup_returnflag_status",
     "tpch_q3_shipping_priority",
@@ -214,40 +173,15 @@ _SECONDARY: tuple[str, ...] = (
     "feature_quantile_bins",
     "zorder_values",
     "compaction_stats",
-    # ceded their slots to the round-4-tail gates (bloom join, HLL, IVF-PQ,
-    # SemDeDup) — each holds a green r3 (or earlier) driver row and keeps an
-    # in-window family sibling: semi-join → bloom-filtered join +
-    # bucketed/CDC joins; scalar subquery → kpi constant-folded twins (P11
-    # mapping); LSH ANN → IVF/PQ-ADC/IVF-PQ; minhash-verified counts →
-    # the recast dedup_ngram_jaccard (same LSH-verify composition)
     "join_semi_urgent_customers",
     "scalar_subquery_above_brand_avg",
     "ann_lsh_topk",
     "dedup_minhash_verified_counts",
-    # ceded their slots to streaming_sketch_cms / vocab_bpe_merges (both
-    # hold green r3 rows; CDC keeps streaming_cdc_txtable in-window,
-    # multimodal keeps multimodal_binary_stats)
     "cdc_apply_orders",
     "multimodal_features",
-    # NEW after the final swap (locally oracle-verified; round-5 rotation
-    # candidate)
-    "vocab_bpe_apply",
-    # ceded their slots to the round-4 post-tail gates (HDR quantiles,
-    # duplicate-span dedup, DSIR weights): each holds green r1-r3 (or r2-r3)
-    # driver rows and keeps an in-window family sibling — upsert family keeps
-    # upsert_composite_key; S6/S7 keep distinct_sorted_projection (keep-first
-    # semantics also pinned by golden pytest); the scalar set stays exercised
-    # inside every kpi_* gate and events keeps sliding-window + as-of
     "insert_if_absent",
     "dedupe_keep_first",
     "events_json_extract",
-    # ceded their slots to the post-tail analytics gates (PageRank, assoc
-    # rules, DSIR resample, PMI, funnel, cohort, gap-fill): each holds
-    # r1-r3 (or r2-r3) green driver rows with semantics unchanged in r4 —
-    # KPI surface keeps kpi_summary_month + kpi_anomalies_mad in-window
-    # (plus the reference-CSV golden tests); pivot keeps the native
-    # pivot_segment_balances' local gate; as-of keeps the range-join twin
-    # and its plan pins; embedding near-dup keeps the in-window ANN trio
     "pivot_conditional_agg",
     "distinct_sorted_projection",
     "upsert_composite_key",
@@ -255,51 +189,50 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "kpi_delta_months",
     "kpi_rollup_by_nation",
-    # NEW round-4 late additions (locally oracle-verified; round-5 rotation
-    # candidates)
-    "streaming_sketch_hdr",
-    "events_transition_matrix",
-    "dedup_prefix_filter_jaccard",
-    "graph_label_propagation",
-    "unpivot_segment_balances",
-    "sql_pricing_summary",
-    "graph_triangle_counts",
-    "search_hybrid_rrf",
-    "txtable_change_feed",
-    "corpus_cluster_split",
-    "corpus_temperature_mix",
-    "events_rolling_distinct",
-    "events_journey_trigrams",
-    # ceded its slot to multimodal_cdc_neardup (third session): holds a
-    # green r3 driver row, unchanged in r4, and every stage it composes
-    # (dedup verify, quality filters, splits, packing) has its own
-    # in-window gate
     "pipeline_training_data",
-    # NEW round-4 third-session gates (locally oracle-verified at
-    # sf0.001 + sf0.01 + sf0.1; round-5 rotation candidates)
-    "events_rolling_hll",
-    "graph_bfs_hops",
-    "streaming_enrich_dim",
-    "events_range_frame_totals",
-    "quality_observed_audit",
-    "streaming_txcatalog_dual",
-    "warclite_scan",
-    "warclite_stream_rollup",
-    "txtable_data_skipping",
-    # NEW round-4 fifth-session gates (locally oracle-verified; round-5
-    # rotation candidates)
-    "events_interval_merge",
-    "quality_k_anonymity",
-    "text_vocab_coverage",
-    "dedup_containment",
-    "linkage_blocked_names",
-    "events_ewma_hourly",
-    "profile_hot_keys",
-    "profile_table_fingerprint",
-    "dedup_keep_best",
-    "events_decayed_popularity",
-    "quality_iqr_outliers",
-    "window_function_breadth",
+    # --- ceded their window slots in the ROUND-5 rotation: every one holds
+    # a green rows+schema+hash row in CORRECTNESS_r04.json, and every family
+    # keeps an in-window anchor (relational/OLAP breadth → the §2-pinned KPI
+    # pair + golden pytest + sql_pricing_summary/unpivot in-window; sketches
+    # → streaming_sketch_hdr in-window + the r4-green batch trio here; text
+    # quartet → text_vocab_coverage + the r4-green rows; corpus → cluster
+    # split + temperature mix in-window; ANN → ann_ivf_pq_topk anchor;
+    # filesinks → stream-join/CDC anchors + the r4-green rows)
+    "join_bloom_filtered",
+    "sketch_hll_distinct",
+    "sketch_hdr_quantiles",
+    "topk_per_group_orders",
+    "similarity_edit_distance",
+    "cube_priority_status",
+    "grouping_sets_nation_segment",
+    "dedup_duplicate_spans",
+    "assoc_rules_parts",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "embedding_dim_stats",
+    "text_quality_stats",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "text_scrub_stats",
+    "vocab_top_tokens",
+    "text_lm_score",
+    "sketch_cms_token_counts",
+    "search_bm25_topk",
+    "corpus_train_val_test",
+    "corpus_pack_sequences",
+    "corpus_sample_stratified",
+    "corpus_distinctive_terms",
+    "corpus_dsir_weights",
+    "corpus_dsir_resample",
+    "text_pmi_collocations",
+    "streaming_hourly_filesink",
+    "streaming_session_filesink",
+    "events_sliding_window",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_resample_gapfill",
+    "streaming_sketch_cms",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,
@@ -310,6 +243,31 @@ _ARCHIVED: tuple[str, ...] = (
     "events_hourly_rollup",
     "events_sessionization",
 )
+
+
+def _driver_green_rows() -> set[str]:
+    """Names holding a green rows+schema+hash, err-free row in ANY round's
+    driver correctness file (CORRECTNESS_r*.json, committed per round)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if (
+                r.get("err") is None
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match", True)
+            ):
+                green.add(name)
+    return green
 
 
 def _check_registry() -> None:
@@ -326,6 +284,20 @@ def _check_registry() -> None:
     if uncurated:
         raise RuntimeError(
             f"suite queries missing from the curated ordering: {uncurated}"
+        )
+    # ZERO-ROTATION-DEBT INVARIANT (VERDICT r4 #2): every registered query
+    # must either sit in the driver's 50-slot window (it gets its row this
+    # round) or already hold a driver-green row from a past round. A new
+    # gate therefore cannot be parked in _SECONDARY "for later" — it must
+    # take a window slot from an already-verified anchor at registration
+    # time, keeping the hard correctness signal's blind spot at zero.
+    green = _driver_green_rows()
+    debt = sorted(n for n in (*_SECONDARY, *_ARCHIVED) if n not in green)
+    if debt:
+        raise RuntimeError(
+            f"rotation debt: {len(debt)} registered queries have no driver-green "
+            f"CORRECTNESS row and no _WINDOW slot: {debt}. Swap them into _WINDOW "
+            "(displacing already-verified anchors) before registering more work."
         )
 
 

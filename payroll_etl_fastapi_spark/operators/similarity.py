@@ -127,13 +127,31 @@ def cosine_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector, the k most
     similar corpus vectors (self excluded). Output: (query_id, neighbor_id,
     cosine, rank).
 
     The query side is broadcast — the corpus is scanned once with no shuffle;
-    the per-query ranking shuffles only (query_id, neighbor_id, cosine)."""
+    the per-query ranking shuffles only (query_id, neighbor_id, cosine).
+
+    GUARDED ALL-PAIRS PLAN: this is the exact oracle baseline for the ANN
+    family (LSH / IVF / k-means / PQ-ADC / IVF-PQ are the scale paths), and
+    its cost is corpus × queries BY DESIGN. To keep that shape from sneaking
+    into a 100 TB job, the operator refuses when corpus·queries exceeds
+    ``max_pairs`` (default 5e7 — minutes, not days, on one box); callers who
+    really want the exact scan pass ``max_pairs=None`` explicitly. The two
+    guard counts are column-pruned metadata-cheap scans."""
+    if max_pairs is not None:
+        nc, nq = corpus.count(), queries.count()
+        if nc * nq > max_pairs:
+            raise ValueError(
+                f"cosine_topk is a brute-force all-pairs plan: corpus({nc}) x "
+                f"queries({nq}) = {nc * nq} pairs exceeds max_pairs={max_pairs}. "
+                "Use the ANN operators (ivf_topk / pq_adc_topk / lsh_topk) at "
+                "this scale, or pass max_pairs=None to force the exact scan."
+            )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

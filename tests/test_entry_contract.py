@@ -55,3 +55,46 @@ def test_queries_are_rerunnable(spark):
         a = fn(spark, SF_SMALL).collect()
         b = fn(spark, SF_SMALL).collect()
         assert a == b and len(a) > 0
+
+
+def test_zero_rotation_debt_invariant():
+    """VERDICT r4 #2: every registered query either sits in the driver's
+    window (gets its row this round) or already holds a driver-green
+    CORRECTNESS row. _check_registry enforces it at import; this pins the
+    enforcement itself and the current debt at zero."""
+    green = entry_mod._driver_green_rows()
+    assert green, "no CORRECTNESS_r*.json rows found — gate cannot bind"
+    debt = [
+        n
+        for n in (*entry_mod._SECONDARY, *entry_mod._ARCHIVED)
+        if n not in green
+    ]
+    assert debt == []
+    # the check must actually FAIL on synthetic debt, not silently pass
+    import pytest as _pytest
+
+    orig = entry_mod._SECONDARY
+    entry_mod._SECONDARY = (*orig, "kpi_summary_month")  # dupe triggers first
+    try:
+        with _pytest.raises(RuntimeError):
+            entry_mod._check_registry()
+    finally:
+        entry_mod._SECONDARY = orig
+
+
+def test_archived_queries_stay_oracle_green(spark):
+    """VERDICT r4 #7: the retired twins are continuously verified in CI, not
+    only by an on-demand tool — full oracle comparison at sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import check_oracle as CO
+
+    con = CO.duck_connect(SF_SMALL)
+    arch = entry_mod.archived_queries()
+    oracles = entry_mod.archived_oracle_sql()
+    assert set(oracles) == set(arch)
+    for name, fn in arch.items():
+        spark_pd = fn(spark, SF_SMALL).toPandas()
+        duck_pd = con.sql(oracles[name]).df()
+        assert CO.compare(name, spark_pd, duck_pd) == [], name

@@ -201,3 +201,13 @@ def test_arrow_topk_ignores_zero_vectors(spark):
     assert 1 not in ids            # zero vector dropped, not ranked first as NaN
     assert set(ids) == {3, 4}
     assert all(r.cosine == r.cosine for r in got)  # no NaNs escape
+
+
+def test_cosine_topk_all_pairs_guard(emb_df):
+    """The exact baseline refuses corpus x queries beyond max_pairs unless
+    the caller forces it — the registry carries no unguarded all-pairs plan."""
+    df, _ = emb_df
+    with pytest.raises(ValueError, match="all-pairs"):
+        sim.cosine_topk(df, df, 3, max_pairs=100)
+    forced = sim.cosine_topk(df.limit(6), df.limit(2), 3, max_pairs=None)
+    assert forced.count() > 0
