@@ -234,8 +234,21 @@ def rolling_hll_distinct(
         s_int = (s + (F.lit(m) - n) * scale2).cast("double")
         return F.floor((num / s_int) * 1000000 + F.lit(0.5)) / 1000000.0
 
-    return merged.groupBy("day").agg(
-        _snapped(s_d, n_d).alias("dau_est"), _snapped(s_w, n_w).alias("wau_est")
+    # Emit only days that actually had events (≥1 off=0 register): the ×W
+    # fan-out reaches every day within `window_days` after an active day, so
+    # without this filter a gap day would surface with rho_d all NULL and a
+    # bogus empty-register DAU estimate (and diverge from the inner-join
+    # semantics of the exact twin + the SQL oracle). Gap-day case is pytest-
+    # pinned in tests/test_timeseries.py.
+    return (
+        merged.groupBy("day")
+        .agg(
+            _snapped(s_d, n_d).alias("dau_est"),
+            _snapped(s_w, n_w).alias("wau_est"),
+            n_d.alias("_n_d"),
+        )
+        .filter(F.col("_n_d") > 0)
+        .drop("_n_d")
     )
 
 

@@ -123,8 +123,27 @@ class _WarcLiteStreamReader(SimpleDataSourceStreamReader):
     container, the file-stream contract re-expressed through the Python
     API.
 
-    Option ``maxShardsPerTrigger`` (int, default unbounded) caps how many
-    new shards one micro-batch consumes, bounding reader memory on the
+    OFFSET SIZE is bounded: the committed offset is a watermark name plus
+    an explicit frontier set of at most ``watermarkLagShards`` recent names
+    (``{"w": name, "extra": [names]}``) — a name is "consumed" iff it is
+    ≤ the watermark or in the frontier. Names only fold under the watermark
+    once every LISTED name below them is consumed and they have at least
+    ``watermarkLagShards`` (default 256) newer consumed names above them,
+    so the documented reordering contract is: a shard may arrive out of
+    order by up to the lag window; a shard whose name sorts below a
+    committed watermark arriving EVEN LATER than that is outside the
+    contract (it would be treated as already consumed). Set the lag high to
+    trade offset size for a wider reorder window. Without compaction the
+    offset/commit log grew O(total shards ever consumed) per micro-batch.
+
+    Offsets written by earlier builds are migrated on read: the r5 exact
+    name-set form ``{"consumed": [...]}`` is accepted as watermark ""
+    + that frontier, and the r4 positional form ``{"n": k}`` translates to
+    the first k shards of the current sorted listing (valid because r4
+    consumption was by sorted position).
+
+    Option ``maxShardsPerTrigger`` (int ≥ 0; 0/absent = unbounded) caps how
+    many new shards one micro-batch consumes, bounding reader memory on the
     first drain of a large directory."""
 
     def __init__(self, options: dict):
@@ -133,12 +152,46 @@ class _WarcLiteStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("warclite: .load(dir) path is required")
         self.path = path
         self.max_shards = int(options.get("maxShardsPerTrigger", 0) or 0)
+        if self.max_shards < 0:
+            raise ValueError(
+                f"warclite: maxShardsPerTrigger must be >= 0 "
+                f"(0/absent = unbounded), got {self.max_shards}"
+            )
+        self.lag = int(options.get("watermarkLagShards", 256) or 256)
+        if self.lag < 1:
+            raise ValueError(
+                f"warclite: watermarkLagShards must be >= 1, got {self.lag}"
+            )
 
     def _listing(self) -> list[str]:
         return sorted(n for n in os.listdir(self.path) if n.endswith(".warclite"))
 
     def initialOffset(self):
-        return {"consumed": []}
+        return {"w": "", "extra": []}
+
+    def _parse(self, off, listing):
+        """(watermark, frontier-set) from any historical offset format."""
+        if "n" in off:  # r4 positional offset: count into the sorted listing
+            return "", set(listing[: int(off["n"])])
+        if "consumed" in off:  # r5 exact name-set offset
+            return "", set(off["consumed"])
+        return off.get("w", ""), set(off.get("extra", []))
+
+    def _compact(self, w, extra, listing):
+        """Fold the oldest frontier names under the watermark, keeping at
+        most ``lag`` explicit — never past the smallest listed-but-
+        unconsumed name (a maxShardsPerTrigger backlog must stay fresh)."""
+        frontier = sorted(n for n in extra if n > w)
+        if len(frontier) <= self.lag:
+            return w, frontier
+        consumed = set(frontier)
+        unconsumed = [n for n in listing if n > w and n not in consumed]
+        ceiling = min(unconsumed) if unconsumed else None
+        for c in frontier[: len(frontier) - self.lag]:
+            if ceiling is not None and c > ceiling:
+                break
+            w = c
+        return w, [n for n in frontier if n > w]
 
     def _records(self, shards) -> list:
         # a LIST, not a generator: the engine caches the read() result for
@@ -151,18 +204,24 @@ class _WarcLiteStreamReader(SimpleDataSourceStreamReader):
         ]
 
     def read(self, start):
-        consumed = set(start["consumed"])
-        fresh = [n for n in self._listing() if n not in consumed]
+        listing = self._listing()
+        w, extra = self._parse(start, listing)
+        fresh = [n for n in listing if n > w and n not in extra]
         if self.max_shards:
             fresh = fresh[: self.max_shards]
-        end = {"consumed": sorted(consumed | set(fresh))}
-        return iter(self._records(fresh)), end
+        new_w, new_extra = self._compact(w, extra | set(fresh), listing)
+        return iter(self._records(fresh)), {"w": new_w, "extra": new_extra}
 
     def readBetweenOffsets(self, start, end):
         # replay path (recovery): deterministic because shards are
-        # immutable and the batch is defined by the committed name sets,
-        # not by whatever the directory happens to hold at replay time
-        fresh = sorted(set(end["consumed"]) - set(start["consumed"]))
+        # immutable, names below a committed watermark are final by the
+        # reordering contract, and the batch is defined by the committed
+        # offsets — not by whatever the directory holds at replay time
+        listing = self._listing()
+        sw, sx = self._parse(start, listing)
+        ew, ex = self._parse(end, listing)
+        e_set = set(ex) | {n for n in listing if n <= ew}
+        fresh = sorted(n for n in e_set if n > sw and n not in sx)
         return iter(self._records(fresh))
 
 

@@ -70,16 +70,20 @@ def test_zero_rotation_debt_invariant():
         if n not in green
     ]
     assert debt == []
-    # the check must actually FAIL on synthetic debt, not silently pass
+    # the check must actually FAIL on synthetic debt — exercise the debt
+    # branch itself (not the duplicate-name check) by hiding one real
+    # _SECONDARY name from the green-row set
     import pytest as _pytest
 
-    orig = entry_mod._SECONDARY
-    entry_mod._SECONDARY = (*orig, "kpi_summary_month")  # dupe triggers first
+    victim = entry_mod._SECONDARY[0]
+    orig_green = entry_mod._driver_green_rows
+    entry_mod._driver_green_rows = lambda: orig_green() - {victim}
     try:
-        with _pytest.raises(RuntimeError):
+        with _pytest.raises(RuntimeError, match="rotation debt") as exc:
             entry_mod._check_registry()
+        assert victim in str(exc.value)
     finally:
-        entry_mod._SECONDARY = orig
+        entry_mod._driver_green_rows = orig_green
 
 
 def test_archived_queries_stay_oracle_green(spark):

@@ -371,3 +371,79 @@ def test_warclite_stream_max_shards_per_trigger(spark, tmp_path):
     assert len(drain()) == 4
     assert drain() == [0, 1, 2, 3, 4]
     assert drain() == [0, 1, 2, 3, 4]
+
+
+def test_warclite_stream_offset_compaction_and_migration(tmp_path):
+    """Round-6 offset hardening (unit level, no engine needed):
+    1. the committed offset stays O(watermarkLagShards) however many shards
+       are consumed (pre-fix it was the full name list — O(total shards)
+       per micro-batch in the checkpoint log);
+    2. out-of-order arrival within the lag window is still consumed exactly
+       once after compaction;
+    3. a maxShardsPerTrigger backlog is never folded under the watermark
+       (the smallest unconsumed listed name is a hard ceiling);
+    4. legacy r4 {"n": k} and r5 {"consumed": [...]} checkpoint offsets are
+       migrated instead of raising KeyError;
+    5. maxShardsPerTrigger < 0 is rejected at construction."""
+    import os
+
+    import pytest
+
+    from payroll_etl_fastapi_spark.sources import warclite as WL
+    from payroll_etl_fastapi_spark.sources.warclite import _WarcLiteStreamReader
+
+    d = str(tmp_path / "shards")
+    os.makedirs(d)
+
+    def add(name, ids):
+        with open(os.path.join(d, f"{name}.warclite"), "wb") as fh:
+            for i in ids:
+                fh.write(WL.pack_record(i, b"p" * 4))
+
+    for i in range(40):
+        add(f"part-{i:05d}", [i])
+
+    # 1: offset bounded by the lag, not by shards consumed
+    rdr = _WarcLiteStreamReader({"path": d, "watermarkLagShards": "8"})
+    recs, off = rdr.read(rdr.initialOffset())
+    assert len(list(recs)) == 40
+    assert len(off["extra"]) == 8 and off["w"] == "part-00031.warclite"
+    recs2, off2 = rdr.read(off)
+    assert list(recs2) == [] and off2 == off
+
+    # 2: a shard arriving out of order but ABOVE the watermark is consumed
+    add("part-00033-late", [100])
+    recs3, off3 = rdr.read(off2)
+    assert [r[0] for r in recs3] == [100]
+    recs4, off4 = rdr.read(off3)
+    assert list(recs4) == []
+
+    # replay between committed offsets reproduces exactly that batch
+    assert [r[0] for r in rdr.readBetweenOffsets(off2, off3)] == [100]
+
+    # 3: with a trigger cap the backlog stays fresh — the watermark never
+    # passes the smallest unconsumed listed name
+    capped = _WarcLiteStreamReader(
+        {"path": d, "maxShardsPerTrigger": "3", "watermarkLagShards": "2"}
+    )
+    seen, off_c = [], capped.initialOffset()
+    for _ in range(20):
+        r, off_c = capped.read(off_c)
+        seen.extend(x[0] for x in r)
+    assert sorted(seen) == sorted(list(range(40)) + [100])
+
+    # 4: legacy offsets migrate (r4 positional / r5 exact-set)
+    r_leg, off_leg = rdr.read({"n": 39})
+    got = sorted(x[0] for x in r_leg)
+    # first 39 of the 41 sorted names count as consumed ("-late" sorts
+    # before ".warclite", so the late shard is inside that prefix); the
+    # two lexicographic stragglers are the fresh batch
+    assert got == [38, 39]
+    r_leg2, _ = rdr.read({"consumed": [f"part-{i:05d}.warclite" for i in range(40)]})
+    assert [x[0] for x in r_leg2] == [100]
+
+    # 5: option validation
+    with pytest.raises(ValueError, match="maxShardsPerTrigger"):
+        _WarcLiteStreamReader({"path": d, "maxShardsPerTrigger": "-1"})
+    with pytest.raises(ValueError, match="watermarkLagShards"):
+        _WarcLiteStreamReader({"path": d, "watermarkLagShards": "0"})

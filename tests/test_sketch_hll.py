@@ -103,3 +103,29 @@ def test_rolling_hll_window_merge_equals_single_pass(spark):
     # allow 3 sigma)
     exact_day0 = 1000
     assert abs(out[base.date()].dau_est - exact_day0) / exact_day0 < 0.25
+
+
+def test_rolling_hll_gap_day_emits_only_active_days(spark):
+    """A day with ZERO events must not appear in the output, even though the
+    7-day register fan-out from earlier active days reaches it (the WAU
+    registers exist, the DAU slice is all-NULL). Regression pin for the
+    round-6 fix: pre-fix, gap days surfaced with a bogus empty-register
+    dau_est (~184) and diverged from the inner-join SQL oracle."""
+    import datetime as dt
+
+    from payroll_etl_fastapi_spark.operators.timeseries import rolling_hll_distinct
+
+    rows = []
+    # active on days 0, 1 and 5 — days 2,3,4 are gaps INSIDE the fan-out
+    # horizon of days 0-1, day 6+ is past max_day
+    for d in (0, 1, 5):
+        for u in range(800):
+            rows.append((dt.datetime(2025, 6, 1 + d, 12), f"u{d}_{u}"))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id string")
+    out = {r.day: r for r in rolling_hll_distinct(ev, "user_id", "ts").collect()}
+    assert sorted(d.day for d in out) == [1, 2, 6]  # June 1, 2, 6 only
+    # gap days carried no DAU slice; active days carry sane estimates
+    for r in out.values():
+        assert r.dau_est > 400  # ~800 true, raw-HLL error << 50%
+    # day 6's WAU window [May 31..Jun 6] covers days 1 and 5 -> ~1600 users
+    assert out[dt.date(2025, 6, 6)].wau_est > out[dt.date(2025, 6, 6)].dau_est
