@@ -85,7 +85,10 @@ _WINDOW: tuple[str, ...] = (
     # --- 15 anchors: flagship-family representatives, all r4-green ---
     "kpi_summary_month",
     "kpi_anomalies_mad",
-    "dedup_ngram_jaccard",
+    # ROUND-6 swap (VERDICT r5 #3+#7): the new incremental cross-snapshot
+    # dedup gate takes the dedup anchor slot at registration time;
+    # dedup_ngram_jaccard holds its r5 driver-green row in _SECONDARY
+    "dedup_incremental",
     "dedup_semantic_clusters",
     "ann_ivf_pq_topk",
     "vocab_bpe_merges",
@@ -159,6 +162,7 @@ _SECONDARY: tuple[str, ...] = (
     "set_ops_nation_coverage",
     "pivot_segment_balances",
     "dedup_exact",
+    "dedup_ngram_jaccard",  # ceded its anchor slot to dedup_incremental (r6); r5 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

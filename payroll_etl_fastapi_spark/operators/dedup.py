@@ -225,6 +225,24 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_structs(num_hashes: int, bands: int) -> list[F.Column]:
+    """(band, sig) struct per band from the mh_i signature columns — the ONE
+    place the band layout (row grouping, "," separator) is defined, shared by
+    every LSH consumer (batch candidates AND the persisted incremental index)
+    so the layouts cannot diverge."""
+    rows_per_band = num_hashes // bands
+    out = []
+    for bidx in range(bands):
+        cols = [f"mh_{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        out.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    return out
+
+
 def _lsh_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 signature band.
 
@@ -232,18 +250,8 @@ def _lsh_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     per-band selects would re-derive the whole signature pipeline once per
     band. Shared by minhash_lsh_pairs and minhash_verified_pairs so the band
     layout (struct shape, "," separator, row grouping) cannot diverge."""
-    rows_per_band = num_hashes // bands
-    band_structs = []
-    for bidx in range(bands):
-        cols = [f"mh_{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
-            )
-        )
     banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bs")
+        "id", F.explode(F.array(*_band_structs(num_hashes, bands))).alias("bs")
     ).select("id", "bs.band", "bs.sig")
     return (
         banded.alias("x")
@@ -783,3 +791,125 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "common", "na", "nb", "cont_a_bp", "cont_b_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup — the RefinedWeb/Dolma-style ingest shape
+# ---------------------------------------------------------------------------
+
+def band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, sig, mh) LSH band rows carrying the FULL signature as an
+    array — the persisted-index row format for incremental dedup. Carrying
+    `mh` denormalized (×bands) lets an index probe verify estimated Jaccard
+    in the SAME equality join that finds the candidate: no second lookup
+    against a signature table, so a new batch costs one broadcast-able join
+    against the index scan. Band layout comes from `_band_structs`, shared
+    with `_lsh_candidates`, so batch and index bands cannot diverge."""
+    return sig.select(
+        "id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh"),
+        F.explode(F.array(*_band_structs(num_hashes, bands))).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"), "mh")
+
+
+def _est_jaccard(mh_a: F.Column, mh_b: F.Column, num_hashes: int) -> F.Column:
+    agree = F.aggregate(
+        F.zip_with(mh_a, mh_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree / F.lit(float(num_hashes))
+
+
+def incremental_minhash_dedup(
+    index,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """Dedupe a NEW batch against a persisted MinHash band index WITHOUT
+    recomputing the corpus side, admit the survivors, and grow the index
+    append-only — the production ingest shape (RefinedWeb/Dolma): snapshots
+    arrive over weeks and the already-ingested corpus must never be
+    re-shingled.
+
+    ``index`` is a sources.txtable.TxTable holding `band_rows` of every
+    previously ACCEPTED doc ((band, sig, id, mh) — created on first use).
+    A batch doc is REJECTED iff it has a verified match (estimated Jaccard
+    ≥ ``min_est`` over the full signature) against (a) an index doc or
+    (b) a lower-id doc of the same batch — the standard greedy keep-first
+    approximation, identical to what a from-scratch LSH pass over
+    index ∪ batch with keep-first representatives admits on dup-free
+    snapshots.
+
+    Returns one decision row per batch doc:
+        (id, accepted, matched_id, est_jaccard)
+    where matched_id/est_jaccard describe the smallest-id verified match
+    (NULL for accepted docs). Appends the accepted docs' band rows to the
+    index before returning; re-ingesting the same batch then admits zero
+    docs (every doc self-matches at est 1.0) — pytest-pinned.
+
+    Scale shape: batch cost only. The batch's shingle/signature work is
+    linear in the batch; the index side is ONE equality join of the (small)
+    batch band rows against the index scan — Spark broadcasts the batch
+    side, so the 100 TB index never shuffles, and data written per snapshot
+    is `bands` rows per accepted doc."""
+    sig = minhash_signatures(batch, text_col, id_col, n, num_hashes, seed)
+    b = band_rows(sig, num_hashes, bands)
+
+    matches = []
+    if index.exists():
+        idx = index.snapshot().select(
+            "band",
+            "sig",
+            F.col("id").alias("matched_id"),
+            F.col("mh").alias("mh_i"),
+        )
+        matches.append(
+            b.join(idx, ["band", "sig"])
+            .dropDuplicates(["id", "matched_id"])
+            .select(
+                "id",
+                "matched_id",
+                _est_jaccard(F.col("mh"), F.col("mh_i"), num_hashes).alias("est"),
+            )
+        )
+    lo = b.select(
+        "band", "sig", F.col("id").alias("matched_id"), F.col("mh").alias("mh_i")
+    )
+    matches.append(
+        b.join(lo, ["band", "sig"])
+        .filter(F.col("matched_id") < F.col("id"))
+        .dropDuplicates(["id", "matched_id"])
+        .select(
+            "id",
+            "matched_id",
+            _est_jaccard(F.col("mh"), F.col("mh_i"), num_hashes).alias("est"),
+        )
+    )
+    verified = matches[0]
+    for m in matches[1:]:
+        verified = verified.unionByName(m)
+    best = (
+        verified.filter(F.col("est") >= F.lit(min_est))
+        .groupBy("id")
+        .agg(F.min(F.struct("matched_id", "est")).alias("m"))
+    )
+    decisions = (
+        sig.select("id")
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.col("m").isNull().alias("accepted"),
+            F.col("m.matched_id").alias("matched_id"),
+            F.col("m.est").alias("est_jaccard"),
+        )
+    )
+    accepted_bands = b.join(best, "id", "left_anti").select("band", "sig", "id", "mh")
+    index.append(accepted_bands)
+    return decisions

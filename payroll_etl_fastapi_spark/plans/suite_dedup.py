@@ -772,3 +772,152 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup — VERDICT r5 #3
+# ---------------------------------------------------------------------------
+
+def _sql_mh_bands(num_hashes: int = 16, bands: int = 4) -> str:
+    """``mh`` + ``bands`` CTEs (assumes ``sh`` precedes) — the signature/band
+    machinery shared with the batch oracles, emitted standalone so the
+    incremental oracle can replay the index across snapshots."""
+    coeffs = dedup.minhash_coefficients(num_hashes)
+    p = dedup.MERSENNE_P
+    h = _SQL_H28.format(col="s")
+    mins = ",\n               ".join(
+        f"min(({a} * {h} + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""mh AS (
+        SELECT id, {mins}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+{band_selects}
+    )"""
+
+
+def _incremental_oracle(num_hashes: int = 16, bands: int = 4, min_est: float = 0.5) -> str:
+    """Replays BOTH snapshots of the incremental ingest: snapshot 1 (even
+    doc_ids) builds the accepted-index via greedy keep-first; the batch
+    (doc_id%3 verbatim + mutated copies of doc_id%5) is then decided against
+    index ∪ lower-id batch members — the same match sources, candidate
+    generation, signature-agreement verify, and min-matched-id tie-break the
+    Spark operator runs."""
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    est = f"({agree}) / {float(num_hashes)}"
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id, text || '{_MUTATION}' AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_SQL_SHINGLES},
+    {_sql_mh_bands(num_hashes, bands)},
+    amem AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0),
+    bmem AS (
+        SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id FROM documents WHERE doc_id % 5 = 0
+    ),
+    reja AS (
+        SELECT DISTINCT y.id
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+        JOIN amem ax ON x.id = ax.id
+        JOIN amem ay ON y.id = ay.id
+        JOIN mh a ON x.id = a.id
+        JOIN mh b ON y.id = b.id
+        WHERE {est} >= {min_est}
+    ),
+    acca AS (SELECT id FROM amem WHERE id NOT IN (SELECT id FROM reja)),
+    cand AS (
+        SELECT DISTINCT xb.id AS bid, ya.id AS aid
+        FROM bands xb
+        JOIN bands ya ON xb.band = ya.band AND xb.sig = ya.sig
+        JOIN bmem ON xb.id = bmem.id
+        JOIN acca ON ya.id = acca.id
+        UNION
+        SELECT DISTINCT y.id AS bid, x.id AS aid
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+        JOIN bmem bx ON x.id = bx.id
+        JOIN bmem byy ON y.id = byy.id
+    ),
+    ver AS (
+        SELECT c.bid, c.aid, {est} AS est
+        FROM cand c
+        JOIN mh a ON c.aid = a.id
+        JOIN mh b ON c.bid = b.id
+        WHERE {est} >= {min_est}
+    ),
+    best AS (
+        SELECT bid, aid, est,
+               row_number() OVER (PARTITION BY bid ORDER BY aid) AS rn
+        FROM ver
+    )
+    SELECT bm.id AS id,
+           CAST(CASE WHEN bb.bid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS accepted,
+           COALESCE(bb.aid, -1) AS matched_id,
+           COALESCE(bb.est, -1.0) AS est_jaccard
+    FROM bmem bm
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) bb ON bm.id = bb.bid
+    ORDER BY id
+    """
+
+
+@query("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup (operators.dedup.
+    incremental_minhash_dedup) — the production ingest shape the batch gates
+    don't cover: snapshot 1 (even doc_ids) is ingested into a PERSISTED
+    TxTable band index; the new batch (doc_id%3 verbatim — overlap %6 are
+    exact dups of index docs — plus 3-token-mutated copies of doc_id%5 —
+    near-dups whose original may sit in the index, in the batch, or in
+    neither) is deduped against the index WITHOUT recomputing the corpus
+    side, and the survivors' band rows are appended. Output: one decision
+    row per batch doc (accepted 0/1, smallest-id verified match, agreement
+    estimate; -1 sentinels for accepted). The oracle replays both
+    snapshots' greedy keep-first end-to-end. Append-only index growth and
+    re-ingest idempotence are pytest-pinned (tests/test_dedup.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snapshot_a = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_b = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_dedup_inc_")
+    try:
+        index = TxTable(spark, os.path.join(scratch, "band_index"))
+        dedup.incremental_minhash_dedup(index, snapshot_a)  # snapshot 1
+        dec = dedup.incremental_minhash_dedup(index, batch_b)
+        out = dec.select(
+            "id",
+            F.when(F.col("accepted"), 1).otherwise(0).cast("long").alias("accepted"),
+            F.coalesce(F.col("matched_id"), F.lit(-1)).cast("long").alias("matched_id"),
+            F.coalesce(F.col("est_jaccard"), F.lit(-1.0)).alias("est_jaccard"),
+        ).orderBy("id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -440,3 +440,94 @@ def test_keep_best_prefers_longest_not_first(spark):
     )
     assert len(best) == 1
     assert best[0]["kept"] == 3  # the longest variant, not doc 1
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_decisions_and_index_growth(spark, tmp_path):
+    """Snapshot 1 builds the index; a batch with an exact index dup, a
+    near-dup of an index doc, an intra-batch near-dup and a fresh doc gets
+    the right per-doc decision; the index grows append-only by bands×accepted
+    rows and the change feed emits exactly the accepted band rows."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    snap1 = corpus(
+        spark,
+        [
+            (1, base + "one two three four five six seven eight"),
+            (2, "completely different text about spark catalyst plans " * 3),
+        ],
+    )
+    index = TxTable(spark, str(tmp_path / "band_index"))
+    d1 = {r.id: r for r in dedup.incremental_minhash_dedup(index, snap1).collect()}
+    assert d1[1].accepted and d1[2].accepted
+    v1 = index.latest_version()
+    n1 = index.snapshot().count()
+    assert n1 == 2 * 4  # bands=4 rows per accepted doc
+
+    batch = corpus(
+        spark,
+        [
+            (10, base + "one two three four five six seven eight"),  # exact dup of 1
+            (11, base + "one two three four five six seven eight qq ww ee"),  # near-dup of 1
+            (20, "brand new unrelated content mentioning tungsten codegen " * 3),
+            (21, "brand new unrelated content mentioning tungsten codegen " * 3 + "zz"),  # near-dup of 20
+        ],
+    )
+    d2 = {r.id: r for r in dedup.incremental_minhash_dedup(index, batch).collect()}
+    assert not d2[10].accepted and d2[10].matched_id == 1 and d2[10].est_jaccard == 1.0
+    assert not d2[11].accepted and d2[11].matched_id == 1
+    assert d2[20].accepted and d2[20].matched_id is None
+    assert not d2[21].accepted and d2[21].matched_id == 20
+    v2 = index.latest_version()
+    assert v2 > v1
+    assert index.snapshot().count() == n1 + 1 * 4  # only doc 20 admitted
+
+    # change feed between snapshots = exactly the accepted band rows
+    feed = index.changes(v1, v2, keys=["band", "sig", "id"])
+    ins = feed.filter(F.col("_change_type") == "insert")
+    assert ins.count() == 4
+    assert [r.id for r in ins.select("id").distinct().collect()] == [20]
+
+    # re-ingesting the SAME batch admits zero docs (every doc self-matches
+    # at est 1.0 — rejected docs because their match is in the index now or
+    # still, accepted docs because they ARE in the index)
+    d3 = {r.id: r for r in dedup.incremental_minhash_dedup(index, batch).collect()}
+    assert all(not r.accepted for r in d3.values())
+    assert d3[20].matched_id == 20 and d3[20].est_jaccard == 1.0
+    assert index.snapshot().count() == n1 + 4  # no growth on re-ingest
+    # index history is append-only: every commit action is append
+    assert {h["operation"] for h in index.history()} == {"append"}
+
+
+def test_incremental_dedup_matches_from_scratch_keep_first(spark, tmp_path):
+    """Cross-snapshot greedy ingest must admit the SAME representative set a
+    from-scratch LSH keep-first pass over the union admits, when snapshots
+    arrive in id order (the production contract: ingest order = id order)."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    rows = []
+    for d in range(12):
+        text = f"document number {d % 4} with shared phrasing alpha beta gamma delta epsilon zeta " * 2
+        rows.append((d, text))  # 4 distinct texts, each ×3 exact dups
+    all_docs = corpus(spark, rows)
+    snap1 = all_docs.filter(F.col("doc_id") < 6)
+    snap2 = all_docs.filter(F.col("doc_id") >= 6)
+
+    index = TxTable(spark, str(tmp_path / "idx"))
+    a1 = dedup.incremental_minhash_dedup(index, snap1)
+    acc1 = sorted(r.id for r in a1.collect() if r.accepted)
+    a2 = dedup.incremental_minhash_dedup(index, snap2)
+    acc2 = sorted(r.id for r in a2.collect() if r.accepted)
+
+    # from-scratch: keep-first = docs with no verified lower-id match
+    sig = dedup.minhash_signatures(all_docs, "text", "doc_id", num_hashes=16)
+    cand = dedup._lsh_candidates(sig, 16, 4)
+    pairs = dedup.minhash_lsh_pairs(all_docs, "text", "doc_id", min_est=0.5)
+    dup_ids = {r.id_b for r in pairs.collect()}
+    expect = sorted(set(range(12)) - dup_ids)
+    assert acc1 + acc2 == expect == [0, 1, 2]  # text 3 is a 0.625-est near-dup of text 1
