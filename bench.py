@@ -4,13 +4,36 @@
 line:
 
     {"metric": "suite_seconds", "value": <total>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": <sf>}
+     "queries": {"n": N, "detail": "BENCH_DETAIL.json"}, "sf": <sf>}
+
+MIN-OF-N INTERLEAVED PASSES (VERDICT r5 #2): the suite runs
+$SPARK_GRAFT_BENCH_PASSES (default 2) full passes — pass 2 revisits every
+query only after the whole suite ran once, so a query's second sample lands
+in a different heap/JIT/page-cache neighborhood than its first. The reported
+per-query number and the suite total are the per-query MINIMUM across
+passes; per-pass samples are kept in BENCH_DETAIL.json. Rationale: rounds
+3-5 each produced exactly one >1.7× cross-round outlier with untouched code
+(r4 streaming_hourly_filesink, r5 vocab_bpe_merges), every one an artifact
+of suite-position/GC attribution in a single-pass measurement. The min is
+the honest steady-state estimator for a long-lived-server comparison; the
+per-pass spread makes position artifacts visible instead of costing a round
+of investigation.
+
+SETUP/QUERY SPLIT (VERDICT r5 #4): each sample is timed in two spans —
+`setup` = the gate callable itself (eager construction: TxTable lifecycles,
+stream drains, warclite corpus writes, driver-side golden collects) and
+`exec` = .collect() on the returned frame (the declared query). Gates that
+build synthetic corpora lazily (unions/mutations inside the plan) still
+charge that to exec — the split isolates the eager-harness cost, which is
+what dominates the expensive tail. BENCH_DETAIL carries setup/exec per pass;
+the headline per-query value remains setup+exec (full user-visible latency,
+comparable with all prior rounds).
 
 Per-query time is wall-clock to build the plan AND materialize the result
-(collect), i.e. the full user-visible latency of each operator. The session is
-created once, outside the timed region, and a trivial job is run first to warm
-the JVM / codegen paths — the reference's baseline is a long-lived Postgres
-server, so steady-state latency is the honest comparison.
+(collect), i.e. the full user-visible latency of each operator. The session
+is created once, outside the timed region, and a trivial job is run first to
+warm the JVM / codegen paths — the reference's baseline is a long-lived
+Postgres server, so steady-state latency is the honest comparison.
 """
 
 from __future__ import annotations
@@ -25,6 +48,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from payroll_etl_fastapi_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PASSES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -47,36 +71,60 @@ def main() -> None:
         {"n_nationkey": "sum"}
     ).collect()
 
-    timings: dict[str, float | None] = {}
+    qs = entry_mod.queries()
+    samples: dict[str, list[dict]] = {n: [] for n in qs}
     failed: list[str] = []
+    for pass_no in range(PASSES):
+        for name, fn in qs.items():
+            if name in failed:
+                continue  # a query that failed once stays failed (no min-rescue)
+            spark.catalog.clearCache()  # timed standalone, no cross-query reuse
+            # Untimed GC between queries: the suite shares one long-lived JVM,
+            # and a heap full of the previous queries' garbage otherwise
+            # charges a multi-second stop-the-world pause to whichever query
+            # triggers it (observed: a 14s query reading 42s in-suite).
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, SF_DIR)
+                t1 = time.perf_counter()
+                df.collect()
+                t2 = time.perf_counter()
+            except Exception as exc:  # a broken query must not hide the others
+                dt = time.perf_counter() - t0
+                print(
+                    f"bench: query {name} FAILED after {dt:.2f}s (pass {pass_no + 1}): {exc}",
+                    file=sys.stderr,
+                )
+                failed.append(name)
+                continue
+            samples[name].append(
+                {
+                    "setup": round(t1 - t0, 4),
+                    "exec": round(t2 - t1, 4),
+                    "total": round(t2 - t0, 4),
+                }
+            )
+
+    # failures are first-class in the JSON: null timing, excluded from the
+    # total — a broken query must not make the suite look faster
+    timings: dict[str, float | None] = {}
     total = 0.0
-    for name, fn in entry_mod.queries().items():
-        spark.catalog.clearCache()  # each query timed standalone, no cross-query reuse
-        # Untimed GC between queries: the suite shares one long-lived JVM, and
-        # a heap full of the previous queries' garbage otherwise charges a
-        # multi-second stop-the-world pause to whichever query triggers it
-        # (observed: a 14s query reading 42s in-suite, 14s standalone).
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).collect()
-        except Exception as exc:  # a broken query must not hide the others
-            dt = time.perf_counter() - t0
-            print(f"bench: query {name} FAILED after {dt:.2f}s: {exc}", file=sys.stderr)
-            # failures are first-class in the JSON: null timing, excluded from
-            # the total — a broken query must not make the suite look faster
-            failed.append(name)
+    for name in qs:
+        if name in failed or not samples[name]:
             timings[name] = None
             continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+        best = min(s["total"] for s in samples[name])
+        timings[name] = best
+        total += best
 
     detail = {
         "metric": "suite_seconds",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "passes": {n: s for n, s in samples.items() if s},
+        "n_passes": PASSES,
         "sf": _sf_from_dir(SF_DIR),
     }
     if failed:

@@ -1202,7 +1202,7 @@ def merge_stream_txtable(
     checkpoint: str,
     keys: list[str],
     when_matched_delete=None,
-) -> None:
+):
     """Exactly-once streaming CDC apply: drain the currently-available input
     (availableNow), applying each micro-batch to the TxTable as ONE
     three-clause MERGE commit (update matched, insert unmatched, optionally
@@ -1255,6 +1255,9 @@ def merge_stream_txtable(
         .start()
     )
     q.awaitTermination()
+    # the terminated query still exposes recentProgress — returned so soak
+    # harnesses can read per-batch latency (tools/stream_soak.py)
+    return q
 
 
 class TxCatalog:
