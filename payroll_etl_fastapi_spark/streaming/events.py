@@ -85,14 +85,23 @@ def read_events_stream(
         ]
     )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        # the events file(s) specifically — the sf dir holds every table, and
-        # a schema-pinned source would silently null-fill foreign files' rows
-        .option("pathGlobFilter", "events.parquet*")
-        .parquet(sf_dir)
+    import os
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if os.path.isdir(events_path):
+        # multi-file table directory (sf1 validation data, any real layout):
+        # stream the directory itself. The glob-filter approach below would
+        # silently match ZERO leaf files (pathGlobFilter tests part-file
+        # names, not the directory name) — an empty stream, not an error.
+        raw = reader.parquet(events_path)
+    else:
+        # single-file layout (driver testdata): the sf dir holds every
+        # table, and a schema-pinned source over the dir would silently
+        # null-fill foreign files' rows — glob to the events file only
+        raw = reader.option("pathGlobFilter", "events.parquet*").parquet(sf_dir)
     if is_nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw

@@ -76,8 +76,48 @@ DEFAULT_GATES = [
 ]
 
 
+def _copy_transform(table: str, src, i: int):
+    """Content decorrelation for copy i — verbatim replication would make
+    the CONTENT tables artifact-ridden at sf1: identical texts across
+    copies create ~(2·MULT choose 2) organic near-dup pairs per document
+    (blowing up pair outputs quadratically in MULT and tripping df-caps),
+    and identical vectors turn ANN/SemDeDup gates into duplicate-hunts. A
+    true 10× corpus has 10× DISTINCT content:
+
+    - documents: every token gets a per-copy suffix → copies share no
+      shingles (disjoint near-dup structure per copy, 10× vocabulary);
+      n_chars recomputed to stay consistent.
+    - embeddings: circular rotation by i positions — norm-preserving,
+      decorrelates cosine structure across copies."""
+    keys = KEY_COLS[table]
+    cols = [
+        (F.col(c) + i * OFF).alias(c) if c in keys else F.col(c)
+        for c in src.columns
+    ]
+    out = src.select(*cols)
+    if i == 0:
+        return out
+    if table == "documents":
+        text = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda t: F.concat(t, F.lit(f"_{i}"))
+            ),
+            " ",
+        )
+        out = out.withColumn("text", text).withColumn(
+            "n_chars", F.length("text").cast("int")
+        )
+    if table == "embeddings":
+        e = F.col("embedding")
+        out = out.withColumn(
+            "embedding",
+            F.concat(F.slice(e, i + 1, F.size(e) - i), F.slice(e, 1, i)),
+        )
+    return out
+
+
 def build(spark) -> None:
-    marker = os.path.join(SF1_DIR, "_SF1_COMPLETE")
+    marker = os.path.join(SF1_DIR, "_SF1_COMPLETE_V2")
     if os.path.exists(marker):
         print(f"sf1: already built at {SF1_DIR}", file=sys.stderr)
         return
@@ -88,15 +128,7 @@ def build(spark) -> None:
         if not keys:
             src.write.mode("overwrite").parquet(out_path)
             continue
-        parts = [
-            src.select(
-                *[
-                    (F.col(c) + i * OFF).alias(c) if c in keys else F.col(c)
-                    for c in src.columns
-                ]
-            )
-            for i in range(MULT)
-        ]
+        parts = [_copy_transform(table, src, i) for i in range(MULT)]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -115,19 +147,61 @@ def run(spark, names: list[str]) -> dict:
     if unknown:
         raise SystemExit(f"unknown gates: {unknown}")
     results: dict[str, dict] = {}
-    for sf_label, sf_dir in (("sf0.1", BASE), ("sf1", SF1_DIR)):
-        for name in names:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            n_rows = len(qs[name](spark, sf_dir).collect())
-            dt = round(time.perf_counter() - t0, 2)
-            results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n_rows}
-            print(f"{sf_label} {name}: {dt}s ({n_rows} rows)", file=sys.stderr)
+    # two interleaved passes, min per (gate, sf) — same estimator as bench.py
+    # (a single pass charges first-plan JIT to whichever sf runs first)
+    for pass_no in range(2):
+        for sf_label, sf_dir in (("sf0.1", BASE), ("sf1", SF1_DIR)):
+            for name in names:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                n_rows = len(qs[name](spark, sf_dir).collect())
+                dt = round(time.perf_counter() - t0, 2)
+                slot = results.setdefault(name, {}).setdefault(
+                    sf_label, {"sec": dt, "rows": n_rows, "samples": []}
+                )
+                slot["samples"].append(dt)
+                slot["sec"] = min(slot["samples"])
+                slot["rows"] = n_rows
+                print(
+                    f"p{pass_no + 1} {sf_label} {name}: {dt}s ({n_rows} rows)",
+                    file=sys.stderr,
+                )
     for name, r in results.items():
         s0, s1 = r["sf0.1"]["sec"], r["sf1"]["sec"]
         r["growth"] = round(s1 / s0, 1) if s0 > 0 else None
     return results
+
+
+def run_semdedup_scaled_k(spark) -> dict:
+    """The published SemDeDup scaling rule demonstrated: k grows with the
+    corpus so CLUSTER SIZE stays fixed and the n²/k pairwise bound stays
+    linear-per-row. The driver gate pins k=64 at every sf (so its sf1
+    growth is the expected fixed-k quadratic); this run scales k 64→640
+    with the 10× corpus, the way a production deployment tunes it."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    out: dict = {}
+    for sf_label, sf_dir, k in (("sf0.1", BASE, 64), ("sf1", SF1_DIR, 640)):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        cents = [
+            [float(x) for x in r.embedding]
+            for r in emb.orderBy("vec_id").limit(k).collect()
+        ]
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        n = sim.semantic_dedup(emb, cents, threshold=0.85).count()
+        out[sf_label] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": n,
+            "k": k,
+        }
+        print(f"semdedup_scaled_k {sf_label} (k={k}): {out[sf_label]}", file=sys.stderr)
+    out["growth"] = round(out["sf1"]["sec"] / out["sf0.1"]["sec"], 1)
+    return out
 
 
 def main() -> None:
@@ -142,6 +216,7 @@ def main() -> None:
         build(spark)
     if cmd in ("run", "all"):
         results = run(spark, names)
+        results["_semdedup_scaled_k"] = run_semdedup_scaled_k(spark)
         print(json.dumps({"multiplier": MULT, "gates": results}))
 
 
