@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from payroll_etl_fastapi_spark.operators.skew import salted_sum  # noqa: E402
 
+OFF = 100_000_000  # sf1 per-copy id shift (tools/sf1_validate.py)
+
 
 def timed(fn):
     t0 = time.perf_counter()
@@ -104,8 +106,28 @@ def main() -> None:
         print(f"skew: {name}: {sec}s ({n} groups)", file=sys.stderr)
 
     # --- join: sort-merge under skew, AQE skew-split on vs off ------------
-    users = fact.select("user_id").distinct()
-    dim = users.select(
+    # The dim is a full user-PROFILE universe (20M keys, ~100× the active
+    # keyset) — the 100 TB shape where the dim genuinely cannot broadcast.
+    # A tiny active-keys-only dim is the wrong simulation twice over: it
+    # would broadcast in production (no skew problem exists), and its
+    # near-empty shuffle partitions keep AQE's skew rule from engaging.
+    # 200k profile keys per copy-range (covering every fact user id) = 2M
+    # rows, built WITHOUT a distinct: a pre-aggregated dim arrives at the
+    # join already hash-partitioned on the key, and AQE's skew rule only
+    # splits joins whose children are bare shuffle stages — which is also
+    # the honest production shape (a profile table scan, not an agg). Kept
+    # to ~2M rows so the SKEWED side dominates the join cost (a dim an
+    # order of magnitude larger drowns the skew effect in its own sort).
+    ranges = [
+        spark.range(i * OFF, i * OFF + 200_000).select(
+            F.col("id").alias("user_id")
+        )
+        for i in range(10)
+    ]
+    dim = ranges[0]
+    for r in ranges[1:]:
+        dim = dim.unionByName(r)
+    dim = dim.select(
         "user_id", F.md5(F.col("user_id").cast("string")).alias("segment")
     )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -113,15 +135,30 @@ def main() -> None:
     def join_run():
         j = fact.join(dim, "user_id")
         agg = j.groupBy("segment").agg(F.sum("cents").alias("c"))
-        n = agg.count()
+        # collect the SAME DataFrame whose plan we inspect: .count() builds
+        # its own plan, leaving agg's queryExecution un-executed
+        # (isFinalPlan=false) and the skew marker invisible
+        n = len(agg.collect())
         return n, agg
 
     results_plan: dict[str, str] = {}
     try:
-        # a 1 MB threshold forces the dim (sub-MB compressed but multi-MB in
-        # join-build form at sf1 user counts) through sort-merge — the shape
-        # a too-big-to-broadcast dim has at 100 TB
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+        # broadcast disabled outright: the sf1 dim (15k users) is tiny, but
+        # the case under test is the 100 TB one where the dim CANNOT be
+        # broadcast — the join must sort-merge on the skewed key
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # scale the skew-split thresholds to the test volume: the hot
+        # partition here is ~50 MB, under the 256 MB production default —
+        # at 100 TB the same 25%-hot distribution exceeds the default by
+        # orders of magnitude, so triggering at (8 MB, 2 MB advisory) is the
+        # proportional re-creation of the production decision, not a cheat
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            str(8 * 1024 * 1024),
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(2 * 1024 * 1024)
+        )
         for label, aqe_skew in (("join_aqe_skew_on", "true"), ("join_aqe_skew_off", "false")):
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
             spark.sparkContext._jvm.System.gc()
@@ -139,6 +176,8 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
     print(json.dumps(out))
 
