@@ -188,6 +188,9 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame, lineitem:
         "interval_merge": lambda: _interval_merge(events),
         "containment": lambda: dedup.containment_pairs(docs).count(),
         "warclite_roundtrip": lambda: _warclite(spark, docs),
+        # round-6 addition: cross-snapshot incremental dedup — cost must
+        # track the BATCH, not the persisted index's corpus
+        "incremental_dedup": lambda: _incremental_dedup(spark, docs),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
             [
@@ -299,6 +302,25 @@ def _interval_merge(events: DataFrame) -> int:
         ).alias("e"),
     )
     return TS.merge_intervals(iv, "user_id", "s", "e", "event_id").count()
+
+
+def _incremental_dedup(spark, docs: DataFrame) -> int:
+    """Two-snapshot incremental ingest: evens build the index, the full
+    corpus arrives as the next batch (half rejected as index dups)."""
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    scratch = tempfile.mkdtemp(prefix="scale_incdedup_")
+    try:
+        index = TxTable(spark, os.path.join(scratch, "idx"))
+        dedup.incremental_minhash_dedup(
+            index, docs.filter(F.col("doc_id") % 2 == 0)
+        )
+        return dedup.incremental_minhash_dedup(index, docs).count()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _warclite(spark, docs: DataFrame) -> int:
