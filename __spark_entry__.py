@@ -89,7 +89,10 @@ _WINDOW: tuple[str, ...] = (
     # dedup gate takes the dedup anchor slot at registration time;
     # dedup_ngram_jaccard holds its r5 driver-green row in _SECONDARY
     "dedup_incremental",
-    "dedup_semantic_clusters",
+    # ROUND-6 second swap (same rule): the streaming ingest twin takes the
+    # SemDeDup anchor slot; dedup_semantic_clusters holds its r5 driver-green
+    # row in _SECONDARY
+    "dedup_incremental_stream",
     "ann_ivf_pq_topk",
     "vocab_bpe_merges",
     "multimodal_binary_stats",
@@ -162,6 +165,7 @@ _SECONDARY: tuple[str, ...] = (
     "set_ops_nation_coverage",
     "pivot_segment_balances",
     "dedup_exact",
+    "dedup_semantic_clusters",  # ceded its anchor slot to dedup_incremental_stream (r6); r5 driver-green
     "dedup_ngram_jaccard",  # ceded its anchor slot to dedup_incremental (r6); r5 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -859,12 +859,43 @@ def incremental_minhash_dedup(
     batch band rows against the index scan — Spark broadcasts the batch
     side, so the 100 TB index never shuffles, and data written per snapshot
     is `bands` rows per accepted doc."""
+    decisions, accepted_bands = incremental_minhash_decisions(
+        index.snapshot() if index.exists() else None,
+        batch,
+        text_col,
+        id_col,
+        n,
+        num_hashes,
+        bands,
+        seed,
+        min_est,
+    )
+    index.append(accepted_bands)
+    return decisions
+
+
+def incremental_minhash_decisions(
+    index_bands: DataFrame | None,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    min_est: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Side-effect-free core of `incremental_minhash_dedup`: given the
+    persisted band rows (or None for a fresh index), returns
+    (decisions, accepted_bands) without writing anything — the streaming
+    ingest loop (streaming/ingest.py) needs the split so the corpus and
+    index commits can each carry their own exactly-once epoch guard."""
     sig = minhash_signatures(batch, text_col, id_col, n, num_hashes, seed)
     b = band_rows(sig, num_hashes, bands)
 
     matches = []
-    if index.exists():
-        idx = index.snapshot().select(
+    if index_bands is not None:
+        idx = index_bands.select(
             "band",
             "sig",
             F.col("id").alias("matched_id"),
@@ -911,5 +942,4 @@ def incremental_minhash_dedup(
         )
     )
     accepted_bands = b.join(best, "id", "left_anti").select("band", "sig", "id", "mh")
-    index.append(accepted_bands)
-    return decisions
+    return decisions, accepted_bands

@@ -921,3 +921,144 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _incremental_stream_oracle(num_hashes: int = 16, bands: int = 4, min_est: float = 0.5) -> str:
+    """Sequential 3-batch replay of the STREAMING ingest: chunk k carries
+    originals doc_id%3==k plus mutated copies of the NEXT chunk's even
+    originals — so a mutant arrives one micro-batch before its original and
+    arrival order (not id order) decides the survivor. Three fixed CTE
+    levels replay batch-by-batch acceptance exactly."""
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    est = f"({agree}) / {float(num_hashes)}"
+    return f"""
+    WITH chunks AS (
+        SELECT doc_id AS id, doc_id % 3 AS chunk, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id, (doc_id % 3 + 2) % 3 AS chunk,
+               text || '{_MUTATION}' AS text
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    corpus AS (SELECT id, text FROM chunks),
+    {_SQL_SHINGLES},
+    {_sql_mh_bands(num_hashes, bands)},
+    cand AS (
+        SELECT DISTINCT x.id AS ida, y.id AS idb
+        FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+        WHERE x.id <> y.id
+    ),
+    vp AS (
+        SELECT c.ida, c.idb
+        FROM cand c JOIN mh a ON c.ida = a.id JOIN mh b ON c.idb = b.id
+        WHERE {est} >= {min_est}
+    ),
+    c0 AS (SELECT id FROM chunks WHERE chunk = 0),
+    c1 AS (SELECT id FROM chunks WHERE chunk = 1),
+    c2 AS (SELECT id FROM chunks WHERE chunk = 2),
+    acc0 AS (
+        SELECT id FROM c0 WHERE id NOT IN (
+            SELECT v.idb FROM vp v
+            JOIN c0 x ON v.ida = x.id JOIN c0 y ON v.idb = y.id
+            WHERE v.ida < v.idb
+        )
+    ),
+    acc1 AS (
+        SELECT id FROM c1 WHERE id NOT IN (
+            SELECT v.idb FROM vp v JOIN acc0 x ON v.ida = x.id JOIN c1 y ON v.idb = y.id
+            UNION
+            SELECT v.idb FROM vp v
+            JOIN c1 x ON v.ida = x.id JOIN c1 y ON v.idb = y.id
+            WHERE v.ida < v.idb
+        )
+    ),
+    acc2 AS (
+        SELECT id FROM c2 WHERE id NOT IN (
+            SELECT v.idb FROM vp v JOIN acc0 x ON v.ida = x.id JOIN c2 y ON v.idb = y.id
+            UNION
+            SELECT v.idb FROM vp v JOIN acc1 x ON v.ida = x.id JOIN c2 y ON v.idb = y.id
+            UNION
+            SELECT v.idb FROM vp v
+            JOIN c2 x ON v.ida = x.id JOIN c2 y ON v.idb = y.id
+            WHERE v.ida < v.idb
+        )
+    ),
+    admitted AS (
+        SELECT id FROM acc0 UNION ALL SELECT id FROM acc1 UNION ALL SELECT id FROM acc2
+    )
+    SELECT ch.id AS id,
+           CAST(ch.chunk AS BIGINT) AS chunk,
+           CAST(CASE WHEN ad.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS accepted
+    FROM chunks ch LEFT JOIN admitted ad ON ch.id = ad.id
+    ORDER BY chunk, id
+    """
+
+
+@query("dedup_incremental_stream", oracle=_incremental_stream_oracle())
+def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental ingest (streaming/ingest.stream_ingest_dedup):
+    documents arrive as three ts-ordered micro-batches (chunk k = originals
+    doc_id%3==k + mutated copies of the NEXT chunk's even originals), each
+    batch deduped against the persisted band index and the admissions
+    committed to an ACID corpus table + the index, epoch-guarded. ARRIVAL
+    order decides survivors across batches: a mutant landing one batch
+    before its original makes the ORIGINAL the rejected duplicate — the
+    gate's positive path — while chunk 2's mutants lose to their
+    already-indexed originals. The oracle replays the three batches as
+    fixed sequential CTE levels. Exactly-once/crash-replay semantics are
+    pytest-pinned (tests/test_stream_ingest.py)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
+        ((F.col("doc_id") % 3 + 2) % 3).alias("chunk"),
+    )
+    allc = docs.withColumn("chunk", F.col("doc_id") % 3).unionByName(mut)
+    scratch = tempfile.mkdtemp(prefix="spark_dedup_incs_")
+    try:
+        src = os.path.join(scratch, "chunks")
+        os.makedirs(src)
+        now = _time.time()
+        for k in range(3):
+            pdf = (
+                allc.filter(F.col("chunk") == k)
+                .select("doc_id", "text")
+                .orderBy("doc_id")
+                .toPandas()
+            )
+            path = os.path.join(src, f"chunk_{k}.parquet")
+            pdf.to_parquet(path, index=False)
+            os.utime(path, (now + k, now + k))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        index = TxTable(spark, os.path.join(scratch, "idx"))
+        corpus = TxTable(spark, os.path.join(scratch, "corpus"))
+        stream_ingest_dedup(stream, index, corpus, os.path.join(scratch, "ckpt"))
+        admitted = corpus.snapshot().select(F.col("doc_id").alias("id"))
+        out = (
+            allc.select(
+                F.col("doc_id").alias("id"), F.col("chunk").cast("long").alias("chunk")
+            )
+            .join(admitted.withColumn("_a", F.lit(1)), "id", "left")
+            .select(
+                "id",
+                "chunk",
+                F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("accepted"),
+            )
+            .orderBy("chunk", "id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

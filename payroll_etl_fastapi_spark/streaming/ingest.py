@@ -1,0 +1,100 @@
+"""Streaming corpus ingest with cross-snapshot dedup — the composed
+RefinedWeb/Dolma-style loop: a document stream is deduped per micro-batch
+against the PERSISTED MinHash band index (operators.dedup.
+incremental_minhash_decisions — the corpus side is never re-shingled),
+admitted docs land in an ACID corpus TxTable, and their band rows grow the
+index, both commits epoch-guarded for exactly-once under Structured
+Streaming's at-least-once delivery.
+
+No reference counterpart (/root/reference ingest is one-shot CSV batch);
+this is the streaming composition of three already-gated components
+(file/warclite stream source → incremental dedup → TxTable sink).
+
+Crash-consistency argument (order matters):
+- corpus commits BEFORE index. If the job dies between the two, the
+  replayed batch recomputes decisions against an index that still lacks
+  this batch's bands → the identical accepted set → the corpus commit is
+  skipped by its epoch key and the index commit proceeds. Nothing is lost
+  and nothing doubles.
+- if the job dies before the corpus commit, the replay recomputes the same
+  decisions and performs both commits.
+- a fully committed batch replays as two epoch-key skips.
+The dedup computation itself is idempotent ON TOP of this: a batch whose
+docs already sit in the index rejects every doc (self-match at est 1.0),
+so even a checkpoint wiped by an operator admits nothing twice.
+
+Scale shape: per-trigger cost is batch-linear (shingle/sign the batch,
+one broadcast-able equality join against the index scan); the index and
+corpus grow append-only; size triggers with maxFilesPerTrigger (file
+source) / maxShardsPerTrigger (warclite).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators.dedup import incremental_minhash_decisions
+from payroll_etl_fastapi_spark.sources.txtable import (
+    TxTable,
+    _stream_append_commit,
+    _table_epoch_versions,
+)
+
+
+def stream_ingest_dedup(
+    stream_docs: DataFrame,
+    index: TxTable,
+    corpus: TxTable,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    min_est: float = 0.5,
+):
+    """Drain the currently-available document stream (availableNow) through
+    the dedup-ingest loop; returns the terminated query (recentProgress
+    readable). Batches apply in trigger order — arrival order, not id
+    order, decides which duplicate survives across batches (within a batch
+    the keep-first min-id rule applies, as in the batch operator)."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
+        corpus_done = epoch_key in _table_epoch_versions(corpus)
+        index_done = epoch_key in _table_epoch_versions(index)
+        if corpus_done and index_done:
+            return  # fully committed batch replayed
+        decisions, accepted_bands = incremental_minhash_decisions(
+            index.snapshot() if index.exists() else None,
+            batch_df,
+            text_col,
+            id_col,
+            n,
+            num_hashes,
+            bands,
+            seed,
+            min_est,
+        )
+        accepted_docs = batch_df.join(
+            decisions.filter("accepted").select(F.col("id").alias(id_col)),
+            id_col,
+        )
+        if not corpus_done:
+            _stream_append_commit(corpus, accepted_docs, epoch_key)
+        if not index_done:
+            _stream_append_commit(index, accepted_bands, epoch_key)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,97 @@
+"""streaming/ingest.stream_ingest_dedup: the composed streaming dedup-ingest
+loop — arrival-order cross-batch dedup, exactly-once corpus+index commits,
+equivalence with the sequential batch operator."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from payroll_etl_fastapi_spark.operators import dedup
+from payroll_etl_fastapi_spark.sources.txtable import TxTable
+from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_dedup
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _write_chunk(dirpath, i, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, f"chunk_{i:03d}.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(path, index=False)
+    os.utime(path, (time.time() + i, time.time() + i))
+
+
+@pytest.fixture()
+def chunks(tmp_path):
+    """Three chunks; the MUTANT of doc 20 (id 1000020) arrives in chunk 0,
+    its original in chunk 1 — arrival order must make the mutant the
+    survivor. Doc 1 repeats verbatim in chunks 0 and 2."""
+    base = "the quick brown fox jumps over the lazy dog beside the river bank "
+    other = "completely different prose about catalyst plans and tungsten codegen "
+    d = str(tmp_path / "chunks")
+    _write_chunk(d, 0, [(1, base * 2), (1000020, other * 2 + "qq ww ee")])
+    _write_chunk(d, 1, [(20, other * 2), (21, "unrelated text about parquet row groups and page indexes " * 2)])
+    _write_chunk(d, 2, [(30, base * 2 + "zz yy"), (31, base * 2)])
+    return d
+
+
+def _drain(spark, src, index, corpus, ckpt):
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return stream_ingest_dedup(stream, index, corpus, ckpt)
+
+
+def test_stream_ingest_arrival_order_and_equivalence(spark, tmp_path, chunks):
+    index = TxTable(spark, str(tmp_path / "idx"))
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    _drain(spark, chunks, index, corpus, str(tmp_path / "ckpt"))
+
+    admitted = sorted(r.doc_id for r in corpus.snapshot().select("doc_id").collect())
+    # chunk 0: 1 and the mutant 1000020 (both fresh). chunk 1: original 20 is
+    # REJECTED (near-dup of the earlier-arrived mutant — arrival order, not
+    # id order), 21 fresh. chunk 2: 30 near-dup of 1 (rejected), 31 verbatim
+    # dup of 1 (rejected).
+    assert admitted == [1, 21, 1000020]
+    # index = bands of exactly the admitted docs
+    assert sorted(
+        r.id for r in index.snapshot().select("id").distinct().collect()
+    ) == admitted
+
+    # equivalence: sequential batch ingest over the same chunk order admits
+    # the same set
+    idx2 = TxTable(spark, str(tmp_path / "idx2"))
+    got = []
+    for i in range(3):
+        batch = spark.read.schema(DOC_SCHEMA).parquet(
+            os.path.join(chunks, f"chunk_{i:03d}.parquet")
+        )
+        d = dedup.incremental_minhash_dedup(idx2, batch)
+        got.extend(r.id for r in d.collect() if r.accepted)
+    assert sorted(got) == admitted
+
+
+def test_stream_ingest_exactly_once_and_idempotent(spark, tmp_path, chunks):
+    index = TxTable(spark, str(tmp_path / "idx"))
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, chunks, index, corpus, ckpt)
+    v_idx, v_cor = index.latest_version(), corpus.latest_version()
+    n_docs = corpus.snapshot().count()
+
+    # same checkpoint re-drain: no new input, no new commits
+    _drain(spark, chunks, index, corpus, ckpt)
+    assert (index.latest_version(), corpus.latest_version()) == (v_idx, v_cor)
+
+    # WIPED checkpoint (operator error): the stream replays everything, but
+    # the dedup is self-healing — every doc self-matches in the index, so
+    # zero docs are admitted twice (the index gains empty epoch commits only)
+    _drain(spark, chunks, index, corpus, str(tmp_path / "ckpt2"))
+    assert corpus.snapshot().count() == n_docs
+    assert corpus.snapshot().select("doc_id").distinct().count() == n_docs
