@@ -95,3 +95,32 @@ def test_stream_ingest_exactly_once_and_idempotent(spark, tmp_path, chunks):
     _drain(spark, chunks, index, corpus, str(tmp_path / "ckpt2"))
     assert corpus.snapshot().count() == n_docs
     assert corpus.snapshot().select("doc_id").distinct().count() == n_docs
+
+
+def test_stream_ingest_index_survives_compaction(spark, tmp_path, chunks):
+    """A long-running ingest accumulates one small data dir per micro-batch;
+    OPTIMIZE compacts the band index transactionally, and decisions after
+    compaction are unchanged (re-ingest still admits zero; a genuinely new
+    doc is still admitted)."""
+    index = TxTable(spark, str(tmp_path / "idx"))
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    _drain(spark, chunks, index, corpus, str(tmp_path / "ckpt"))
+    before = {(r.band, r.sig, r.id) for r in index.snapshot().collect()}
+
+    index.optimize(target_bytes=64 * 1024 * 1024)
+    after = {(r.band, r.sig, r.id) for r in index.snapshot().collect()}
+    assert after == before
+
+    # re-ingest chunk 0 against the compacted index: zero admits
+    batch = spark.read.schema(DOC_SCHEMA).parquet(
+        os.path.join(chunks, "chunk_000.parquet")
+    )
+    d = {r.id: r for r in dedup.incremental_minhash_dedup(index, batch).collect()}
+    assert all(not r.accepted for r in d.values())
+    # a genuinely new doc is still admitted
+    fresh = spark.createDataFrame(
+        [(999, "entirely novel sentence about adaptive query execution stages " * 2)],
+        DOC_SCHEMA,
+    )
+    d2 = dedup.incremental_minhash_dedup(index, fresh).collect()
+    assert d2[0].accepted
