@@ -29,6 +29,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from payroll_etl_fastapi_spark.operators.expr import floor_parallelism
+
 # 2^31 - 1 (prime); hash universe for minhash permutations
 MERSENNE_P = 2147483647
 SIMHASH_BITS = 28
@@ -74,7 +76,13 @@ def shingles(
     normalize+split calls per document, O(len²·n) work — measured 16.5s vs
     1.1s for the corpus shingle frame at sf0.1 (identical output). A doc with
     fewer than n tokens yields no shingles. Row count ≈ tokens per doc, so
-    this explodes ~|corpus| rows — partitioned by input splits, no shuffle."""
+    this explodes ~|corpus| rows — partitioned by input splits.
+
+    The tokenize+zip kernel is CPU-bound, so the input is floored to the
+    session's core count first (operators.expr.floor_parallelism): a no-op
+    at production split counts, and the difference between 1 busy core and
+    32 on single-row-group bench files (containment 4.1 s → 1.8 s sf0.1)."""
+    df = floor_parallelism(df)
     toks = tokens(F.col(text_col))
     n_grams = F.size(toks) - (n - 1)
     zipped = F.arrays_zip(*[F.slice(toks, k + 1, n_grams) for k in range(n)])
@@ -317,7 +325,7 @@ def simhash(
     if ngram > 1:
         toks = shingles(df, text_col, id_col, ngram).withColumnRenamed("shingle", "tok")
     else:
-        toks = df.select(
+        toks = floor_parallelism(df).select(
             F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
         ).distinct()
     toks = toks.withColumn("h", _h28(F.col("tok")))
@@ -561,6 +569,7 @@ def doc_spans(
     re-evaluation pitfall `shingles` documents (an unbound expression inside
     a lambda re-runs per invocation)."""
     w = span_tokens
+    df = floor_parallelism(df)
     t = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     n_full = F.expr(f"size(t) DIV {w}")
     idx = F.when(

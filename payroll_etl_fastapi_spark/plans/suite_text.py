@@ -375,14 +375,13 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle uses — zero shuffles before the per-lang rollup, so corpus
     cost is one scan regardless of document count."""
     docs = _t(spark, sf_dir, "documents")
-    m = T.repetition_metrics(F.col("text"))
     per = docs.select(
-        "doc_id", "lang", *[v.alias(k) for k, v in m.items()]
+        "doc_id", "lang", T.repetition_metrics(F.col("text")).alias("m")
     ).selectExpr(
         "lang",
-        "CASE WHEN g2_total > 0 THEN (g2_total - g2_distinct) * 10000 div g2_total ELSE 0 END AS dup2_bp",
-        "CASE WHEN g3_total > 0 THEN (g3_total - g3_distinct) * 10000 div g3_total ELSE 0 END AS dup3_bp",
-        "CASE WHEN g2_total > 0 THEN top2_count * 10000 div g2_total ELSE 0 END AS top2_bp",
+        "CASE WHEN m.g2_total > 0 THEN (m.g2_total - m.g2_distinct) * 10000 div m.g2_total ELSE 0 END AS dup2_bp",
+        "CASE WHEN m.g3_total > 0 THEN (m.g3_total - m.g3_distinct) * 10000 div m.g3_total ELSE 0 END AS dup3_bp",
+        "CASE WHEN m.g2_total > 0 THEN m.top2_count * 10000 div m.g2_total ELSE 0 END AS top2_bp",
     )
     return (
         per.groupBy("lang")

@@ -71,9 +71,11 @@ def test_ngrams_and_max_multiplicity_edges(spark):
         ],
         "id int, text string",
     )
-    m = T.repetition_metrics(F.col("text"))
     rows = {
-        r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in m.items()]).collect()
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", T.repetition_metrics(F.col("text")).alias("m")
+        ).collect()
     }
     assert rows[1]["g2_total"] == 4 and rows[1]["g2_distinct"] == 2
     assert rows[1]["top2_count"] == 2
