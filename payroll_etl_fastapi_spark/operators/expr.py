@@ -51,8 +51,10 @@ def let(body: Callable[..., Column], **bindings: Column) -> Column:
 
 
 def floor_parallelism(df: DataFrame, multiplier: int = 1) -> DataFrame:
-    """Round-robin repartition IFF the frame currently has fewer than half
-    the session's cores as partitions; otherwise return ``df`` unchanged.
+    """Round-robin repartition IFF the frame is a pure scan-side pipeline
+    (scan → project/filter/union, no shuffle-inducing node) backed by fewer
+    than half the session's cores in input files; otherwise return ``df``
+    unchanged.
 
     The guard makes this scale-correct: on a real cluster the scan already
     yields ≥ cores splits and no exchange is added, while on a bench box
@@ -64,12 +66,26 @@ def floor_parallelism(df: DataFrame, multiplier: int = 1) -> DataFrame:
     length).
     """
     try:
-        sc = df.sparkSession.sparkContext
-        cores = sc.defaultParallelism
-        parts = df.rdd.getNumPartitions()
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        # ZERO-EXECUTION probe. df.rdd.getNumPartitions() would be the
+        # direct reading, but under AQE materializing the RDD EXECUTES every
+        # intermediate query stage just to learn the partition count (then
+        # throws the work away — measured 4 s → 26 s on a gate whose corpus
+        # is a computed frame). Instead: the backing file list (metadata
+        # only), and the optimized logical plan to confirm the frame is a
+        # pure scan→project/filter/union pipeline — any shuffle-inducing
+        # node means the frame already runs at spark.sql.shuffle.partitions
+        # width and needs no floor.
+        files = df.inputFiles()
+        if not files or len(files) * 2 > cores:
+            return df
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
-        # streaming frames (no .rdd) and exotic plans: leave untouched
+        # streaming frames and exotic plans: leave untouched
         return df
-    if parts * 2 <= cores:
-        return df.repartition(cores * max(1, multiplier))
-    return df
+    if any(
+        kw in plan
+        for kw in ("Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate")
+    ):
+        return df
+    return df.repartition(cores * max(1, multiplier))

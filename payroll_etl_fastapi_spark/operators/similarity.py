@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from payroll_etl_fastapi_spark.operators.expr import floor_parallelism
+
 LSH_SEED = 0x5EED
 # 32 planes / 4 bands = 8 sign bits per band: two unrelated vectors collide on
 # a band w.p. ~2^-8, so the candidate set stays ~1% of all pairs; a 0.9-cosine
@@ -152,19 +154,33 @@ def cosine_topk(
                 "Use the ANN operators (ivf_topk / pq_adc_topk / lsh_topk) at "
                 "this scale, or pass max_pairs=None to force the exact scan."
             )
+    # norms are precomputed per ROW on each side (bit-identical to the
+    # per-pair form: same fold, same sqrt) — the inline cosine() would
+    # re-fold dot(q,q) and dot(c,c) once per PAIR, tripling the flops of
+    # the corpus scan; the corpus side is floored to core-count parallelism
+    # because the fold kernel is CPU-bound and single-row-group bench files
+    # scan as one task
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = floor_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            cosine_prenormed(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -198,6 +214,8 @@ def cosine_topk_arrow(
     neighbors with null cosine (ranked last); this path drops them."""
     import numpy as np
     import pandas as pd
+
+    corpus = floor_parallelism(corpus)
 
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
@@ -262,6 +280,7 @@ def lsh_topk(
     The scale path: the corpus is hashed once (narrow projection), candidate
     generation is an equality join on (band, sig) against the broadcast query
     signatures, and the exact cosine runs only on the candidate set."""
+    corpus = floor_parallelism(corpus)
     planes = hyperplane_signs(num_planes, dim)
 
     def with_bands(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -353,6 +372,7 @@ def embedding_near_dup_pairs(
     id-equality joins (AQE broadcasts the candidate side when it is small;
     at warehouse scale they are plain shuffle joins — candidate pairs grow
     with the corpus, so broadcasting them is deliberately NOT hinted)."""
+    df = floor_parallelism(df)
     planes = hyperplane_signs(num_planes, dim)
     sigs = band_signatures(F.col(vec_col), planes, bands)
     pairs = F.array(
@@ -549,7 +569,13 @@ def ivf_topk(
     id — same as the oracle's row_number) and the same fold-ordered cosine,
     so results are bit-identical; tests pin literal ≡ broadcast. The search
     then touches ~n_probe/n_centroids of the corpus. Recall is bounded by
-    probe coverage, exactly what the paired oracle replays."""
+    probe coverage, exactly what the paired oracle replays.
+
+    NO parallelism floor here: inserting a round-robin exchange under the
+    literal assignment chain moves the 16×64-term codegen unit across a
+    stage boundary and drops it to interpreted eval (measured 3.6 s → 24 s
+    at sf0.1, single task either way) — and ivf's cost is the probe join,
+    not the scan-side kernel."""
     import math
 
     if centroids is not None:
@@ -713,6 +739,7 @@ def semantic_dedup(
         )
     if assign_via not in ("literal", "broadcast"):
         raise ValueError(f"assign_via must be literal|broadcast|auto, got {assign_via!r}")
+    corpus = floor_parallelism(corpus)
     vec = F.col(vec_col)
     if assign_via == "literal":
         # plan-size O(nlist x dim) codegen chains -- right for small
