@@ -93,7 +93,10 @@ _WINDOW: tuple[str, ...] = (
     # SemDeDup anchor slot; dedup_semantic_clusters holds its r5 driver-green
     # row in _SECONDARY
     "dedup_incremental_stream",
-    "ann_ivf_pq_topk",
+    # ROUND-6 third swap (same rule): the incremental SemDeDup ingest gate
+    # takes the ANN anchor slot at registration time; ann_ivf_pq_topk holds
+    # its r5 driver-green row in _SECONDARY
+    "dedup_semantic_incremental",
     "vocab_bpe_merges",
     "multimodal_binary_stats",
     "multimodal_cdc_neardup",
@@ -167,6 +170,7 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_semantic_clusters",  # ceded its anchor slot to dedup_incremental_stream (r6); r5 driver-green
     "dedup_ngram_jaccard",  # ceded its anchor slot to dedup_incremental (r6); r5 driver-green
+    "ann_ivf_pq_topk",  # ceded its anchor slot to dedup_semantic_incremental (r6); r5 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -697,6 +697,233 @@ def ivf_topk(
     )
 
 
+def _dot_chain_sql(x: str, y: str, dim: int) -> str:
+    """Dot product as a server-parsed UNROLLED SQL chain — term-for-term the
+    same left-associative IEEE sum the zip_with/aggregate fold (and a SQL
+    oracle's list_reduce) performs, but whole-stage-codegen'd instead of
+    interpreted per row."""
+    return " + ".join(
+        f"(CAST(element_at({x}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({y}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+
+
+def _assign_clusters(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    assign_via: str,
+) -> DataFrame:
+    """(id, v, cluster_id): nearest-centroid assignment — struct-min squared-L2
+    argmin, ties to the smaller centroid id — shared by semantic_dedup and the
+    incremental ingest twin so the two can never diverge on cluster routing."""
+    from payroll_etl_fastapi_spark.operators.pq import _block_dist
+
+    nlist = len(centroids)
+    if assign_via == "auto":
+        # the cutoff is TOTAL chain terms, not centroid count: 16 centroids
+        # x 64 dims of unrolled literal chains already overflow janino's
+        # 64 KB method limit when whole-stage codegen fuses the self-join's
+        # two assignment sides — the failed compile ATTEMPT alone cost ~50 s
+        # per run before falling back to interpreted eval. The broadcast
+        # fold is bit-identical (pinned by test) with O(1) generated code.
+        assign_via = (
+            "literal" if nlist * len(centroids[0]) <= 512 else "broadcast"
+        )
+    if assign_via not in ("literal", "broadcast"):
+        raise ValueError(f"assign_via must be literal|broadcast|auto, got {assign_via!r}")
+    corpus = floor_parallelism(corpus)
+    vec = F.col(vec_col)
+    if assign_via == "literal":
+        # plan-size O(nlist x dim) codegen chains -- right for small
+        # quantizers (the oracle-replayed gate shape)
+        cells = F.array(
+            *[
+                F.struct(_block_dist(vec_col, 0, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            vec.alias("v"),
+            F.array_min(cells).getField("i").alias("cluster_id"),
+        )
+    # broadcast path (same trade as ivf_topk's): centroids travel as ONE
+    # broadcast row, the argmin is array_min over a transform() lambda --
+    # plan size O(1), the only form that survives SemDeDup's "raise k
+    # with corpus size" rule (the 10x scale smoke went 7.3x super-linear
+    # on 160 literal centroids before this path existed). The fold-based
+    # L2 starts at 0.0 + d1, bit-identical to the literal chain (IEEE
+    # 0.0 + x == x for the non-negative squared terms); pinned by test.
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cent_id long, cent_vec array<double>",
+    )
+    one_row = F.broadcast(
+        cent_df.agg(
+            F.collect_list(F.struct("cent_id", "cent_vec")).alias("_cents")
+        )
+    )
+    mapped = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    c["cent_vec"],
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cent_id"].cast("int").alias("i"),
+        ),
+    )
+    return corpus.crossJoin(one_row).select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        F.array_min(mapped).getField("i").alias("cluster_id"),
+    )
+
+
+def incremental_semantic_dedup(
+    index,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_via: str = "auto",
+) -> DataFrame:
+    """Dedupe a NEW embedding batch against a persisted cluster-routed vector
+    index WITHOUT recomputing the corpus side, admit the survivors, and grow
+    the index append-only — the SemDeDup ingest shape (the embedding sibling
+    of operators.dedup.incremental_minhash_dedup): the quantizer is FROZEN
+    after the first snapshot (as production SemDeDup ingest freezes it), new
+    vectors route to their cluster, and comparisons stay cluster-local.
+
+    ``index`` is a sources.txtable.TxTable holding (cluster_id, id, v, norm)
+    for every previously ACCEPTED vector (created on first use). A batch
+    vector is REJECTED iff it has a same-cluster match with cosine ≥
+    ``threshold`` against (a) an index vector or (b) a lower-id vector of the
+    same batch — the same greedy keep-first approximation the MinHash twin
+    uses (a lower-id batch match rejects regardless of that vector's own
+    fate; on dup-free snapshots this equals from-scratch keep-first).
+
+    Returns one decision row per batch vector:
+        (id, cluster_id, accepted, matched_id, cosine)
+    with matched_id/cosine describing the SMALLEST-id verified match (NULL
+    for accepted). Re-ingesting the same batch admits zero vectors (every
+    vector self-matches at cosine ≈ 1); append-only growth and idempotence
+    are pytest-pinned.
+
+    Scale shape: batch cost only. Assignment and norms are linear in the
+    batch; the index side is ONE equality join on cluster_id with the BATCH
+    side broadcast — the 100 TB index never shuffles, and rows written per
+    snapshot are exactly the accepted vectors. Cross-cluster near-dups are
+    missed BY DESIGN (SemDeDup's own recall trade, replayed by the oracle)."""
+    decisions, accepted_rows = incremental_semantic_decisions(
+        index.snapshot() if index.exists() else None,
+        batch,
+        centroids,
+        threshold,
+        id_col,
+        vec_col,
+        assign_via,
+    )
+    index.append(accepted_rows)
+    return decisions
+
+
+def incremental_semantic_decisions(
+    index_rows: DataFrame | None,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_via: str = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """Side-effect-free core of `incremental_semantic_dedup`: given the
+    persisted index rows (or None for a fresh index), returns
+    (decisions, accepted_rows) without writing anything — the same split as
+    incremental_minhash_decisions, so a streaming ingest loop can wrap the
+    corpus and index commits in their own exactly-once epoch guards."""
+    dim = len(centroids[0])
+    assigned = _assign_clusters(batch, centroids, id_col, vec_col, assign_via)
+    # (id, v, cluster_id, norm) materialized ONCE — feeds the index join, the
+    # in-batch self-join, the verdict join, and the accepted-rows projection
+    normed = assigned.withColumn(
+        "norm", F.expr(f"sqrt({_dot_chain_sql('v', 'v', dim)})")
+    ).localCheckpoint(eager=False)
+    probe = normed.select(
+        F.col("id"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        "cluster_id",
+    )
+    cos_ge = (
+        f"({_dot_chain_sql('va', 'vb', dim)}) / nullif(na * nb, 0.0D)"
+        f" >= {float(threshold)!r}D"
+    )
+    cos_val = F.expr(
+        f"({_dot_chain_sql('va', 'vb', dim)}) / nullif(na * nb, 0.0D)"
+    )
+    matches = []
+    if index_rows is not None:
+        # the index is the BIG side at scale: join it against the broadcast
+        # batch so it never shuffles
+        idx = index_rows.select(
+            "cluster_id",
+            F.col("id").alias("matched_id"),
+            F.col("v").alias("vb"),
+            F.col("norm").alias("nb"),
+        )
+        matches.append(
+            idx.join(F.broadcast(probe), "cluster_id")
+            .filter(F.expr(cos_ge))
+            .select("id", "matched_id", cos_val.alias("cosine"))
+        )
+    lo = normed.select(
+        "cluster_id",
+        F.col("id").alias("matched_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    matches.append(
+        probe.join(F.broadcast(lo), "cluster_id")
+        .filter(F.col("matched_id") < F.col("id"))
+        .filter(F.expr(cos_ge))
+        .select("id", "matched_id", cos_val.alias("cosine"))
+    )
+    all_matches = matches[0]
+    for m in matches[1:]:
+        all_matches = all_matches.unionByName(m)
+    best = (
+        all_matches.groupBy("id")
+        .agg(F.min(F.struct("matched_id", "cosine")).alias("b"))
+        .select("id", F.col("b.matched_id").alias("matched_id"), F.col("b.cosine").alias("cosine"))
+    )
+    decisions = (
+        normed.join(best, "id", "left")
+        .select(
+            "id",
+            "cluster_id",
+            F.col("matched_id").isNull().alias("accepted"),
+            "matched_id",
+            "cosine",
+        )
+    )
+    accepted_rows = normed.join(best.select("id"), "id", "left_anti").select(
+        "cluster_id", "id", "v", "norm"
+    )
+    return decisions, accepted_rows
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -724,76 +951,7 @@ def semantic_dedup(
     argmin as operators.pq (ties -> smaller cluster id); the in-cluster
     cosine is the shared fold-ordered bit-exact cosine, so a SQL oracle
     replays assignment, pairing, and verdicts exactly."""
-    from payroll_etl_fastapi_spark.operators.pq import _block_dist
-
-    nlist = len(centroids)
-    if assign_via == "auto":
-        # the cutoff is TOTAL chain terms, not centroid count: 16 centroids
-        # x 64 dims of unrolled literal chains already overflow janino's
-        # 64 KB method limit when whole-stage codegen fuses the self-join's
-        # two assignment sides — the failed compile ATTEMPT alone cost ~50 s
-        # per run before falling back to interpreted eval. The broadcast
-        # fold is bit-identical (pinned by test) with O(1) generated code.
-        assign_via = (
-            "literal" if nlist * len(centroids[0]) <= 512 else "broadcast"
-        )
-    if assign_via not in ("literal", "broadcast"):
-        raise ValueError(f"assign_via must be literal|broadcast|auto, got {assign_via!r}")
-    corpus = floor_parallelism(corpus)
-    vec = F.col(vec_col)
-    if assign_via == "literal":
-        # plan-size O(nlist x dim) codegen chains -- right for small
-        # quantizers (the oracle-replayed gate shape)
-        cells = F.array(
-            *[
-                F.struct(_block_dist(vec_col, 0, c).alias("d"), F.lit(i).alias("i"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-        assigned = corpus.select(
-            F.col(id_col).alias("id"),
-            vec.alias("v"),
-            F.array_min(cells).getField("i").alias("cluster_id"),
-        )
-    else:
-        # broadcast path (same trade as ivf_topk's): centroids travel as ONE
-        # broadcast row, the argmin is array_min over a transform() lambda --
-        # plan size O(1), the only form that survives SemDeDup's "raise k
-        # with corpus size" rule (the 10x scale smoke went 7.3x super-linear
-        # on 160 literal centroids before this path existed). The fold-based
-        # L2 starts at 0.0 + d1, bit-identical to the literal chain (IEEE
-        # 0.0 + x == x for the non-negative squared terms); pinned by test.
-        spark = corpus.sparkSession
-        cent_df = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cent_id long, cent_vec array<double>",
-        )
-        one_row = F.broadcast(
-            cent_df.agg(
-                F.collect_list(F.struct("cent_id", "cent_vec")).alias("_cents")
-            )
-        )
-        mapped = F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        c["cent_vec"],
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                c["cent_id"].cast("int").alias("i"),
-            ),
-        )
-        assigned = corpus.crossJoin(one_row).select(
-            F.col(id_col).alias("id"),
-            vec.alias("v"),
-            F.array_min(mapped).getField("i").alias("cluster_id"),
-        )
+    assigned = _assign_clusters(corpus, centroids, id_col, vec_col, assign_via)
     # pairwise cosine as a server-parsed UNROLLED chain, not the zip_with/
     # aggregate fold: higher-order lambdas are interpreted per pair, and at
     # ~500k within-cluster pairs that read as ~2 min of eval at sf0.1; the
@@ -803,11 +961,7 @@ def semantic_dedup(
     dim = len(centroids[0])
 
     def _dot_sql(x: str, y: str) -> str:
-        return " + ".join(
-            f"(CAST(element_at({x}, {i}) AS DOUBLE) * "
-            f"CAST(element_at({y}, {i}) AS DOUBLE))"
-            for i in range(1, dim + 1)
-        )
+        return _dot_chain_sql(x, y, dim)
 
     # materialize (id, v, cluster_id, norm) ONCE: the frame feeds the pair
     # join's probe side, its broadcast build side, AND the final verdict

@@ -784,3 +784,147 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_INC_SEM_CENTS = 16
+_INC_SEM_THR = 0.85
+
+
+def _semantic_incremental_oracle(
+    ncent: int = _INC_SEM_CENTS, threshold: float = _INC_SEM_THR
+) -> str:
+    """SQL twin of the incremental SemDeDup ingest: replays BOTH snapshots —
+    the frozen quantizer (ncent lowest-id vectors of snapshot A), snapshot A's
+    own keep-first ingest (what the index holds), then the batch decisions
+    against index ∪ lower-id batch — with the shared fold-exact cosine."""
+    d = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        "i -> (CAST(src.embedding[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE)) * "
+        "(CAST(src.embedding[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH a AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    b AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+        UNION ALL
+        SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CASE WHEN (i - 1) % 7 = 0 THEN CAST(0.0 AS FLOAT)
+                             ELSE embedding[i] END) AS embedding
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM a ORDER BY vec_id LIMIT {ncent})
+    ),
+    assign_a AS (
+        SELECT src.vec_id AS id, src.embedding AS v, cents.cid AS cluster_id
+        FROM a src, cents
+        QUALIFY row_number() OVER (
+            PARTITION BY src.vec_id ORDER BY {d}, cents.cid
+        ) = 1
+    ),
+    assign_b AS (
+        SELECT src.vec_id AS id, src.embedding AS v, cents.cid AS cluster_id
+        FROM b src, cents
+        QUALIFY row_number() OVER (
+            PARTITION BY src.vec_id ORDER BY {d}, cents.cid
+        ) = 1
+    ),
+    a_rej AS (
+        SELECT DISTINCT p.id
+        FROM assign_a p JOIN assign_a q
+          ON p.cluster_id = q.cluster_id AND q.id < p.id
+        WHERE {_sql_cosine('p.v', 'q.v')} >= {threshold!r}
+    ),
+    acc_a AS (
+        SELECT * FROM assign_a WHERE id NOT IN (SELECT id FROM a_rej)
+    ),
+    m AS (
+        SELECT p.id, q.id AS matched_id,
+               {_sql_cosine('p.v', 'q.v')} AS cosine
+        FROM assign_b p JOIN acc_a q ON p.cluster_id = q.cluster_id
+        WHERE {_sql_cosine('p.v', 'q.v')} >= {threshold!r}
+        UNION ALL
+        SELECT p.id, q.id AS matched_id,
+               {_sql_cosine('p.v', 'q.v')} AS cosine
+        FROM assign_b p JOIN assign_b q
+          ON p.cluster_id = q.cluster_id AND q.id < p.id
+        WHERE {_sql_cosine('p.v', 'q.v')} >= {threshold!r}
+    ),
+    best AS (
+        SELECT id, matched_id, cosine FROM m
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY matched_id) = 1
+    )
+    SELECT p.id,
+           p.cluster_id,
+           CAST(CASE WHEN best.id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS accepted,
+           CAST(coalesce(best.matched_id, -1) AS BIGINT) AS matched_id,
+           coalesce({_sql_r6('best.cosine')}, -1.0) AS cosine
+    FROM assign_b p LEFT JOIN best ON p.id = best.id
+    ORDER BY p.id
+    """
+
+
+@query("dedup_semantic_incremental", oracle=_semantic_incremental_oracle())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup ingest (operators.similarity.
+    incremental_semantic_dedup) — the embedding sibling of
+    ``dedup_incremental``: snapshot A (even vec_ids) trains nothing — the
+    quantizer is FROZEN as A's {_INC_SEM_CENTS} lowest-id vectors — and is
+    ingested into a persisted TxTable vector index (cluster_id, id, v,
+    norm); the new batch (vec_id%3 verbatim — %6 overlap are exact dups of
+    index vectors — plus 7th-element-zeroed copies of vec_id%5 at cosine
+    ≈ 0.92, whose original may sit in the index, in the batch, or in
+    neither) is deduped against the index cluster-locally WITHOUT
+    recomputing the corpus side, and the survivors are appended. Output:
+    one decision row per batch vector (accepted 0/1, smallest-id verified
+    match, its cosine; -1 sentinels for accepted). The oracle replays the
+    frozen quantizer, snapshot A's own keep-first ingest, and both match
+    sources end-to-end. Append-only growth and re-ingest idempotence are
+    pytest-pinned (tests/test_similarity.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    snap_a = emb.filter(F.col("vec_id") % 2 == 0)
+    batch_b = emb.filter(F.col("vec_id") % 3 == 0).unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(i % 7 == 0, F.lit(0.0).cast("float")).otherwise(x),
+            ).alias("embedding"),
+        )
+    )
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in snap_a.orderBy("vec_id").limit(_INC_SEM_CENTS).collect()
+    ]
+    scratch = tempfile.mkdtemp(prefix="spark_semdedup_inc_")
+    try:
+        index = TxTable(spark, os.path.join(scratch, "vec_index"))
+        sim.incremental_semantic_dedup(
+            index, snap_a, cents, threshold=_INC_SEM_THR
+        )
+        dec = sim.incremental_semantic_dedup(
+            index, batch_b, cents, threshold=_INC_SEM_THR
+        )
+        out = dec.select(
+            "id",
+            "cluster_id",
+            F.when(F.col("accepted"), 1).otherwise(0).cast("long").alias("accepted"),
+            F.coalesce(F.col("matched_id"), F.lit(-1)).cast("long").alias("matched_id"),
+            F.coalesce(_r6(F.col("cosine")), F.lit(-1.0)).alias("cosine"),
+        ).orderBy("id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+

@@ -211,3 +211,86 @@ def test_cosine_topk_all_pairs_guard(emb_df):
         sim.cosine_topk(df, df, 3, max_pairs=100)
     forced = sim.cosine_topk(df.limit(6), df.limit(2), 3, max_pairs=None)
     assert forced.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], SCHEMA
+    )
+
+
+def test_incremental_semantic_decisions_and_index_growth(spark, tmp_path):
+    """Snapshot 1 builds the vector index; a batch with an exact index dup, a
+    near-dup of an index vector, an intra-batch near-dup and a fresh vector
+    gets the right per-vector decision; the index grows append-only by one
+    row per accepted vector; re-ingest admits zero."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    snap1 = _vecs(spark, [(1, (1, 0.1, 0, 0)), (2, (0.1, 1, 0, 0))])
+    index = TxTable(spark, str(tmp_path / "vec_index"))
+    d1 = {
+        r.id: r
+        for r in sim.incremental_semantic_dedup(index, snap1, cents, 0.9).collect()
+    }
+    assert d1[1].accepted and d1[2].accepted
+    assert d1[1].cluster_id == 0 and d1[2].cluster_id == 1
+    v1 = index.latest_version()
+    n1 = index.snapshot().count()
+    assert n1 == 2  # one row per accepted vector
+
+    batch = _vecs(
+        spark,
+        [
+            (10, (1, 0.1, 0, 0)),      # exact dup of 1 -> rejected vs index
+            (11, (1, 0.12, 0, 0)),     # near-dup of 1 -> rejected, matched 1
+            (20, (0, 1, 0.60, 0)),     # fresh (cos vs 2 ~= 0.853 < 0.9)
+            (21, (0, 1, 0.62, 0)),     # intra-batch near-dup of 20 (~0.9998),
+                                       # vs 2 only ~0.846
+        ],
+    )
+    d2 = {
+        r.id: r
+        for r in sim.incremental_semantic_dedup(index, batch, cents, 0.9).collect()
+    }
+    assert not d2[10].accepted and d2[10].matched_id == 1 and d2[10].cosine > 0.999
+    assert not d2[11].accepted and d2[11].matched_id == 1
+    assert d2[20].accepted and d2[20].matched_id is None and d2[20].cosine is None
+    assert not d2[21].accepted and d2[21].matched_id == 20
+    assert index.latest_version() > v1
+    assert index.snapshot().count() == n1 + 1  # only vector 20 admitted
+
+    # re-ingesting the SAME batch admits zero vectors (self-matches at ~1.0)
+    d3 = {
+        r.id: r
+        for r in sim.incremental_semantic_dedup(index, batch, cents, 0.9).collect()
+    }
+    assert all(not r.accepted for r in d3.values())
+    assert d3[20].matched_id == 20 and d3[20].cosine > 0.999
+    assert index.snapshot().count() == n1 + 1  # no growth on re-ingest
+    assert {h["operation"] for h in index.history()} == {"append"}
+
+
+def test_incremental_semantic_cross_cluster_miss_is_by_design(spark, tmp_path):
+    """Two vectors at cosine ~0.999 that straddle the cluster boundary are
+    NOT matched — SemDeDup's own recall trade (comparisons are cluster-local),
+    which the paired oracle replays identically."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    u = (1, 0.96, 0, 0)   # argmin L2 -> cluster 0
+    w = (0.96, 1, 0, 0)   # argmin L2 -> cluster 1; cosine(u, w) ~= 0.9992
+    index = TxTable(spark, str(tmp_path / "vec_index"))
+    d1 = sim.incremental_semantic_dedup(
+        index, _vecs(spark, [(1, u)]), cents, 0.9
+    ).collect()
+    assert d1[0].accepted and d1[0].cluster_id == 0
+    d2 = sim.incremental_semantic_dedup(
+        index, _vecs(spark, [(2, w)]), cents, 0.9
+    ).collect()
+    assert d2[0].accepted and d2[0].cluster_id == 1  # missed by design
