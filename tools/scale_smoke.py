@@ -191,6 +191,9 @@ def ops_for(spark, docs: DataFrame, emb: DataFrame, events: DataFrame, lineitem:
         # round-6 addition: cross-snapshot incremental dedup — cost must
         # track the BATCH, not the persisted index's corpus
         "incremental_dedup": lambda: _incremental_dedup(spark, docs),
+        # round-6 addition: the embedding sibling — frozen quantizer, index
+        # joined via broadcast batch, cost tracks the batch again
+        "incremental_semantic": lambda: _incremental_semantic(spark, emb),
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb,
             [
@@ -319,6 +322,31 @@ def _incremental_dedup(spark, docs: DataFrame) -> int:
             index, docs.filter(F.col("doc_id") % 2 == 0)
         )
         return dedup.incremental_minhash_dedup(index, docs).count()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _incremental_semantic(spark, emb: DataFrame) -> int:
+    """Two-snapshot SemDeDup ingest: evens freeze the quantizer and build the
+    vector index, the full corpus arrives as the next batch (evens rejected
+    as exact index dups). k scales with the corpus (the SemDeDup rule)."""
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    snap = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in snap.orderBy("vec_id").limit(64 * mult_of(emb)).collect()
+    ]
+    scratch = tempfile.mkdtemp(prefix="scale_incsem_")
+    try:
+        index = TxTable(spark, os.path.join(scratch, "vec_idx"))
+        sim.incremental_semantic_dedup(index, snap, cents, threshold=0.95)
+        return sim.incremental_semantic_dedup(
+            index, emb, cents, threshold=0.95
+        ).count()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
