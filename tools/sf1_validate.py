@@ -69,6 +69,7 @@ DEFAULT_GATES = [
     "txtable_acid_ops",
     "ann_lsh_topk",
     "dedup_incremental",
+    "dedup_semantic_incremental",
     "kpi_summary_month",
     "kpi_anomalies_mad",
     "kpi_delta_months",
