@@ -904,6 +904,10 @@ def incremental_minhash_decisions(
 
     matches = []
     if index_bands is not None:
+        # floor the index scan width: a young index is a couple of parquet
+        # files whose 1-2 scan partitions would carry the whole band-match
+        # probe; at mature index sizes the floor is a no-op
+        index_bands = floor_parallelism(index_bands)
         idx = index_bands.select(
             "band",
             "sig",

@@ -876,7 +876,12 @@ def incremental_semantic_decisions(
     matches = []
     if index_rows is not None:
         # the index is the BIG side at scale: join it against the broadcast
-        # batch so it never shuffles
+        # batch so it never shuffles. Its scan width bounds the pair-scan
+        # parallelism, so floor it — a young index is a handful of parquet
+        # files (the sf1 validation caught this: 2 files → 2 tasks carrying
+        # a 6.7M-pair chain scan, 185 s; floored: seconds), while a mature
+        # 100 TB index has thousands of splits and the floor is a no-op
+        index_rows = floor_parallelism(index_rows)
         idx = index_rows.select(
             "cluster_id",
             F.col("id").alias("matched_id"),
