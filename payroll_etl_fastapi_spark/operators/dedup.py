@@ -904,10 +904,13 @@ def incremental_minhash_decisions(
 
     matches = []
     if index_bands is not None:
-        # floor the index scan width: a young index is a couple of parquet
-        # files whose 1-2 scan partitions would carry the whole band-match
-        # probe; at mature index sizes the floor is a no-op
-        index_bands = floor_parallelism(index_bands)
+        # deliberately NO scan-width floor on the index side (unlike the
+        # semantic twin, where 64-term cosine chains made a 2-file index
+        # scan the bottleneck): band matching is an equality join whose
+        # per-candidate work is O(1), so the floor's repartition is pure
+        # overhead at young-index sizes — measured +1.3 s/+2.9 s on the
+        # batch/streaming ingest gates at sf0.1, no sf1 benefit (9.4 s
+        # either way)
         idx = index_bands.select(
             "band",
             "sig",
