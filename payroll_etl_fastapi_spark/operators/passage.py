@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from payroll_etl_fastapi_spark.operators.expr import floor_parallelism
 from payroll_etl_fastapi_spark.operators.text import normalize_text
 
 __all__ = ["chunk_docs", "common_chunks", "scrub_common_passages"]
@@ -39,7 +40,9 @@ def chunk_docs(
 ) -> DataFrame:
     """(doc_id, chunk_idx, chunk): consecutive ``chunk_words``-word windows of
     the normalized text; the final chunk may be short. Pure projection +
-    posexplode — no shuffle."""
+    posexplode — no shuffle (the CPU-bound tokenize kernel gets the shared
+    core-count floor, a no-op at production split counts)."""
+    docs = floor_parallelism(docs)
     words = F.split(normalize_text(F.col(text_col)), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
     chunks = F.transform(

@@ -261,6 +261,9 @@ def unigram_lm_scores(
     microunits BEFORE the per-doc sum (the suite's determinism convention:
     cross-row double sums are order-dependent; integer sums are not), then
     derives the average with fixed op order — the oracle-replayable mode."""
+    # no parallelism floor: the tokenize feeds an explode→groupBy, so the
+    # shuffle already spreads the heavy side; the floor's exchange measured
+    # net-negative here (1.0 s → 1.4 s at sf0.1)
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )

@@ -122,7 +122,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/marker language-ID (operators.text.predicted_language): each
     row's labeled markers are injected ×20 so the heuristic must recover the
     label; output is the (label, prediction) confusion table."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from payroll_etl_fastapi_spark.operators.expr import floor_parallelism
+
+    docs = floor_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     prefix: F.Column = F.col("text")
     for lang, p in _MARKER_PREFIX.items():
         prefix = F.when(
@@ -508,8 +512,9 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from payroll_etl_fastapi_spark.operators import sketch as SK
+    from payroll_etl_fastapi_spark.operators.expr import floor_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = floor_parallelism(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = vocab.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(20)
