@@ -198,6 +198,17 @@ def test_connected_components_one_job_per_round(spark):
     assert len(jobs) <= 32, f"connected_components ran {len(jobs)} jobs (budget 32)"
 
 
+def test_connected_components_log_rounds_on_long_chains(spark):
+    # 33-node path (diameter 32): plain min-propagation needs 32 rounds and
+    # would blow the default 20-round cap; the pointer-jump (path halving)
+    # must land it well inside — this is the O(log diameter) contract.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 33)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {1} and len(got) == 33
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     # a 6-node path needs 5 propagation rounds; cap at 2 must raise, not
     # silently return a split component
