@@ -294,3 +294,27 @@ def test_incremental_semantic_cross_cluster_miss_is_by_design(spark, tmp_path):
         index, _vecs(spark, [(2, w)]), cents, 0.9
     ).collect()
     assert d2[0].accepted and d2[0].cluster_id == 1  # missed by design
+
+
+def test_incremental_semantic_index_join_broadcasts_batch(spark, tmp_path):
+    """The 100 TB contract: the persisted index side is joined via a
+    BroadcastHashJoin with the BATCH as the build side — no sort-merge join,
+    no hash-partitioning of the index ever enters the plan."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    index = TxTable(spark, str(tmp_path / "vec_index"))
+    sim.incremental_semantic_dedup(
+        index, _vecs(spark, [(1, (1, 0.1, 0, 0)), (2, (0.1, 1, 0, 0))]), cents, 0.9
+    )
+    decisions, _ = sim.incremental_semantic_decisions(
+        index.snapshot(),
+        _vecs(spark, [(10, (1, 0.2, 0, 0))]),
+        cents,
+        0.9,
+    )
+    plan = decisions._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge join allowed is the batch-sized verdict join on
+    # id; nothing may ever hash-partition on the index join key
+    assert "hashpartitioning(cluster_id" not in plan
