@@ -106,7 +106,14 @@ def band_signatures(
     vec: Column, planes: list[list[float]], bands: int
 ) -> list[Column]:
     """One small-int signature per band: `bands` groups of sign bits packed
-    little-endian (bit r of band b = sign of plane b*rpb+r)."""
+    little-endian (bit r of band b = sign of plane b*rpb+r).
+
+    The per-plane dots stay interpreted folds DELIBERATELY: an experiment
+    replacing them with 32 unrolled 64-term SQL chains (sign-exact, each
+    chain its own projection column) ballooned the plan to 2 MiB task
+    binaries and quintupled the LSH gate (4.6 s → 19.2 s at sf0.1) — plan
+    size and codegen compile time dwarf the interpreted-fold cost at this
+    plane count."""
     num_planes = len(planes)
     rpb = num_planes // bands
     bits = [F.when(dot_const(vec, p) >= 0, 1).otherwise(0) for p in planes]
