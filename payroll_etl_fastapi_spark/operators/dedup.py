@@ -924,7 +924,14 @@ def incremental_minhash_decisions(
     (decisions, accepted_bands) without writing anything — the streaming
     ingest loop (streaming/ingest.py) needs the split so the corpus and
     index commits can each carry their own exactly-once epoch guard."""
-    sig = minhash_signatures(batch, text_col, id_col, n, num_hashes, seed)
+    # ONE lazy checkpoint on the signatures: they feed the index join, the
+    # in-batch self-join, the decisions frame AND the accepted-bands append
+    # — materialized by SEPARATE actions (the index commit, the caller's
+    # decisions read, the streaming loop's dual commits), each of which
+    # would otherwise re-run the full shingle+minhash pass over the batch
+    sig = minhash_signatures(
+        batch, text_col, id_col, n, num_hashes, seed
+    ).localCheckpoint(eager=False)
     b = band_rows(sig, num_hashes, bands)
 
     matches = []
