@@ -17,7 +17,11 @@ passes; per-pass samples are kept in BENCH_DETAIL.json. Rationale: rounds
 of suite-position/GC attribution in a single-pass measurement. The min is
 the honest steady-state estimator for a long-lived-server comparison; the
 per-pass spread makes position artifacts visible instead of costing a round
-of investigation.
+of investigation. ESTIMATOR DISCLOSURE (ADVICE r6): min-of-N is a different
+estimator than rounds 1-5's single pass, so the payload also carries
+`first_pass_total` (the old estimator, like-for-like with r1-r5 headline
+numbers) and `median_total` — quote cross-round ratios against the matching
+estimator, never across the r5→r6 switch.
 
 SETUP/QUERY SPLIT (VERDICT r5 #4): each sample is timed in two spans —
 `setup` = the gate callable itself (eager construction: TxTable lifecycles,
@@ -110,17 +114,35 @@ def main() -> None:
     # total — a broken query must not make the suite look faster
     timings: dict[str, float | None] = {}
     total = 0.0
+    # Estimator disclosure (ADVICE r6): the headline is min-of-N, which is a
+    # DIFFERENT estimator than rounds 1-5's single pass — publish the
+    # first-pass total (≡ the old estimator) and the median total alongside,
+    # so cross-round ratios can be quoted against a like-for-like number
+    # instead of silently mixing estimators.
+    first_pass_total = 0.0
+    median_total = 0.0
     for name in qs:
         if name in failed or not samples[name]:
             timings[name] = None
             continue
-        best = min(s["total"] for s in samples[name])
+        totals = sorted(s["total"] for s in samples[name])
+        best = totals[0]
         timings[name] = best
         total += best
+        first_pass_total += samples[name][0]["total"]
+        mid = len(totals) // 2
+        median_total += (
+            totals[mid]
+            if len(totals) % 2 == 1
+            else (totals[mid - 1] + totals[mid]) / 2.0
+        )
 
     detail = {
         "metric": "suite_seconds",
         "value": round(total, 4),
+        "estimator": f"min_of_{PASSES}",
+        "first_pass_total": round(first_pass_total, 4),
+        "median_total": round(median_total, 4),
         "unit": "sec",
         "queries": timings,
         "passes": {n: s for n, s in samples.items() if s},
@@ -140,6 +162,9 @@ def main() -> None:
     payload = {
         "metric": "suite_seconds",
         "value": round(total, 4),
+        "estimator": f"min_of_{PASSES}",
+        "first_pass_total": round(first_pass_total, 4),
+        "median_total": round(median_total, 4),
         "unit": "sec",
         "queries": {"n": len(timings), "detail": "BENCH_DETAIL.json"},
         "sf": _sf_from_dir(SF_DIR),

@@ -873,13 +873,22 @@ def incremental_semantic_decisions(
         F.col("norm").alias("na"),
         "cluster_id",
     )
-    cos_ge = (
-        f"({_dot_chain_sql('va', 'vb', dim)}) / nullif(na * nb, 0.0D)"
-        f" >= {float(threshold)!r}D"
+    # Zero-norm carve-out (ADVICE r6): nullif alone makes cosine NULL for a
+    # zero-norm vector, so an all-zero embedding matches NOTHING — including
+    # its own identical copy in the index — and re-ingest idempotence fails
+    # for it (it re-admits every time). Identical zero vectors are exact
+    # duplicates, so they short-circuit to cosine 1; a zero vector vs a
+    # DIFFERENT vector stays NULL (direction undefined → no match). The
+    # norms are non-negative, so na*nb = 0 iff either vector is zero-norm,
+    # and va = vb under na*nb = 0 implies both are. The oracle replays the
+    # same CASE (suite_similarity._sql_cosine_zeronorm).
+    cos_sql = (
+        f"CASE WHEN na * nb = 0.0D THEN "
+        f"(CASE WHEN va = vb THEN 1.0D ELSE CAST(NULL AS DOUBLE) END) "
+        f"ELSE ({_dot_chain_sql('va', 'vb', dim)}) / (na * nb) END"
     )
-    cos_val = F.expr(
-        f"({_dot_chain_sql('va', 'vb', dim)}) / nullif(na * nb, 0.0D)"
-    )
+    cos_ge = f"({cos_sql}) >= {float(threshold)!r}D"
+    cos_val = F.expr(cos_sql)
     matches = []
     if index_rows is not None:
         # the index is the BIG side at scale: join it against the broadcast
@@ -962,7 +971,15 @@ def semantic_dedup(
     Determinism: assignment is the same literal-centroid struct-min L2
     argmin as operators.pq (ties -> smaller cluster id); the in-cluster
     cosine is the shared fold-ordered bit-exact cosine, so a SQL oracle
-    replays assignment, pairing, and verdicts exactly."""
+    replays assignment, pairing, and verdicts exactly.
+
+    Zero-norm carve-out: here cosine is NULL for a zero-norm vector, so
+    all-zero embeddings never match and are ALL KEPT — a documented
+    batch-mode convention (the oracle encodes the same nullif). The
+    incremental ingest twin (incremental_semantic_decisions) instead
+    short-circuits identical zero vectors to cosine 1, because its
+    re-ingest-idempotence contract requires an exact zero-vector copy to
+    match itself."""
     assigned = _assign_clusters(corpus, centroids, id_col, vec_col, assign_via)
     # pairwise cosine as a server-parsed UNROLLED chain, not the zip_with/
     # aggregate fold: higher-order lambdas are interpreted per pair, and at

@@ -239,7 +239,8 @@ def rolling_hll_distinct(
     # without this filter a gap day would surface with rho_d all NULL and a
     # bogus empty-register DAU estimate (and diverge from the inner-join
     # semantics of the exact twin + the SQL oracle). Gap-day case is pytest-
-    # pinned in tests/test_timeseries.py.
+    # pinned in tests/test_sketch_hll.py (test_rolling_hll_gap_day_emits_
+    # only_active_days).
     return (
         merged.groupBy("day")
         .agg(

@@ -47,6 +47,20 @@ def _sql_cosine(a: str, b: str, dim: int = DIM) -> str:
     )
 
 
+def _sql_cosine_zeronorm(a: str, b: str, dim: int = DIM) -> str:
+    """Cosine with the zero-norm carve-out of
+    operators.similarity.incremental_semantic_decisions: identical zero-norm
+    vectors are cosine 1 (exact duplicates), a zero-norm vector vs a
+    different vector stays NULL (no match). Everywhere else the value is the
+    identical fold-ordered division of _sql_cosine."""
+    norms = f"sqrt({_sql_dot(a, a, dim)}) * sqrt({_sql_dot(b, b, dim)})"
+    return (
+        f"CASE WHEN {norms} = 0 THEN "
+        f"(CASE WHEN {a} = {b} THEN 1.0 ELSE CAST(NULL AS DOUBLE) END) "
+        f"ELSE {_sql_dot(a, b, dim)} / ({norms}) END"
+    )
+
+
 def _sql_plane_dot(v: str, plane: list[float], dim: int = DIM) -> str:
     arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
     return (
@@ -837,22 +851,22 @@ def _semantic_incremental_oracle(
         SELECT DISTINCT p.id
         FROM assign_a p JOIN assign_a q
           ON p.cluster_id = q.cluster_id AND q.id < p.id
-        WHERE {_sql_cosine('p.v', 'q.v')} >= {threshold!r}
+        WHERE {_sql_cosine_zeronorm('p.v', 'q.v')} >= {threshold!r}
     ),
     acc_a AS (
         SELECT * FROM assign_a WHERE id NOT IN (SELECT id FROM a_rej)
     ),
     m AS (
         SELECT p.id, q.id AS matched_id,
-               {_sql_cosine('p.v', 'q.v')} AS cosine
+               {_sql_cosine_zeronorm('p.v', 'q.v')} AS cosine
         FROM assign_b p JOIN acc_a q ON p.cluster_id = q.cluster_id
-        WHERE {_sql_cosine('p.v', 'q.v')} >= {threshold!r}
+        WHERE {_sql_cosine_zeronorm('p.v', 'q.v')} >= {threshold!r}
         UNION ALL
         SELECT p.id, q.id AS matched_id,
-               {_sql_cosine('p.v', 'q.v')} AS cosine
+               {_sql_cosine_zeronorm('p.v', 'q.v')} AS cosine
         FROM assign_b p JOIN assign_b q
           ON p.cluster_id = q.cluster_id AND q.id < p.id
-        WHERE {_sql_cosine('p.v', 'q.v')} >= {threshold!r}
+        WHERE {_sql_cosine_zeronorm('p.v', 'q.v')} >= {threshold!r}
     ),
     best AS (
         SELECT id, matched_id, cosine FROM m

@@ -142,6 +142,17 @@ class _WarcLiteStreamReader(SimpleDataSourceStreamReader):
     the first k shards of the current sorted listing (valid because r4
     consumption was by sorted position).
 
+    REPLAY PURITY: each committed offset also records the batch's listing
+    timestamp ``t``. Crash-recovery replay (readBetweenOffsets) must
+    reconstruct below-watermark names from the current directory listing
+    (the watermark compressed them out of the offset), so ``t`` is what
+    keeps replay a pure function of the committed offsets: a shard whose
+    mtime postdates ``t`` landed after the batch ran (an out-of-contract
+    below-watermark arrival) and is excluded from replay, exactly as the
+    normal read path skips it. Pre-r7 offsets carry no ``t``; their replay
+    may include such a late arrival the normal path would skip — legacy
+    behavior that self-heals at the next committed offset.
+
     Option ``maxShardsPerTrigger`` (int ≥ 0; 0/absent = unbounded) caps how
     many new shards one micro-batch consumes, bounding reader memory on the
     first drain of a large directory."""
@@ -177,6 +188,11 @@ class _WarcLiteStreamReader(SimpleDataSourceStreamReader):
             return "", set(off["consumed"])
         return off.get("w", ""), set(off.get("extra", []))
 
+    def _listed_at(self, off) -> float | None:
+        """The offset's listing timestamp (None for pre-r7 offsets)."""
+        t = off.get("t") if isinstance(off, dict) else None
+        return float(t) if t is not None else None
+
     def _compact(self, w, extra, listing):
         """Fold the oldest frontier names under the watermark, keeping at
         most ``lag`` explicit — never past the smallest listed-but-
@@ -204,23 +220,58 @@ class _WarcLiteStreamReader(SimpleDataSourceStreamReader):
         ]
 
     def read(self, start):
+        import time
+
         listing = self._listing()
+        # captured AFTER the listing: every listed (hence consumable) shard
+        # has mtime <= t (os.replace publish precedes the listing), so the
+        # replay path can use t to exclude shards that landed after this
+        # batch ran — see readBetweenOffsets
+        t = time.time()
         w, extra = self._parse(start, listing)
         fresh = [n for n in listing if n > w and n not in extra]
         if self.max_shards:
             fresh = fresh[: self.max_shards]
         new_w, new_extra = self._compact(w, extra | set(fresh), listing)
-        return iter(self._records(fresh)), {"w": new_w, "extra": new_extra}
+        out = {"w": new_w, "extra": new_extra}
+        if fresh:
+            out["t"] = t
+        else:
+            # empty batch: the offset did not advance — carry the previous
+            # listing timestamp forward so the offset stays byte-identical
+            st = self._listed_at(start)
+            if st is not None:
+                out["t"] = st
+        return iter(self._records(fresh)), out
 
     def readBetweenOffsets(self, start, end):
-        # replay path (recovery): deterministic because shards are
-        # immutable, names below a committed watermark are final by the
-        # reordering contract, and the batch is defined by the committed
-        # offsets — not by whatever the directory holds at replay time
+        # Replay path (recovery): deterministic because shards are immutable
+        # and the batch is defined by the committed offsets — not by
+        # whatever the directory holds at replay time. Below-watermark names
+        # are reconstructed from the current listing (the watermark
+        # compresses them out of the offset), so an OUT-OF-CONTRACT shard
+        # that landed below the committed watermark AFTER the batch ran must
+        # be excluded here, exactly as the normal read path skips it
+        # (ADVICE r6): the end offset carries the batch's listing timestamp
+        # `t`, and a below-watermark name is part of the batch only if its
+        # mtime predates it. Pre-r7 offsets have no `t`; for them replay may
+        # still include a below-watermark late arrival the normal path would
+        # skip — documented legacy behavior, self-healing on the next
+        # committed offset.
         listing = self._listing()
         sw, sx = self._parse(start, listing)
         ew, ex = self._parse(end, listing)
-        e_set = set(ex) | {n for n in listing if n <= ew}
+        et = self._listed_at(end)
+        below = {
+            n
+            for n in listing
+            if n <= ew
+            and (
+                et is None
+                or os.path.getmtime(os.path.join(self.path, n)) <= et
+            )
+        }
+        e_set = set(ex) | below
         fresh = sorted(n for n in e_set if n > sw and n not in sx)
         return iter(self._records(fresh))
 

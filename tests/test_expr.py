@@ -71,6 +71,42 @@ def test_floor_parallelism_leaves_shuffled_frames_alone(spark, tmp_path):
     assert floor_parallelism(joined) is joined
 
 
+def test_floor_parallelism_ignores_keyword_column_names(spark, tmp_path):
+    """ADVICE r6: the probe classifies by plan NODE CLASS, not by substring
+    of the rendered plan — a column literally named after a shuffle node
+    ("Sort", "Join", "Window"...) must not suppress the floor."""
+    p = str(tmp_path / "kw.parquet")
+    spark.range(1000).select(
+        F.col("id").alias("Sort"),
+        (F.col("id") * 2).alias("Join_Window_key"),
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p).select(
+        (F.col("Sort") + 1).alias("Sort"), "Join_Window_key"
+    )
+    floored = floor_parallelism(df)
+    cores = spark.sparkContext.defaultParallelism
+    assert floored.rdd.getNumPartitions() == cores  # still floored
+    assert floored.count() == 1000
+
+
+def test_floor_parallelism_memoizes_verdict(spark, tmp_path):
+    """The analyze+optimize probe runs once per DataFrame: a second call on
+    the same frame answers from the weak-keyed verdict memo."""
+    from payroll_etl_fastapi_spark.operators import expr as expr_mod
+
+    p = str(tmp_path / "memo.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p).select((F.col("id") * 3).alias("x"))
+    assert df not in expr_mod._FLOOR_VERDICTS
+    f1 = floor_parallelism(df)
+    assert expr_mod._FLOOR_VERDICTS.get(df) == (
+        True,
+        spark.sparkContext.defaultParallelism,
+    )
+    f2 = floor_parallelism(df)
+    assert f1.rdd.getNumPartitions() == f2.rdd.getNumPartitions()
+
+
 def test_floor_parallelism_leaves_local_and_wide_scans_alone(spark, tmp_path):
     local = spark.createDataFrame([(1,)], "id int")
     assert floor_parallelism(local) is local  # no backing files

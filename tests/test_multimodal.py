@@ -447,3 +447,23 @@ def test_warclite_stream_offset_compaction_and_migration(tmp_path):
         _WarcLiteStreamReader({"path": d, "maxShardsPerTrigger": "-1"})
     with pytest.raises(ValueError, match="watermarkLagShards"):
         _WarcLiteStreamReader({"path": d, "watermarkLagShards": "0"})
+
+    # 6: REPLAY PURITY (ADVICE r6): an out-of-contract shard landing BELOW
+    # the committed watermark after the batch ran must not be injected into
+    # a crash-recovery replay — the end offset's listing timestamp excludes
+    # it, so replay and the normal read path agree (both skip it).
+    # "part-00031a" sorts between off2's watermark (part-00031) and off3's
+    # (part-00032), the exact window the pre-fix reconstruction injected.
+    add("part-00031a", [999])
+    assert [r[0] for r in rdr.readBetweenOffsets(off2, off3)] == [100]
+    r_norm, _ = rdr.read(off3)
+    assert 999 not in [x[0] for x in r_norm]  # normal path skips it too
+    # pre-r7 offsets carry no timestamp: replay falls back to the legacy
+    # (listing-reconstructed) behavior and DOES include the late shard —
+    # the documented migration carve-out
+    legacy_off2 = {"w": off2["w"], "extra": off2["extra"]}
+    legacy_off3 = {"w": off3["w"], "extra": off3["extra"]}
+    assert [r[0] for r in rdr.readBetweenOffsets(legacy_off2, legacy_off3)] == [
+        999,
+        100,
+    ]

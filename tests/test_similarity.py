@@ -276,6 +276,42 @@ def test_incremental_semantic_decisions_and_index_growth(spark, tmp_path):
     assert {h["operation"] for h in index.history()} == {"append"}
 
 
+def test_incremental_semantic_zero_norm_idempotent(spark, tmp_path):
+    """Zero-norm carve-out (ADVICE r6): an all-zero embedding must match its
+    own identical copy (cosine short-circuits to 1), so re-ingest is
+    idempotent for it; a zero vector vs a DIFFERENT vector stays NULL and is
+    never matched."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    index = TxTable(spark, str(tmp_path / "vec_index"))
+    snap = _vecs(spark, [(1, (0, 0, 0, 0)), (2, (0.1, 1, 0, 0))])
+    d1 = {
+        r.id: r
+        for r in sim.incremental_semantic_dedup(index, snap, cents, 0.9).collect()
+    }
+    # the zero vector doesn't match the non-zero one (cosine stays NULL)
+    assert d1[1].accepted and d1[2].accepted
+    n1 = index.snapshot().count()
+    assert n1 == 2
+
+    # re-ingest: the zero vector now self-matches at cosine exactly 1.0
+    d2 = {
+        r.id: r
+        for r in sim.incremental_semantic_dedup(index, snap, cents, 0.9).collect()
+    }
+    assert not d2[1].accepted and d2[1].matched_id == 1 and d2[1].cosine == 1.0
+    assert not d2[2].accepted
+    assert index.snapshot().count() == n1  # no growth: idempotent
+
+    # a second, DISTINCT zero-in-one-cluster case: zero vs different vector
+    # in the same cluster is NOT a match (admitted)
+    d3 = sim.incremental_semantic_dedup(
+        index, _vecs(spark, [(30, (0.9, 0.1, 0.3, 0))]), cents, 0.9
+    ).collect()
+    assert d3[0].accepted  # cosine(zero, v) is NULL, never >= threshold
+
+
 def test_incremental_semantic_cross_cluster_miss_is_by_design(spark, tmp_path):
     """Two vectors at cosine ~0.999 that straddle the cluster boundary are
     NOT matched — SemDeDup's own recall trade (comparisons are cluster-local),
