@@ -515,6 +515,42 @@ def test_incremental_dedup_decisions_and_index_growth(spark, tmp_path):
     assert {h["operation"] for h in index.history()} == {"append"}
 
 
+def test_incremental_dedup_greedy_rejection_chain(spark, tmp_path):
+    """Pin the greedy-by-pairs quirk (VERDICT r6 #4): a doc whose ONLY
+    verified match is another doc that was itself rejected is still
+    REJECTED, with the rejected doc as its matched_id. Chain: A~B (est 0.5),
+    B~C (est 0.625), A!~C (est 0.125, no shared band). Greedy keep-first by
+    pairs: A accepted; B rejected (matched A); C rejected (matched B — a doc
+    that did not survive). A survivor-aware pass would ADMIT C; the driver
+    oracle encodes the greedy semantics, so a future "fix" must change both
+    engine and oracle together, not silently. Texts are a shared-middle
+    construction (A = wA+wS, B = wA+wS+wC, C = wS+wC) found by seeded search
+    against the real pipeline (n=3 word shingles, 16 hashes, 4 bands,
+    seed 42)."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    a_txt = (
+        "tok356 tok228 tok136 tok369 tok117 tok302 tok052 tok162 "
+        "tok015 tok011 tok013 tok332 tok277 tok004"
+    )
+    c_txt = (
+        "tok015 tok011 tok013 tok332 tok277 tok004 tok195 tok351 "
+        "tok110 tok216 tok371 tok014 tok270 tok113"
+    )
+    b_txt = a_txt + " tok195 tok351 tok110 tok216 tok371 tok014 tok270 tok113"
+    batch = corpus(spark, [(1, a_txt), (2, b_txt), (3, c_txt)])
+    index = TxTable(spark, str(tmp_path / "chain_idx"))
+    d = {r.id: r for r in dedup.incremental_minhash_dedup(index, batch).collect()}
+    assert d[1].accepted and d[1].matched_id is None
+    assert not d[2].accepted and d[2].matched_id == 1 and d[2].est_jaccard == 0.5
+    # the pinned quirk: C's match is B (id 2) — itself rejected
+    assert not d[3].accepted and d[3].matched_id == 2 and d[3].est_jaccard == 0.625
+    # C has no verified match against the lone survivor A
+    # (a survivor-aware semantics would therefore have admitted it)
+    assert index.snapshot().count() == 4  # only A's 4 band rows admitted
+    assert sorted({r.id for r in index.snapshot().collect()}) == [1]
+
+
 def test_incremental_dedup_matches_from_scratch_keep_first(spark, tmp_path):
     """Cross-snapshot greedy ingest must admit the SAME representative set a
     from-scratch LSH keep-first pass over the union admits, when snapshots

@@ -97,6 +97,67 @@ def test_stream_ingest_exactly_once_and_idempotent(spark, tmp_path, chunks):
     assert corpus.snapshot().select("doc_id").distinct().count() == n_docs
 
 
+def test_stream_ingest_crash_between_corpus_and_index_commits(spark, tmp_path, chunks):
+    """Fault-inject the EXACT dual-commit midpoint (VERDICT r6 #3): the job
+    dies after the corpus epoch commit but before the index commit. The
+    crash-consistency argument (streaming/ingest.py docstring) claims the
+    replay recomputes identical decisions (the index still lacks this
+    batch's bands), skips the corpus commit by epoch key, and commits the
+    index — this test constructs that state and asserts the recovered run
+    is byte-equal to an uncrashed one."""
+    import payroll_etl_fastapi_spark.streaming.ingest as ingest_mod
+    from payroll_etl_fastapi_spark.sources.txtable import (
+        _stream_append_commit,
+        _table_epoch_versions,
+    )
+
+    index = TxTable(spark, str(tmp_path / "idx"))
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    ckpt = str(tmp_path / "ckpt")
+
+    real = _stream_append_commit
+    state = {"crashed": False}
+
+    def crash_before_index(table, df, epoch_key):
+        if table is index and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash between corpus and index commits")
+        return real(table, df, epoch_key)
+
+    orig = ingest_mod._stream_append_commit
+    ingest_mod._stream_append_commit = crash_before_index
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            _drain(spark, chunks, index, corpus, ckpt)
+    finally:
+        ingest_mod._stream_append_commit = orig
+    assert state["crashed"]
+
+    # the constructed midpoint: corpus epoch committed, index epoch NOT
+    epoch_key = f"{os.path.abspath(ckpt)}#0"
+    assert epoch_key in _table_epoch_versions(corpus)
+    assert epoch_key not in _table_epoch_versions(index)
+    assert not index.exists() or index.snapshot().count() == 0
+
+    # restart from the same checkpoint: batch 0 replays, corpus commit is
+    # skipped by its epoch key, the index commit proceeds; batches 1-2 run
+    _drain(spark, chunks, index, corpus, ckpt)
+
+    # uncrashed control run over the same chunks
+    index2 = TxTable(spark, str(tmp_path / "idx2"))
+    corpus2 = TxTable(spark, str(tmp_path / "corpus2"))
+    _drain(spark, chunks, index2, corpus2, str(tmp_path / "ckpt2"))
+
+    got_docs = sorted(r.doc_id for r in corpus.snapshot().select("doc_id").collect())
+    want_docs = sorted(r.doc_id for r in corpus2.snapshot().select("doc_id").collect())
+    assert got_docs == want_docs == [1, 21, 1000020]
+    got_bands = {(r.band, r.sig, r.id) for r in index.snapshot().collect()}
+    want_bands = {(r.band, r.sig, r.id) for r in index2.snapshot().collect()}
+    assert got_bands == want_bands
+    # nothing doubled anywhere
+    assert corpus.snapshot().count() == corpus.snapshot().select("doc_id").distinct().count()
+
+
 def test_stream_ingest_index_survives_compaction(spark, tmp_path, chunks):
     """A long-running ingest accumulates one small data dir per micro-batch;
     OPTIMIZE compacts the band index transactionally, and decisions after
