@@ -137,7 +137,10 @@ _WINDOW: tuple[str, ...] = (
     "events_interval_merge",
     "quality_k_anonymity",
     "text_vocab_coverage",
-    "dedup_containment",
+    # ROUND-7 swap (VERDICT r6 #2): the scaled-k SemDeDup gate takes the
+    # containment slot at registration; dedup_containment holds its r6
+    # driver-green row in _SECONDARY
+    "dedup_semantic_scaledk",
     "linkage_blocked_names",
     "events_ewma_hourly",
     "profile_hot_keys",
@@ -171,6 +174,7 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_semantic_clusters",  # ceded its anchor slot to dedup_incremental_stream (r6); r5 driver-green
     "dedup_ngram_jaccard",  # ceded its anchor slot to dedup_incremental (r6); r5 driver-green
     "ann_ivf_pq_topk",  # ceded its anchor slot to dedup_semantic_incremental (r6); r5 driver-green
+    "dedup_containment",  # ceded its slot to dedup_semantic_scaledk (r7); r6 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

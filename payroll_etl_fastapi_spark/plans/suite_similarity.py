@@ -798,6 +798,96 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_SCALEDK_DIV = 16  # k = max(16, corpus_size // 16): SemDeDup's scale rule
+
+
+def _semdedup_scaledk_oracle(threshold: float = 0.85) -> str:
+    """SQL twin of the SCALED-K semantic-dedup gate (VERDICT r6 #2): the
+    quantizer size is DERIVED FROM THE CORPUS SIZE inside the SQL itself —
+    k = greatest(16, count(*) // 16) — replaying SemDeDup's published
+    production rule (raise k with n so per-cluster pair cost n²/k stays
+    bounded; the paper used 50k clusters for LAION). Everything else is the
+    fixed-k oracle verbatim: lowest-id data centroids, fold-ordered L2
+    argmin assignment with ties to the smaller centroid index, in-cluster
+    cosine >= threshold against a lower-id mate."""
+    d = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        "i -> (CAST(c.embedding[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE)) * "
+        "(CAST(c.embedding[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CASE WHEN (i - 1) % 7 = 0 THEN CAST(0.0 AS FLOAT)
+                             ELSE embedding[i] END) AS embedding
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               embedding AS cv
+        FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY vec_id) <=
+            (SELECT greatest({_SCALEDK_DIV}, count(*) // {_SCALEDK_DIV}) FROM corpus)
+    ),
+    assign AS (
+        SELECT c.vec_id AS id, c.embedding AS v, cents.cid AS cluster_id
+        FROM corpus c, cents
+        QUALIFY row_number() OVER (
+            PARTITION BY c.vec_id ORDER BY {d}, cents.cid
+        ) = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT a.id
+        FROM assign a
+        JOIN assign b ON a.cluster_id = b.cluster_id AND b.id < a.id
+        WHERE {_sql_cosine('a.v', 'b.v')} >= {threshold!r}
+    )
+    SELECT assign.id AS vec_id, assign.cluster_id,
+           CAST(CASE WHEN dropped.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_dropped
+    FROM assign LEFT JOIN dropped ON assign.id = dropped.id
+    ORDER BY vec_id
+    """
+
+
+@query("dedup_semantic_scaledk", oracle=_semdedup_scaledk_oracle())
+def dedup_semantic_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION scaled-k rule (VERDICT r6 #2,
+    operators.similarity.semantic_dedup): k is derived from the corpus
+    size — k = max(16, n // 16) — so the per-cluster pairwise cost n²/k
+    grows LINEARLY with n instead of quadratically (the r6 sf1 harness
+    measured this rule flat at 10× corpus where fixed-k grew 32×; this gate
+    promotes it from harness evidence to an oracle-paired driver check).
+    The oracle derives the identical k from count(*) inside the SQL.
+    Same corpus construction and 0.85 threshold as dedup_semantic_clusters;
+    at driver scale (sf0.01, n=1000) k=62, at sf0.1 (n=4000) k=250 — past
+    the assign_via='broadcast' cutover, so the gate also exercises the
+    O(1)-plan-size assignment path the fixed-k gate's 64 literals skip."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i % 7 == 0, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copy)
+    n = corpus.count()
+    k = max(_SCALEDK_DIV, n // _SCALEDK_DIV)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    out = sim.semantic_dedup(corpus, cents, threshold=0.85)
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster_id", F.col("is_dropped").cast("long")
+    ).orderBy("vec_id")
+
+
 _INC_SEM_CENTS = 16
 _INC_SEM_THR = 0.85
 
