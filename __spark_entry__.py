@@ -121,7 +121,10 @@ _WINDOW: tuple[str, ...] = (
     "txtable_change_feed",
     "corpus_cluster_split",
     "corpus_temperature_mix",
-    "events_rolling_distinct",
+    # ROUND-7 second swap (VERDICT r6 #1): the LSH retrieval-recall quality
+    # gate takes this slot; events_rolling_distinct holds its r6 driver-green
+    # row in _SECONDARY
+    "ann_lsh_recall",
     "events_journey_trigrams",
     # round-4 third-session batch
     "events_rolling_hll",
@@ -175,6 +178,7 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_ngram_jaccard",  # ceded its anchor slot to dedup_incremental (r6); r5 driver-green
     "ann_ivf_pq_topk",  # ceded its anchor slot to dedup_semantic_incremental (r6); r5 driver-green
     "dedup_containment",  # ceded its slot to dedup_semantic_scaledk (r7); r6 driver-green
+    "events_rolling_distinct",  # ceded its slot to ann_lsh_recall (r7); r6 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

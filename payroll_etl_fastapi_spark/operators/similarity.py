@@ -38,9 +38,21 @@ from payroll_etl_fastapi_spark.operators.expr import floor_parallelism
 LSH_SEED = 0x5EED
 # 32 planes / 4 bands = 8 sign bits per band: two unrelated vectors collide on
 # a band w.p. ~2^-8, so the candidate set stays ~1% of all pairs; a 0.9-cosine
-# near-dup pair still shares ≥1 band w.p. ~0.8 (per-bit agreement 1 - θ/π)
+# near-dup pair still shares ≥1 band w.p. ~0.8 (per-bit agreement 1 - θ/π).
+# This family is calibrated for NEAR-DUP DETECTION (θ small) and stays the
+# default for embedding_near_dup_pairs.
 DEFAULT_PLANES = 32
 DEFAULT_BANDS = 4
+# Retrieval-tuned family for lsh_topk (MEASURED, tools/ann_recall.py r7):
+# top-k neighbors on weakly-structured data sit at cosine ~0.3-0.5 (per-bit
+# agreement ~0.6-0.67), where 8-bit bands almost never collide — recall@10
+# was 0.076 at 32/4. Four-bit bands × 16 tables measured 0.915; the flip
+# side is a large candidate fraction (~2^-4 per band × 16 bands) — on
+# isotropic data sign-LSH prunes little, and pruning improves exactly as
+# the corpus's neighbor structure sharpens (clustered corpora: see the
+# pytest floors). Frontier table: PLANS.md §ANN recall.
+TOPK_PLANES = 64
+TOPK_BANDS = 16
 
 
 # ---------------------------------------------------------------------------
@@ -278,15 +290,21 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = DEFAULT_PLANES,
-    bands: int = DEFAULT_BANDS,
+    num_planes: int = TOPK_PLANES,
+    bands: int = TOPK_BANDS,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: candidates are corpus rows
     sharing ≥1 sign-bit band with the query; exact cosine re-ranks candidates.
 
     The scale path: the corpus is hashed once (narrow projection), candidate
     generation is an equality join on (band, sig) against the broadcast query
-    signatures, and the exact cosine runs only on the candidate set."""
+    signatures, and the exact cosine runs only on the candidate set.
+
+    Defaults are the RETRIEVAL-tuned family (TOPK_PLANES/TOPK_BANDS = 64/16,
+    4-bit bands: recall@10 0.915 vs 0.076 at the near-dup family's 8-bit
+    bands — measured in tools/ann_recall.py, frontier in PLANS.md §ANN
+    recall). Band width is the quality/candidate-fraction knob: widen bands
+    (more bits) as the target similarity rises."""
     corpus = floor_parallelism(corpus)
     planes = hyperplane_signs(num_planes, dim)
 

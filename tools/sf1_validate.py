@@ -23,6 +23,15 @@ Usage:
   python tools/sf1_validate.py build            # materialize sf1 (idempotent)
   python tools/sf1_validate.py run [names...]   # time gates at sf0.1 vs sf1
   python tools/sf1_validate.py all [names...]
+  ... --assert   # exit nonzero on regression (the per-round gate,
+                 # VERDICT r6 #5): any non-exempt gate above 10x growth, or
+                 # any gate >1.5x its committed sf1 wall time in
+                 # tools/sf1_baseline.json. The baseline updates DELIBERATELY
+                 # in the same commit as a change known to shift a gate's
+                 # cost — never to silence a red assert. Gates missing from
+                 # the baseline warn (add them with their first committed
+                 # numbers); the fixed-k SemDeDup gate is growth-exempt
+                 # (n²/k at pinned k is the published algorithm's contract).
 """
 
 from __future__ import annotations
@@ -70,6 +79,7 @@ DEFAULT_GATES = [
     "ann_lsh_topk",
     "dedup_incremental",
     "dedup_semantic_incremental",
+    "dedup_semantic_scaledk",
     "kpi_summary_month",
     "kpi_anomalies_mad",
     "kpi_delta_months",
@@ -205,9 +215,54 @@ def run_semdedup_scaled_k(spark) -> dict:
     return out
 
 
+# growth-exempt: the fixed-k SemDeDup gate's sf1 growth IS the published
+# n²/k quadratic at pinned k — the scaled-k driver gate + run_semdedup_scaled_k
+# carry the production-rule evidence
+GROWTH_EXEMPT = {"dedup_semantic_clusters"}
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sf1_baseline.json")
+MAX_GROWTH = 10.0
+MAX_VS_BASELINE = 1.5
+
+
+def check_asserts(results: dict) -> list[str]:
+    """Regression verdicts for --assert mode: list of failure strings
+    (empty = green). Pure function of the run results + the committed
+    baseline so tests can drive it without a 20-minute sf1 run."""
+    failures: list[str] = []
+    try:
+        with open(BASELINE_PATH) as fh:
+            baseline = json.load(fh)["gates"]
+    except (OSError, ValueError) as exc:
+        return [f"cannot read committed baseline {BASELINE_PATH}: {exc}"]
+    for name, r in results.items():
+        growth = r.get("growth")
+        if growth is not None and name not in GROWTH_EXEMPT and growth > MAX_GROWTH:
+            failures.append(
+                f"{name}: growth {growth}x exceeds {MAX_GROWTH}x — a hidden "
+                "super-linear step the sf0.1 bench could not see"
+            )
+        base = baseline.get(name)
+        if base is None:
+            print(
+                f"sf1 --assert: NOTE {name} has no committed baseline entry — "
+                f"add it to {os.path.basename(BASELINE_PATH)} with this run's numbers",
+                file=sys.stderr,
+            )
+            continue
+        sf1_sec = r.get("sf1", {}).get("sec")
+        if sf1_sec is not None and base["sf1_sec"] > 0 and sf1_sec > base["sf1_sec"] * MAX_VS_BASELINE:
+            failures.append(
+                f"{name}: sf1 wall {sf1_sec}s is {sf1_sec / base['sf1_sec']:.2f}x "
+                f"the committed {base['sf1_sec']}s (limit {MAX_VS_BASELINE}x)"
+            )
+    return failures
+
+
 def main() -> None:
-    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
-    names = sys.argv[2:] or DEFAULT_GATES
+    argv = [a for a in sys.argv[1:] if a != "--assert"]
+    do_assert = "--assert" in sys.argv[1:]
+    cmd = argv[0] if argv else "all"
+    names = argv[1:] or DEFAULT_GATES
 
     from payroll_etl_fastapi_spark.session import get_spark
 
@@ -219,6 +274,13 @@ def main() -> None:
         results = run(spark, names)
         results["_semdedup_scaled_k"] = run_semdedup_scaled_k(spark)
         print(json.dumps({"multiplier": MULT, "gates": results}))
+        if do_assert:
+            failures = check_asserts(results)
+            for f in failures:
+                print(f"sf1 --assert: FAIL {f}", file=sys.stderr)
+            if failures:
+                raise SystemExit(1)
+            print("sf1 --assert: all gates within growth and baseline limits", file=sys.stderr)
 
 
 if __name__ == "__main__":
