@@ -52,6 +52,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Per-process memo for EXPENSIVE TEST SCAFFOLDING shared across bench passes
+# (VERDICT r6 #7): gate INPUTS that are not themselves the operator under
+# test — the warclite shard corpus the scan/stream gates read, the trained
+# BPE merge table the apply gate re-applies. The gate's declared computation
+# must stay inside the timed region; only input materialization may be
+# memoized, so per-gate exec is unchanged and the suite total loses the
+# duplicated setup. Keyed by (sf_dir, label); values may be plain Python
+# artifacts (merge lists) or filesystem paths (cleaned at interpreter exit).
+_FIXTURE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def fixture(sf_dir: str, label: str, build: Callable[[], object]) -> object:
+    k = (sf_dir, label)
+    if k not in _FIXTURE_CACHE:
+        _FIXTURE_CACHE[k] = build()
+    return _FIXTURE_CACHE[k]
+
+
 # -- cross-engine deterministic numerics (see module docstring) --------------
 
 def _r2(c) -> F.Column:

@@ -159,6 +159,35 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warclite_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Per-sf_dir memoized warclite shard corpus (8 shards of the documents
+    table) — the INPUT both warclite gates read; writing it once per process
+    instead of once per gate call removes duplicated scaffolding from the
+    bench (VERDICT r6 #7). The directory lives until interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.plans.suite import fixture
+    from payroll_etl_fastapi_spark.sources import warclite as WL
+
+    def build() -> str:
+        scratch = tempfile.mkdtemp(prefix="spark_warclite_fixture_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents")
+        WL.write_corpus(
+            docs.select(
+                "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+            ).repartition(8),
+            scratch,
+            "doc_id",
+            "payload",
+        )
+        return scratch
+
+    return fixture(sf_dir, "warclite_shards", build)
+
+
 @query(
     "warclite_scan",
     oracle="""
@@ -181,39 +210,25 @@ def warclite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer aggregates + the family-standard order-free 28-bit md5
     checksum. The oracle replays the same numbers straight from the
     documents table, so one dropped/duplicated/corrupted record anywhere
-    in the frame-parse path flips the hash."""
-    import shutil
-    import tempfile
-
+    in the frame-parse path flips the hash. The shard corpus is memoized
+    per sf_dir (suite.fixture, VERDICT r6 #7) — writing it is input
+    scaffolding; the container SCAN is the operator under test and stays
+    fully timed."""
     from payroll_etl_fastapi_spark.sources import warclite as WL
 
-    docs = _t(spark, sf_dir, "documents")
-    scratch = tempfile.mkdtemp(prefix="spark_warclite_gate_")
-    try:
-        WL.write_corpus(
-            docs.select(
-                "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-            ).repartition(8),
-            scratch,
-            "doc_id",
-            "payload",
-        )
-        WL.register(spark)
-        scanned = spark.read.format("warclite").load(scratch)
-        checksum = F.conv(
-            F.substring(F.md5(F.col("payload")), 1, 7), 16, 10
-        ).cast("long")
-        out = scanned.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
-            F.sum(checksum).cast("long").alias("payload_checksum"),
-            F.min("doc_id").cast("long").alias("min_id"),
-            F.max("doc_id").cast("long").alias("max_id"),
-        )
-        rows = out.collect()  # materialize before the shards disappear
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    shards = _warclite_shards(spark, sf_dir)
+    WL.register(spark)
+    scanned = spark.read.format("warclite").load(shards)
+    checksum = F.conv(
+        F.substring(F.md5(F.col("payload")), 1, 7), 16, 10
+    ).cast("long")
+    return scanned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+        F.sum(checksum).cast("long").alias("payload_checksum"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
 
 
 @query(
@@ -235,27 +250,21 @@ def warclite_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode and drained. Micro-batch boundaries cannot move exact
     integer aggregates, so the oracle is the same one SQL statement as the
     batch twin — hash-identical whether records arrive as one batch or
-    shard by shard."""
+    shard by shard. Reads the per-sf_dir memoized shard corpus (input
+    scaffolding, VERDICT r6 #7); the checkpoint stays per-call so every
+    run drains the stream from scratch."""
     import shutil
     import tempfile
 
     from payroll_etl_fastapi_spark.sources import warclite as WL
 
-    docs = _t(spark, sf_dir, "documents")
+    shards = _warclite_shards(spark, sf_dir)
     scratch = tempfile.mkdtemp(prefix="spark_warclite_stream_gate_")
     try:
-        WL.write_corpus(
-            docs.select(
-                "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-            ).repartition(8),
-            scratch + "/shards",
-            "doc_id",
-            "payload",
-        )
         WL.register(spark)
         stream = (
             spark.readStream.format("warclite")
-            .option("path", scratch + "/shards")
+            .option("path", shards)
             .load()
         )
         checksum = F.conv(

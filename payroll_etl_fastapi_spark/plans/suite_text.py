@@ -639,10 +639,16 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F2
 
     from payroll_etl_fastapi_spark.operators import bpe as B
+    from payroll_etl_fastapi_spark.plans.suite import fixture
 
     docs = _t(spark, sf_dir, "documents")
     words = B.word_counts(docs).localCheckpoint(eager=False)
-    merges = B.train_bpe(words, 12)
+    # the trained merge table is this gate's INPUT (vocab_bpe_merges is the
+    # gate that measures training) — memoized per sf_dir so bench passes
+    # don't retrain scaffolding (VERDICT r6 #7)
+    merges = fixture(
+        sf_dir, "bpe_merges_12", lambda: B.train_bpe(words, 12)
+    )
     toks = B.apply_merges(words, merges)
     return (
         toks.select(F2.explode("seq").alias("token"), "n")
