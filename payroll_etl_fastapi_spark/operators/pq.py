@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "ivf_residuals",
     "PQ_SEED",
     "pq_codebooks_random",
     "pq_train_codebooks",
@@ -338,6 +339,75 @@ def ivf_centroids_random(
     ]
 
 
+def _coarse_assign(spark, centroids: list[list[float]], vec: Column):
+    """(one_row, mapped): the broadcast (cent_id, cent_vec) struct array and
+    the per-row (L2-distance, cent_id) struct transform — the shared coarse-
+    assignment building blocks of ivf_pq_topk and ivf_residuals. Fold-based
+    L2 keeps the stage inside janino's method limit (see ivf_pq_topk);
+    array_sort pins _cents to cent_id order so element_at(list_id + 1)
+    retrieves the assigned centroid."""
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cent_id int, cent_vec array<double>",
+    )
+    one_row = F.broadcast(
+        cent_df.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cent_vec"))
+            ).alias("_cents")
+        )
+    )
+    mapped = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    c["cent_vec"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cent_id"].alias("i"),
+        ),
+    )
+    return one_row, mapped
+
+
+def ivf_residuals(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, list_id, res): each vector's coarse inverted list and its
+    RESIDUAL (vector − list centroid) under the exact assignment ivf_pq_topk
+    uses. This is the FAISS-style training input for residual codebooks:
+
+        res = ivf_residuals(corpus, centroids)
+        books = pq_train_codebooks(res, m, k, dim, id_col=..., vec_col="res")
+        ivf_pq_topk(corpus, queries, centroids, books, ...)
+
+    Training books on residuals instead of raw vectors matters because the
+    codebooks only ever see residuals at encode/search time — raw-vector
+    books spend their bit budget modeling the coarse structure the
+    quantizer already removed (measured on the clustered test corpus:
+    recall@10 0.43 raw-trained → see PLANS.md §ANN recall for the residual
+    numbers). One scan, no shuffle: assignment and subtraction are a single
+    broadcast projection."""
+    one_row, mapped = _coarse_assign(df.sparkSession, centroids, F.col(vec_col))
+    list_id = F.array_min(mapped).getField("i")
+    res = F.zip_with(
+        F.col(vec_col),
+        F.element_at(F.col("_cents"), list_id + 1).getField("cent_vec"),
+        lambda a, b: a.cast("double") - b,
+    )
+    return df.crossJoin(one_row).select(
+        F.col(id_col), list_id.alias("list_id"), res.alias("res")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -381,41 +451,8 @@ def ivf_pq_topk(
     # non-negative squared terms). array_sort pins _cents to cent_id
     # order so element_at(list_id + 1) retrieves the assigned centroid.
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cent_id int, cent_vec array<double>",
-    )
-    one_row = F.broadcast(
-        cent_df.agg(
-            F.array_sort(
-                F.collect_list(F.struct("cent_id", "cent_vec"))
-            ).alias("_cents")
-        )
-    )
-    mapped = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    c["cent_vec"],
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            c["cent_id"].alias("i"),
-        ),
-    )
-    list_id = F.array_min(mapped).getField("i")
-    res = F.zip_with(
-        vec,
-        F.element_at(F.col("_cents"), list_id + 1).getField("cent_vec"),
-        lambda a, b: a.cast("double") - b,
-    )
-    enc_in = corpus.crossJoin(one_row).select(
-        F.col(id_col), list_id.alias("list_id"), res.alias("res")
-    )
+    one_row, mapped = _coarse_assign(spark, centroids, vec)
+    enc_in = ivf_residuals(corpus, centroids, id_col, vec_col)
     codes = pq_encode(enc_in, codebooks, id_col=id_col, vec_col="res", keep=("list_id",))
     melted = codes.select(
         "id",

@@ -369,6 +369,35 @@ def test_incremental_semantic_zero_norm_idempotent(spark, tmp_path):
     assert d3[0].accepted  # cosine(zero, v) is NULL, never >= threshold
 
 
+def test_incremental_semantic_greedy_rejection_chain(spark, tmp_path):
+    """The semantic twin of test_dedup.test_incremental_dedup_greedy_
+    rejection_chain (VERDICT r6 #4): C's only >=0.85 match is B, which was
+    itself rejected via A — greedy-by-pairs still rejects C with B as
+    matched_id. Geometry: A at 0°, B at 30°, C at 60° in one plane —
+    cos(A,B)=cos(B,C)=0.866 >= 0.85, cos(A,C)=0.5 < 0.85; all in cluster 0."""
+    import math
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    c30, s30 = math.cos(math.pi / 6), math.sin(math.pi / 6)
+    c60, s60 = math.cos(math.pi / 3), math.sin(math.pi / 3)
+    batch = _vecs(
+        spark,
+        [(1, (1, 0, 0, 0)), (2, (c30, s30, 0, 0)), (3, (c60, s60, 0, 0))],
+    )
+    index = TxTable(spark, str(tmp_path / "chain_idx"))
+    d = {
+        r.id: r
+        for r in sim.incremental_semantic_dedup(index, batch, cents, 0.85).collect()
+    }
+    assert d[1].accepted and all(r.cluster_id == 0 for r in d.values())
+    assert not d[2].accepted and d[2].matched_id == 1
+    # the pinned quirk: C matched to the already-rejected B
+    assert not d[3].accepted and d[3].matched_id == 2
+    assert index.snapshot().count() == 1  # only A admitted
+
+
 def test_incremental_semantic_cross_cluster_miss_is_by_design(spark, tmp_path):
     """Two vectors at cosine ~0.999 that straddle the cluster boundary are
     NOT matched — SemDeDup's own recall trade (comparisons are cluster-local),

@@ -186,6 +186,13 @@ def main() -> None:
         run("ivf_pq", f"nlist=8(t) m=8 k=16 trained nprobe={n_probe}", l2t,
             lambda np_=n_probe: PQ.ivf_pq_topk(
                 emb, queries, km_cents, t_books2, K, n_probe=np_))
+    # FAISS-style residual-trained books (ivf_residuals → pq_train_codebooks)
+    r_frame = PQ.ivf_residuals(emb, km_cents).localCheckpoint()
+    r_books = PQ.pq_train_codebooks(r_frame, 8, 16, DIM, n_iters=2, vec_col="res")
+    for n_probe in [2, 8]:
+        run("ivf_pq", f"nlist=8(t) m=8 k=16 RESID-trained nprobe={n_probe}", l2t,
+            lambda np_=n_probe: PQ.ivf_pq_topk(
+                emb, queries, km_cents, r_books, K, n_probe=np_))
 
     payload = {
         "sf_dir": SF_DIR,
