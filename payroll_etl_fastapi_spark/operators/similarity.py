@@ -115,26 +115,43 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
 
 
 def band_signatures(
-    vec: Column, planes: list[list[float]], bands: int
+    vec_col: str, planes: list[list[float]], bands: int
 ) -> list[Column]:
     """One small-int signature per band: `bands` groups of sign bits packed
     little-endian (bit r of band b = sign of plane b*rpb+r).
 
-    The per-plane dots stay interpreted folds DELIBERATELY: an experiment
-    replacing them with 32 unrolled 64-term SQL chains (sign-exact, each
-    chain its own projection column) ballooned the plan to 2 MiB task
+    The per-plane dots stay FOLDS (aggregate/zip_with) deliberately: an
+    experiment replacing them with unrolled 64-term SQL chains (sign-exact,
+    each chain its own projection column) ballooned the plan to 2 MiB task
     binaries and quintupled the LSH gate (4.6 s → 19.2 s at sf0.1) — plan
     size and codegen compile time dwarf the interpreted-fold cost at this
-    plane count."""
+    plane count.
+
+    But the folds are SERVER-PARSED (one F.expr string per band — the
+    operators/pq._block_dist lesson): building the r7 64-plane retrieval
+    family Column-by-Column cost ~9 s of driver py4j round trips PER PLAN
+    (64 planes × 64 F.lit calls each, twice per gate — measured as the
+    ann_lsh_topk bench setup span). The parsed AST — fold over a
+    double-array literal with CAST(x AS DOUBLE) * y — is node-identical to
+    the Column form, so dots and sign bits stay bit-equal to the oracle."""
     num_planes = len(planes)
     rpb = num_planes // bands
-    bits = [F.when(dot_const(vec, p) >= 0, 1).otherwise(0) for p in planes]
+
+    def dot_sql(plane: list[float]) -> str:
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+        return (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+
     sigs = []
     for b in range(bands):
-        sig = F.lit(0)
-        for r in range(rpb):
-            sig = sig + bits[b * rpb + r] * (1 << r)
-        sigs.append(sig)
+        terms = [
+            f"(CASE WHEN {dot_sql(planes[b * rpb + r])} >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(rpb)
+        ]
+        sigs.append(F.expr(" + ".join(terms)))
     return sigs
 
 
@@ -312,7 +329,7 @@ def lsh_topk(
         # signatures are built from the ORIGINAL column: referencing the alias
         # minted in the same select is a lateral-column-alias ref, which Spark
         # rejects under generators (explode)
-        sigs = band_signatures(F.col(vec_col), planes, bands)
+        sigs = band_signatures(vec_col, planes, bands)
         pairs = F.array(
             *[F.struct(F.lit(b).alias("band"), s.alias("sig")) for b, s in enumerate(sigs)]
         )
@@ -399,7 +416,7 @@ def embedding_near_dup_pairs(
     with the corpus, so broadcasting them is deliberately NOT hinted)."""
     df = floor_parallelism(df)
     planes = hyperplane_signs(num_planes, dim)
-    sigs = band_signatures(F.col(vec_col), planes, bands)
+    sigs = band_signatures(vec_col, planes, bands)
     pairs = F.array(
         *[F.struct(F.lit(b).alias("band"), s.alias("sig")) for b, s in enumerate(sigs)]
     )
