@@ -112,7 +112,10 @@ _WINDOW: tuple[str, ...] = (
     "vocab_bpe_apply",
     "streaming_sketch_hdr",
     "events_transition_matrix",
-    "dedup_prefix_filter_jaccard",
+    # ROUND-7 third swap (VERDICT r6 #1, dedup side): the LSH pair-recall
+    # S-curve quality gate takes this slot; dedup_prefix_filter_jaccard
+    # holds its r6 driver-green row in _SECONDARY
+    "dedup_lsh_pair_recall",
     "graph_label_propagation",
     "unpivot_segment_balances",
     "sql_pricing_summary",
@@ -178,6 +181,7 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_ngram_jaccard",  # ceded its anchor slot to dedup_incremental (r6); r5 driver-green
     "ann_ivf_pq_topk",  # ceded its anchor slot to dedup_semantic_incremental (r6); r5 driver-green
     "dedup_containment",  # ceded its slot to dedup_semantic_scaledk (r7); r6 driver-green
+    "dedup_prefix_filter_jaccard",  # ceded its slot to dedup_lsh_pair_recall (r7); r6 driver-green
     "events_rolling_distinct",  # ceded its slot to ann_lsh_recall (r7); r6 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1062,3 +1062,177 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# LSH pair-recall quality gate (round 7)
+# ---------------------------------------------------------------------------
+
+_RECALL_GRID = (30, 50, 70, 90)  # keep-percent levels of the planted grid
+_RECALL_OFF = 10_000_000
+
+
+def _lsh_pair_recall_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """SQL replay of the pair-recall measurement: planted-grid corpus, exact
+    per-pair jaccard via the melt shape (identical drop semantics to
+    ngram_jaccard_pairs(candidates=...)), minhash band candidates, and the
+    integer bucket rollup."""
+    coeffs = dedup.minhash_coefficients(num_hashes)
+    p = dedup.MERSENNE_P
+    h = _SQL_H28.format(col="s")
+    mins = ",\n               ".join(
+        f"min(({a} * {h} + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    toks = f"string_split({_SQL_NORM}, ' ')"
+    copy_selects = "\n        UNION ALL\n".join(
+        f"""        SELECT id + {(gi + 1) * _RECALL_OFF} AS id,
+               array_to_string(
+                   list_slice({toks}, 1,
+                              greatest(4, (len({toks}) * {kp} + 99) // 100)),
+                   ' ') AS text
+        FROM base"""
+        for gi, kp in enumerate(_RECALL_GRID)
+    )
+    planted_selects = "\n        UNION ALL\n".join(
+        f"        SELECT id AS id_a, id + {(gi + 1) * _RECALL_OFF} AS id_b FROM base"
+        for gi in range(len(_RECALL_GRID))
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+        SELECT id, text FROM base
+        UNION ALL
+{copy_selects}
+    ),
+    {_SQL_SHINGLES},
+    planted AS (
+{planted_selects}
+    ),
+    melted AS (
+        SELECT id_a, id_b, id_a AS id FROM planted
+        UNION ALL
+        SELECT id_a, id_b, id_b FROM planted
+    ),
+    persh AS (
+        SELECT m.id_a, m.id_b, sh.s, count(*) AS c
+        FROM melted m JOIN sh ON sh.id = m.id
+        GROUP BY 1, 2, 3
+    ),
+    stats AS (
+        SELECT id_a, id_b,
+               sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS common
+        FROM persh GROUP BY 1, 2
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    truth AS (
+        SELECT t.id_a, t.id_b,
+               t.common * 10000 // (sa.n + sb.n - t.common) AS jbp
+        FROM stats t
+        JOIN sizes sa ON sa.id = t.id_a
+        JOIN sizes sb ON sb.id = t.id_b
+    ),
+    mh AS (
+        SELECT id, {mins}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+    )
+    SELECT CAST(truth.jbp // 1000 AS BIGINT)                    AS bucket,
+           count(*)                                             AS n_true,
+           CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                                      AS n_hit,
+           CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END)
+               * 10000 // count(*) AS BIGINT)                   AS recall_bp
+    FROM truth
+    LEFT JOIN cand ON cand.id_a = truth.id_a AND cand.id_b = truth.id_b
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@query("dedup_lsh_pair_recall", oracle=_lsh_pair_recall_oracle())
+def dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pair-recall S-curve, measured in-engine (round 7 — the
+    dedup sibling of ann_lsh_recall; tools/dedup_quality.py is the full
+    frontier harness, this gate is its driver-checked core).
+
+    The determinism gates prove the band pipeline runs exactly as specified;
+    this gate measures what that specification RETRIEVES: a jaccard grid is
+    planted (each doc paired with prefix-truncated copies at keep-percent
+    30/50/70/90 ⇒ pair jaccard ≈ p), ground truth is the EXACT per-pair
+    n-gram jaccard via the linear candidate-restricted verify (the quadratic
+    all-pairs join never runs), and the output is per-jaccard-bucket hit
+    counts of the 16-hash / 4-band candidate join — the banding S-curve
+    P(candidate | j) = 1-(1-j^4)^4 as integers the oracle replays exactly.
+    A hashing / band-layout change that guts pair recall flips this gate
+    even if every determinism gate still passes.
+
+    Runs on the doc_id % 5 slice (same rationale as
+    dedup_prefix_filter_jaccard: the synthetic corpus's trigram space
+    saturates with size; recall structure, not corpus-wide pair volume, is
+    under test). Everything after the tokenizer is integer arithmetic."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    toks = F.split(dedup.normalize_text(F.col("text")), " ")
+    corpus = docs
+    for gi, kp in enumerate(_RECALL_GRID):
+        # ceil(n_tokens * kp / 100) as exact integer arithmetic: the operand
+        # is < 2^20, so the double division cannot cross an integer boundary
+        keep = F.greatest(
+            F.lit(4),
+            F.floor((F.size(toks) * F.lit(kp) + F.lit(99)) / F.lit(100)).cast("int"),
+        )
+        corpus = corpus.unionByName(
+            docs.select(
+                (F.col("doc_id") + (gi + 1) * _RECALL_OFF).alias("doc_id"),
+                F.array_join(F.slice(toks, F.lit(1), keep), " ").alias("text"),
+            )
+        )
+    planted = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(
+            F.array(*[F.lit((gi + 1) * _RECALL_OFF) for gi in range(len(_RECALL_GRID))])
+        ).alias("off"),
+    ).select("id_a", (F.col("id_a") + F.col("off")).alias("id_b"))
+
+    truth = dedup.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.0, candidates=planted
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr("common * 10000 DIV (na + nb - common)").alias("jbp"),
+    )
+    sig = dedup.minhash_signatures(corpus, "text", "doc_id", n=3, num_hashes=16)
+    cand = dedup._lsh_candidates(sig, num_hashes=16, bands=4).withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(F.expr("jbp DIV 1000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn("recall_bp", F.expr("n_hit * 10000 DIV n_true"))
+        .orderBy("bucket")
+    )

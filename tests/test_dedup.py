@@ -578,3 +578,38 @@ def test_incremental_dedup_matches_from_scratch_keep_first(spark, tmp_path):
     dup_ids = {r.id_b for r in pairs.collect()}
     expect = sorted(set(range(12)) - dup_ids)
     assert acc1 + acc2 == expect == [0, 1, 2]  # text 3 is a 0.625-est near-dup of text 1
+
+
+def test_lsh_pair_recall_s_curve_shape(spark):
+    """Retrieval-quality floor for the banding S-curve (round 7, the dedup
+    sibling of the ANN recall floors): the dedup_lsh_pair_recall gate's
+    measured per-bucket recall must have the 1-(1-j^4)^4 shape — near-zero
+    below j=0.3, mid-range in the transition band, near-one above j=0.8.
+    A band-layout / hash-fold bug that guts pair recall (the class the
+    determinism gates cannot see) flips these bands decisively; the wide
+    margins survive testdata regeneration. Full frontier:
+    tools/dedup_quality.py + PLANS.md §near-dup quality."""
+    from payroll_etl_fastapi_spark.plans.suite_dedup import dedup_lsh_pair_recall
+
+    rows = {r.bucket: r for r in dedup_lsh_pair_recall(
+        spark, "/root/testdata/sf0.01").collect()}
+    # integer contract: recall_bp = n_hit * 10000 // n_true, hits <= truths
+    for r in rows.values():
+        assert 0 <= r.n_hit <= r.n_true
+        assert r.recall_bp == r.n_hit * 10000 // r.n_true
+    checked = 0
+    for b, r in rows.items():
+        if r.n_true < 20:
+            continue  # singleton rounding buckets carry no signal
+        if b <= 2:  # j < 0.3: theory <= 0.025
+            assert r.recall_bp <= 1500, (b, r)
+        elif b == 4:  # j ~ 0.45: theory ~ 0.10-0.20
+            assert 200 <= r.recall_bp <= 4000, (b, r)
+        elif b == 6:  # j ~ 0.65: theory ~ 0.5-0.7
+            assert 3500 <= r.recall_bp <= 9000, (b, r)
+        elif b >= 8:  # j >= 0.8: theory >= 0.91
+            assert r.recall_bp >= 8500, (b, r)
+        else:
+            continue
+        checked += 1
+    assert checked >= 4  # the corpus must actually populate the curve
