@@ -153,7 +153,10 @@ _WINDOW: tuple[str, ...] = (
     "profile_table_fingerprint",
     "dedup_keep_best",
     "events_decayed_popularity",
-    "quality_iqr_outliers",
+    # ROUND-7 fourth swap: the in-engine least-squares fit gate (new model-
+    # fitting family) takes this slot; quality_iqr_outliers holds its r6
+    # driver-green row in _SECONDARY
+    "quality_linear_fit",
     "window_function_breadth",
 )
 
@@ -182,6 +185,7 @@ _SECONDARY: tuple[str, ...] = (
     "ann_ivf_pq_topk",  # ceded its anchor slot to dedup_semantic_incremental (r6); r5 driver-green
     "dedup_containment",  # ceded its slot to dedup_semantic_scaledk (r7); r6 driver-green
     "dedup_prefix_filter_jaccard",  # ceded its slot to dedup_lsh_pair_recall (r7); r6 driver-green
+    "quality_iqr_outliers",  # ceded its slot to quality_linear_fit (r7); r6 driver-green
     "events_rolling_distinct",  # ceded its slot to ann_lsh_recall (r7); r6 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",

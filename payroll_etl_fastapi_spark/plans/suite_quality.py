@@ -309,3 +309,89 @@ def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fences.join(counts, "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# in-engine model fitting (round 7): least squares by normal equations
+# ---------------------------------------------------------------------------
+
+def _linear_fit_oracle() -> str:
+    """SQL replay of operators.regress.linear_fit over the documents quality
+    components. The Cramer-solve expressions are the SAME strings Spark
+    compiles (regress.SOLVE_EXPRS / DIAG_EXPRS) — one formula source, two
+    parsers, identical IEEE op order."""
+    from payroll_etl_fastapi_spark.operators import regress as R
+    from payroll_etl_fastapi_spark.plans.suite import _sql_r6
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = f"string_split({norm}, ' ')"
+    dbl_casts = ",\n               ".join(
+        f"CAST({src} AS DOUBLE) AS {dst}" for dst, src in R._DBL.items()
+    )
+    return f"""
+    WITH f AS (
+        SELECT len({toks})                                        AS x1,
+               len(list_filter({toks}, t -> len(t) >= 4))         AS x2,
+               len({norm})                                        AS y
+        FROM documents
+    ),
+    sums AS (
+        SELECT count(*)                    AS n,
+               CAST(sum(x1) AS BIGINT)     AS s1,
+               CAST(sum(x2) AS BIGINT)     AS s2,
+               CAST(sum(y) AS BIGINT)      AS sy,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(x1 * y) AS BIGINT)  AS s1y,
+               CAST(sum(x2 * y) AS BIGINT)  AS s2y,
+               CAST(sum(y * y) AS BIGINT)   AS syy
+        FROM f
+    ),
+    dbl AS (
+        SELECT *,
+               {dbl_casts}
+        FROM sums
+    ),
+    solved AS (
+        SELECT *,
+               {R.SOLVE_EXPRS['w1']} AS w1,
+               {R.SOLVE_EXPRS['w2']} AS w2,
+               {R.SOLVE_EXPRS['w0']} AS w0
+        FROM dbl
+    )
+    SELECT n, s11, s22, syy,
+           {_sql_r6('w1')} AS w1,
+           {_sql_r6('w2')} AS w2,
+           {_sql_r6('w0')} AS w0,
+           {_sql_r6(R.DIAG_EXPRS['r2'])} AS r2
+    FROM solved
+    """
+
+
+@query("quality_linear_fit", oracle=_linear_fit_oracle())
+def quality_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares fit, in-engine (operators.regress): model
+    n_chars ~ w1·n_tokens + w2·n_long_tokens + w0 over the documents
+    quality components — the linear-scorer training shape of quality
+    filtering (CCNet/fastText-style), done the only way that survives
+    100 TB: ONE whole-stage-codegen scan accumulates the exact-integer
+    Gram/moment sums with map-side partials (no data shuffle, no
+    iterations, no driver loop), and the weights + R² come out in closed
+    form (Cramer; SSE via y'y − w'X'y, so diagnostics need no second
+    pass). The oracle compiles the IDENTICAL solve-formula strings, which
+    is what makes a float model fit hash-comparable across engines."""
+    from payroll_etl_fastapi_spark.operators import regress as R
+    from payroll_etl_fastapi_spark.operators import text as T
+    from payroll_etl_fastapi_spark.plans.suite import _r6
+
+    docs = _t(spark, sf_dir, "documents")
+    c = T.quality_components(F.col("text"))
+    fit = R.linear_fit(docs, c["n_tokens"], c["n_long_tokens"], c["n_chars"])
+    return fit.select(
+        "n", "s11", "s22", "syy",
+        _r6(F.col("w1")).alias("w1"),
+        _r6(F.col("w2")).alias("w2"),
+        _r6(F.col("w0")).alias("w0"),
+        _r6(F.col("r2")).alias("r2"),
+    )
