@@ -24,6 +24,7 @@ is what makes the two engines agree.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame
@@ -991,3 +992,54 @@ def incremental_minhash_decisions(
     )
     accepted_bands = b.join(best, "id", "left_anti").select("band", "sig", "id", "mh")
     return decisions, accepted_bands
+
+
+def lsh_params_for(
+    threshold: float,
+    min_recall: float = 0.9,
+    max_fp_weight: float = 0.2,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """Pick (num_hashes, bands) from the banding S-curve for a dedup
+    threshold — the knob the measured frontier (tools/dedup_quality.py,
+    PLANS.md §near-dup quality) showed matters: the module default (16, 4)
+    retrieves 95%+ of j ≥ 0.8 pairs but only ~73% at j = 0.5.
+
+    Returns the cheapest signature (fewest total hashes = bands × rows;
+    ties → more rows per band, i.e. fewer false positives) such that
+    P(candidate | j = threshold) = 1 − (1 − t^r)^b ≥ min_recall — an
+    AT-THRESHOLD floor, stricter than aggregate recall over a pair
+    population that mostly sits above the threshold — while the candidate
+    probability at j = threshold/2 (junk mass the verify stage absorbs)
+    stays ≤ max_fp_weight. Per-pair Bernoulli over the hash family, so
+    the guarantee holds at any corpus size. Measured calibration: the
+    harness's bucket recall matches these formulas within ~0.02 at sf0.1
+    (e.g. (16, 4) predicts 0.911 on [0.8, 0.9); measured 0.916)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < min_recall < 1.0:
+        raise ValueError(f"min_recall must be in (0, 1), got {min_recall}")
+    best: tuple[int, int, int] | None = None  # (total, -rows, bands)
+    for rows in range(1, 33):
+        # smallest band count that clears min_recall at this row width:
+        # 1-(1-t^r)^b >= R  ⟺  b >= log(1-R) / log(1-t^r)
+        p = threshold**rows
+        if p >= 1.0:
+            continue
+        bands = math.ceil(math.log(1.0 - min_recall) / math.log(1.0 - p))
+        if bands < 1 or rows * bands > max_hashes:
+            continue
+        fp = 1.0 - (1.0 - (threshold / 2.0) ** rows) ** bands
+        if fp > max_fp_weight:
+            continue
+        cand = (rows * bands, -rows, bands)
+        if best is None or cand < best:
+            best = cand
+    if best is None:
+        raise ValueError(
+            f"no config with <= {max_hashes} hashes reaches recall "
+            f"{min_recall} at threshold {threshold} with false-positive "
+            f"weight <= {max_fp_weight} at j = threshold/2"
+        )
+    total, _neg_rows, bands = best
+    return total, bands

@@ -613,3 +613,40 @@ def test_lsh_pair_recall_s_curve_shape(spark):
             continue
         checked += 1
     assert checked >= 4  # the corpus must actually populate the curve
+
+
+def test_lsh_params_for_satisfies_s_curve_constraints():
+    from payroll_etl_fastapi_spark.operators.dedup import lsh_params_for
+
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        num_hashes, bands = lsh_params_for(t)
+        r = num_hashes // bands
+        assert num_hashes % bands == 0  # feeds minhash_lsh_pairs directly
+        assert 1 - (1 - t**r) ** bands >= 0.9  # at-threshold recall floor
+        assert 1 - (1 - (t / 2) ** r) ** bands <= 0.2  # junk-mass cap
+        assert num_hashes <= 256
+    # higher thresholds are cheaper (the S-curve steepens)
+    sizes = [lsh_params_for(t)[0] for t in (0.5, 0.7, 0.9)]
+    assert sizes == sorted(sizes, reverse=True)
+    # low thresholds are genuinely expensive: 0.4 needs >256 hashes — the
+    # honest price, not a search bug
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no config"):
+        lsh_params_for(0.4)
+    num_hashes, bands = lsh_params_for(0.4, max_hashes=1024)
+    r = num_hashes // bands
+    assert 1 - (1 - 0.4**r) ** bands >= 0.9
+
+
+def test_lsh_params_for_rejects_impossible_asks():
+    import pytest as _pytest
+
+    from payroll_etl_fastapi_spark.operators.dedup import lsh_params_for
+
+    with _pytest.raises(ValueError, match="no config"):
+        lsh_params_for(0.5, min_recall=0.95, max_fp_weight=0.1)
+    with _pytest.raises(ValueError, match="threshold"):
+        lsh_params_for(1.5)
+    with _pytest.raises(ValueError, match="min_recall"):
+        lsh_params_for(0.5, min_recall=1.0)
