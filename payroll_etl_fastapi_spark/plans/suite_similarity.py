@@ -17,6 +17,8 @@ float width, and cosine(v, v') = sqrt(kept_energy/total) ≈ 0.92."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -894,18 +896,27 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-_SCALEDK_DIV = 16  # k = max(16, corpus_size // 16): SemDeDup's scale rule
+# cost-balanced scaled-k: k = max(16, 4·⌈√n⌉). SemDeDup's total exact cost
+# is assignment n·k + in-cluster pairs ~ n²/k, minimized at k ∝ √n (Θ(n^1.5)
+# overall — the algorithm's intrinsic floor with exact assignment). The
+# round-7 first cut used k = n // 16, which keeps pairs linear but hides an
+# n²/16 QUADRATIC in the assignment step — caught by the sf1 --assert gate
+# at 32.7× growth (127 s at sf1) and fixed to this rule in the same round.
+_SCALEDK_MIN = 16
+_SCALEDK_COEF = 4
 
 
 def _semdedup_scaledk_oracle(threshold: float = 0.85) -> str:
     """SQL twin of the SCALED-K semantic-dedup gate (VERDICT r6 #2): the
     quantizer size is DERIVED FROM THE CORPUS SIZE inside the SQL itself —
-    k = greatest(16, count(*) // 16) — replaying SemDeDup's published
-    production rule (raise k with n so per-cluster pair cost n²/k stays
-    bounded; the paper used 50k clusters for LAION). Everything else is the
-    fixed-k oracle verbatim: lowest-id data centroids, fold-ordered L2
-    argmin assignment with ties to the smaller centroid index, in-cluster
-    cosine >= threshold against a lower-id mate."""
+    k = greatest(16, 4·ceil(sqrt(count(*)))) — the cost-balanced form of
+    SemDeDup's production rule (raise k with n; √n balances assignment
+    n·k against per-cluster pair cost n²/k — the paper used 50k clusters
+    for LAION). ceil(sqrt(·)) of an exact BIGINT is IEEE-identical in both
+    engines. Everything else is the fixed-k oracle verbatim: lowest-id
+    data centroids, fold-ordered L2 argmin assignment with ties to the
+    smaller centroid index, in-cluster cosine >= threshold against a
+    lower-id mate."""
     d = (
         f"list_reduce(list_transform(generate_series(1, {DIM}), "
         "i -> (CAST(c.embedding[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE)) * "
@@ -927,7 +938,9 @@ def _semdedup_scaledk_oracle(threshold: float = 0.85) -> str:
                embedding AS cv
         FROM embeddings
         QUALIFY row_number() OVER (ORDER BY vec_id) <=
-            (SELECT greatest({_SCALEDK_DIV}, count(*) // {_SCALEDK_DIV}) FROM corpus)
+            (SELECT greatest({_SCALEDK_MIN},
+                             {_SCALEDK_COEF} * CAST(ceil(sqrt(count(*))) AS BIGINT))
+             FROM corpus)
     ),
     assign AS (
         SELECT c.vec_id AS id, c.embedding AS v, cents.cid AS cluster_id
@@ -954,15 +967,17 @@ def _semdedup_scaledk_oracle(threshold: float = 0.85) -> str:
 def dedup_semantic_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the PRODUCTION scaled-k rule (VERDICT r6 #2,
     operators.similarity.semantic_dedup): k is derived from the corpus
-    size — k = max(16, n // 16) — so the per-cluster pairwise cost n²/k
-    grows LINEARLY with n instead of quadratically (the r6 sf1 harness
-    measured this rule flat at 10× corpus where fixed-k grew 32×; this gate
-    promotes it from harness evidence to an oracle-paired driver check).
-    The oracle derives the identical k from count(*) inside the SQL.
-    Same corpus construction and 0.85 threshold as dedup_semantic_clusters;
-    at driver scale (sf0.01, n=1000) k=62, at sf0.1 (n=4000) k=250 — past
-    the assign_via='broadcast' cutover, so the gate also exercises the
-    O(1)-plan-size assignment path the fixed-k gate's 64 literals skip."""
+    size — the COST-BALANCED form k = max(16, 4·⌈√n⌉), which minimizes
+    assignment (n·k) + in-cluster pairs (~n²/k) at the algorithm's
+    intrinsic Θ(n^1.5) floor. (The round's first cut, k = n // 16, kept
+    pairs linear but hid an n²/16 quadratic in ASSIGNMENT — the sf1
+    --assert instrument caught it at 32.7× growth / 127 s at sf1; fixed
+    same round, see PLANS.md §sf1 r7.) The oracle derives the identical k
+    from count(*) inside the SQL. Same corpus construction and 0.85
+    threshold as dedup_semantic_clusters; k = 128 at driver scale
+    (sf0.01, n=1000) and 256 at sf0.1 — past the assign_via='broadcast'
+    cutover, so the gate also exercises the O(1)-plan-size assignment
+    path the fixed-k gate's 64 literals skip."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copy = emb.select(
         (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
@@ -973,7 +988,7 @@ def dedup_semantic_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(copy)
     n = corpus.count()
-    k = max(_SCALEDK_DIV, n // _SCALEDK_DIV)
+    k = max(_SCALEDK_MIN, _SCALEDK_COEF * math.ceil(math.sqrt(n)))
     cents = [
         [float(x) for x in r.embedding]
         for r in emb.orderBy("vec_id").limit(k).collect()

@@ -52,10 +52,39 @@ def test_check_asserts_flags_growth_and_baseline_regressions(capsys):
     exempt = {"dedup_semantic_clusters": {"sf1": {"sec": 0.01}, "growth": 32.0}}
     assert all("growth" not in f for f in mod.check_asserts(exempt))
 
-    # baseline-deviation breach
-    slow = {some_gate: {"sf1": {"sec": base_sec * 2.0}, "growth": 2.0}}
+    # baseline-deviation breach (must clear BOTH the ratio and the absolute
+    # noise floor — pick a gate big enough that doubling exceeds the floor)
+    big_gate = next(
+        n for n in baseline
+        if not n.startswith("_") and baseline[n]["sf1_sec"] > mod.MIN_ABS_EXCESS
+    )
+    big_sec = baseline[big_gate]["sf1_sec"]
+    slow = {big_gate: {"sf1": {"sec": big_sec * 2.0}, "growth": 2.0}}
     fails = mod.check_asserts(slow)
     assert len(fails) == 1 and "committed" in fails[0]
+
+    # sub-second absolute deltas on small gates are the instrument's noise
+    # floor (page-cache/JVM state), not regressions — ratio alone must not
+    # fail a gate whose absolute excess is under MIN_ABS_EXCESS.
+    # synthetic: committed 1.0s, measured 1.8s → ratio 1.8x but delta 0.8s
+    tiny = {"_tiny_probe": {"sf1": {"sec": 1.8}, "growth": 2.0}}
+    import json as _json
+
+    committed = _json.load(open(mod.BASELINE_PATH))
+    committed["gates"]["_tiny_probe"] = {"growth": 1.0, "sf1_sec": 1.0}
+    tmp = mod.BASELINE_PATH + ".test"
+    with open(tmp, "w") as fh:
+        _json.dump(committed, fh)
+    orig = mod.BASELINE_PATH
+    try:
+        mod.BASELINE_PATH = tmp
+        assert mod.check_asserts(tiny) == []
+        over = {"_tiny_probe": {"sf1": {"sec": 2.3}, "growth": 1.0}}
+        fails = mod.check_asserts(over)  # ratio 2.3x AND delta 1.3s → fails
+        assert len(fails) == 1 and "abs floor" in fails[0]
+    finally:
+        mod.BASELINE_PATH = orig
+        os.remove(tmp)
 
     # unknown gate: warns (stderr note), never fails
     new = {"brand_new_gate": {"sf1": {"sec": 99.0}, "growth": 9.0}}
