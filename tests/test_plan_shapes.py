@@ -375,3 +375,21 @@ def test_interval_merge_single_exchange_on_key(spark):
     hashparts = re.findall(r"hashpartitioning\(user_id", plan)
     assert len(ex) <= 2  # one hash (windows+agg), one range (orderBy)
     assert len(hashparts) >= 1
+
+
+def test_linear_fit_is_one_scan_one_exchange(spark):
+    """quality_linear_fit's whole training pass must be a single aggregation
+    pipeline: one parquet scan (text column only), one partial/final
+    HashAggregate pair around ONE single-partition exchange, and no join,
+    sort, or second scan — the shape that makes the fit a 100 TB one-pass
+    operator. The Cramer solve and R² are projections over the 1-row
+    aggregate and must not add exchanges."""
+    import payroll_etl_fastapi_spark.plans.suite_quality  # noqa: F401
+
+    plan = _plan(spark, "quality_linear_fit")
+    assert _nodes(plan, "Scan parquet") == 1
+    assert "ReadSchema: struct<text:string>" in plan
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "HashAggregate") == 2  # partial + final
+    for forbidden in ("Join", "Sort", "Window"):
+        assert _nodes(plan, forbidden) == 0, forbidden
