@@ -69,3 +69,43 @@ def test_literal_and_broadcast_assignment_are_bit_identical(spark):
         ).collect()
     )
     assert lit == bc
+
+
+def test_gemm_assignment_agrees_with_fold_paths(spark):
+    """assign_via='gemm' (Arrow-batched numpy matmul — the production path
+    for large quantizers, PLANS.md §gemm assignment) must route every vector
+    to the same cluster as the bit-exact fold paths away from ties: BLAS
+    reassociates sums, so only near-ties (distance gaps at float rounding)
+    could flip, and this corpus has none. Exact ties break the same way in
+    both (np.argmin first index == struct-min smaller centroid id)."""
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(300, 16)).astype(np.float32).astype(float)
+    cents = [[float(v) for v in rng.uniform(-1, 1, 16)] for _ in range(7)]
+    bc = sorted(
+        (r.id, r.cluster_id, r.is_dropped)
+        for r in sim.semantic_dedup(
+            _frame(spark, X), cents, 0.9, assign_via="broadcast"
+        ).collect()
+    )
+    gm = sorted(
+        (r.id, r.cluster_id, r.is_dropped)
+        for r in sim.semantic_dedup(
+            _frame(spark, X), cents, 0.9, assign_via="gemm"
+        ).collect()
+    )
+    assert gm == bc
+
+
+def test_gemm_assignment_exact_tie_takes_smaller_centroid_id(spark):
+    # a vector exactly between two IDENTICAL centroids: distances are equal
+    # bit-for-bit, so argmin must take the first (smaller centroid id) —
+    # same rule as the fold paths' struct-min
+    X = np.array([[1.0, 0.0], [0.0, 2.0]])
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 2.0]]
+    got = {
+        r.id: r.cluster_id
+        for r in sim._assign_clusters_gemm(
+            _frame(spark, X), cents, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 2}
