@@ -845,9 +845,10 @@ def _assign_clusters_gemm(
     """(id, v, cluster_id) via Arrow-batched numpy GEMM — the PRODUCTION
     assignment for large quantizers: per Arrow batch, argmin over
     ||v||² − 2·V·Cᵀ + ||c||² computed as ONE (batch × k) matmul instead of
-    k interpreted fold evaluations per row. Measured 9.2× over the
+    k interpreted fold evaluations per row. Measured 14.8× over the
     broadcast-fold path at the sf1 scaled-k shape (40k vectors × 800
-    centroids, PLANS.md §gemm assignment); the gap widens with k, which is
+    centroids: 15.6 s → 1.05 s, zero routing disagreements on the full
+    corpus; PLANS.md §gemm assignment); the gap widens with k, which is
     exactly the regime SemDeDup's raise-k-with-n rule lives in.
 
     NOT used by the oracle-paired gates: BLAS reassociates the sums, so a
