@@ -120,7 +120,10 @@ _WINDOW: tuple[str, ...] = (
     "unpivot_segment_balances",
     "sql_pricing_summary",
     "graph_triangle_counts",
-    "search_hybrid_rrf",
+    # ROUND-7 fifth swap: the known-item retrieval-quality gate (search
+    # member of the quality trilogy) takes this slot; search_hybrid_rrf
+    # holds its r6 driver-green row in _SECONDARY
+    "search_bm25_known_item",
     "txtable_change_feed",
     "corpus_cluster_split",
     "corpus_temperature_mix",
@@ -186,6 +189,7 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_containment",  # ceded its slot to dedup_semantic_scaledk (r7); r6 driver-green
     "dedup_prefix_filter_jaccard",  # ceded its slot to dedup_lsh_pair_recall (r7); r6 driver-green
     "quality_iqr_outliers",  # ceded its slot to quality_linear_fit (r7); r6 driver-green
+    "search_hybrid_rrf",  # ceded its slot to search_bm25_known_item (r7); r6 driver-green
     "events_rolling_distinct",  # ceded its slot to ann_lsh_recall (r7); r6 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -262,3 +262,175 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# known-item retrieval quality (round 7)
+# ---------------------------------------------------------------------------
+
+_KI_MOD = 205       # targets: every 41st doc of the %5 slice
+_KI_K = 10
+
+
+def _ki_markers_sql(id_expr: str) -> tuple[str, str, str]:
+    """The three query-marker terms for a target id, as SQL expressions."""
+    return tuple(
+        f"'zq' || CAST({id_expr} AS VARCHAR) || '{suf}'" for suf in ("a", "b", "c")
+    )
+
+
+def _known_item_oracle() -> str:
+    a0, b0, c0 = _ki_markers_sql("doc_id")
+    a5, b5, _ = _ki_markers_sql("doc_id - 5")
+    a10, _, _ = _ki_markers_sql("doc_id - 10")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    planted AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % {_KI_MOD} = 0 THEN
+                   text || ' ' || {a0} || ' ' || {b0} || ' ' || {c0}
+                        || ' ' || {a0} || ' ' || {b0} || ' ' || {c0}
+                 WHEN doc_id % {_KI_MOD} = 5 THEN
+                   text || ' ' || {a5} || ' ' || {b5}
+                        || ' ' || {a5} || ' ' || {b5}
+                        || ' ' || {a5} || ' ' || {b5}
+                 WHEN doc_id % {_KI_MOD} = 10 THEN
+                   text || ' ' || {a10} || ' ' || {a10}
+                        || ' ' || {a10} || ' ' || {a10}
+                 ELSE text
+               END AS text
+        FROM base
+    ),
+    w AS (
+        SELECT doc_id, {_SQL_TOKS.format(col='text')} AS words FROM planted
+    ),
+    qt AS (
+        SELECT doc_id AS query_id,
+               unnest([{a0}, {b0}, {c0}]) AS term
+        FROM base WHERE doc_id % {_KI_MOD} = 0
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(words) AS token FROM w)
+        GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl FROM w),
+    consts AS (
+        SELECT count(*) AS n_docs, CAST(sum(len(words)) AS BIGINT) AS total_tokens
+        FROM w
+    ),
+    hits AS (
+        SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, tf.token
+        FROM tf JOIN qt ON tf.token = qt.term JOIN dl USING (doc_id)
+    ),
+    dfc AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY token
+    ),
+    s AS (
+        SELECT query_id, h.doc_id,
+               CAST(floor(
+                   ((CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+                   * ((CAST(h.tf AS DOUBLE) * 2.25)
+                      / (CAST(h.tf AS DOUBLE)
+                         + 1.25 * (0.25 + 0.75 * (CAST(h.dl AS DOUBLE)
+                             / (CAST(c.total_tokens AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+        FROM hits h JOIN dfc d USING (token) CROSS JOIN consts c
+    ),
+    agg AS (
+        SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        FROM s GROUP BY query_id, doc_id
+    ),
+    topk AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+        FROM agg
+        QUALIFY rank <= {_KI_K}
+    ),
+    targets AS (SELECT doc_id AS query_id FROM base WHERE doc_id % {_KI_MOD} = 0)
+    SELECT t.query_id,
+           CAST(coalesce(k.rank, 0) AS BIGINT)                    AS target_rank,
+           CAST(CASE WHEN k.rank IS NULL THEN 0
+                     ELSE 10000 // k.rank END AS BIGINT)          AS rr_bp
+    FROM targets t
+    LEFT JOIN topk k ON k.query_id = t.query_id AND k.doc_id = t.query_id
+    ORDER BY t.query_id
+    """
+
+
+@query("search_bm25_known_item", oracle=_known_item_oracle())
+def search_bm25_known_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval quality, measured in-engine (round 7 — the
+    search member of the quality trilogy next to ann_lsh_recall and
+    dedup_lsh_pair_recall): the determinism oracle proves BM25 computes its
+    formula exactly, which says nothing about whether that formula RANKS
+    WELL. This gate plants a gold standard the spec must recover: each
+    target doc gets three unique marker terms (tf = 2); a sibling doc gets
+    two of the three at HIGHER tf (×3); another gets one at tf 4 — so
+    tf-saturation (k1) must lose to idf term coverage, BM25's core ranking
+    property. Output is each query's target rank and reciprocal-rank basis
+    points (integers the oracle replays bit-for-bit). A spec change that
+    wrecks ranking while staying deterministic — micro-snap collapsing
+    score gaps, an idf surrogate breaking rank equivalence, df counted per
+    posting instead of per doc — flips this gate while every existing
+    search gate stays green. Floor pinned in tests/test_search.py."""
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+
+    def marks(id_col: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+        return tuple(
+            F.concat(F.lit("zq"), id_col.cast("string"), F.lit(s))
+            for s in ("a", "b", "c")
+        )
+
+    a0, b0, c0 = marks(F.col("doc_id"))
+    a5, b5, _ = marks(F.col("doc_id") - 5)
+    a10, _, _ = marks(F.col("doc_id") - 10)
+    sp = F.lit(" ")
+    planted = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % _KI_MOD == 0,
+            F.concat(F.col("text"), sp, a0, sp, b0, sp, c0, sp, a0, sp, b0, sp, c0),
+        )
+        .when(
+            F.col("doc_id") % _KI_MOD == 5,
+            F.concat(F.col("text"), sp, a5, sp, b5, sp, a5, sp, b5, sp, a5, sp, b5),
+        )
+        .when(
+            F.col("doc_id") % _KI_MOD == 10,
+            F.concat(F.col("text"), sp, a10, sp, a10, sp, a10, sp, a10),
+        )
+        .otherwise(F.col("text")),
+    )
+    targets = base.filter(F.col("doc_id") % _KI_MOD == 0).select(
+        F.col("doc_id").alias("query_id")
+    )
+    qa, qb, qc = marks(F.col("query_id"))
+    queries = targets.select(
+        "query_id", F.explode(F.array(qa, qb, qc)).alias("term")
+    )
+    topk = S.bm25_topk(planted, queries, k=_KI_K)
+    hit = topk.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    return (
+        targets.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias("target_rank"),
+            F.when(F.col("rank").isNotNull(), F.expr("10000 DIV rank"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_bp"),
+        )
+        .orderBy("query_id")
+    )

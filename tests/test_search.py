@@ -170,3 +170,18 @@ def test_hybrid_gate_structural_invariants(spark):
         assert [r.fused_rank for r in lst] == list(range(1, len(lst) + 1))
         scores = [r.rrf_micro for r in lst]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_known_item_retrieval_floor(spark):
+    """Ranking-quality floor (round 7, search member of the quality trilogy):
+    BM25 must place every planted known-item target at rank 1 — idf term
+    coverage (3 unique markers at tf 2) beating tf saturation (subsets at
+    tf 3-4) is the spec's core property, and the planted construction makes
+    it decidable. A spec change that stays deterministic but wrecks ranking
+    (micro-snap collapsing gaps, df per posting, broken idf surrogate)
+    fails here while every determinism gate stays green."""
+    from payroll_etl_fastapi_spark.plans.suite_search import search_bm25_known_item
+
+    rows = search_bm25_known_item(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 2
+    assert all(r.target_rank == 1 and r.rr_bp == 10000 for r in rows)

@@ -84,6 +84,7 @@ DEFAULT_GATES = [
     # the %5 slice) and the one-scan normal-equations fit
     "dedup_lsh_pair_recall",
     "quality_linear_fit",
+    "search_bm25_known_item",
     "kpi_summary_month",
     "kpi_anomalies_mad",
     "kpi_delta_months",
