@@ -37,6 +37,7 @@ __all__ = [
     "HLL_WBITS",
     "hll_alpha_m2",
     "hll_registers",
+    "hll_estimate_corrected",
     "hll_merge",
     "hll_estimate",
     "HDR_MBITS",
@@ -226,6 +227,40 @@ def hll_estimate(
             (F.floor(est * 1000000 + F.lit(0.5)) / 1000000.0).alias("hll_est"),
             F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
         )
+    )
+
+
+def hll_estimate_corrected(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """hll_estimate + the standard small-range correction (Flajolet et al.
+    2007 §4): when the raw estimate falls below 2.5·m AND empty registers
+    exist, switch to LinearCounting — est = m·ln(m/V), V = empty registers.
+
+    Why it exists (measured, tools/sketch_quality.py): the raw harmonic
+    estimator is ±1.04/√m only in its design range; at true cardinality 31
+    with m = 256 it reported 199.6 (+540%), while LinearCounting lands
+    within a few percent. The DRIVER gates keep replaying the raw
+    estimator (its one division is the only float op and is bit-replayable;
+    ln() across engines is not guaranteed identical to the last bit), so
+    this variant is the production read path, pinned by pytest floors
+    rather than a SQL oracle.
+
+    Output adds `estimator` ('raw' | 'linear_counting') so consumers can
+    see which regime answered."""
+    group_cols = group_cols or []
+    raw = hll_estimate(registers, group_cols)
+    m = float(HLL_M)
+    v = (F.lit(HLL_M) - F.col("n_buckets_used")).cast("double")
+    lc = F.lit(m) * F.log(F.lit(m) / v)
+    use_lc = (F.col("hll_est") <= F.lit(2.5 * m)) & (v > 0)
+    return raw.select(
+        *group_cols,
+        F.when(use_lc, lc).otherwise(F.col("hll_est")).alias("hll_est"),
+        F.when(use_lc, F.lit("linear_counting"))
+        .otherwise(F.lit("raw"))
+        .alias("estimator"),
+        "n_buckets_used",
     )
 
 
