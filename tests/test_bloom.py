@@ -99,3 +99,28 @@ def test_gate_prunes_fact_side_before_merge_join(spark):
     )
     assert kept >= true_matches
     assert kept < total * 0.10  # default sizing keeps FPs negligible here
+
+
+def test_bloom_fpr_tracks_theory(spark):
+    """FPR floor from tools/sketch_quality.py (round 7): over the sf0.01
+    customer keys, absent-key probes must false-positive at (1-e^(-kn/m))^k
+    within 2x — a salted-hash bug (correlated positions, wrong modulus)
+    inflates this decisively while every membership gate stays green."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators import bloom as B
+
+    members = spark.read.parquet(
+        "/root/testdata/sf0.01/customer.parquet"
+    ).select(F.col("c_custkey").alias("k"))
+    n = members.distinct().count()
+    words = B.bloom_build(members, "k")
+    absent = spark.range(50_000).select((F.col("id") + 1_000_000_000).alias("k"))
+    fp = absent.filter(B.bloom_might_contain(F.col("k"), words)).count()
+    theory = (1.0 - math.exp(-B.BLOOM_HASHES * n / B.BLOOM_BITS)) ** B.BLOOM_HASHES
+    assert fp / 50_000 <= max(2 * theory, 0.001)
+    # members never false-negative — structural
+    misses = members.filter(~B.bloom_might_contain(F.col("k"), words)).count()
+    assert misses == 0

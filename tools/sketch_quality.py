@@ -163,6 +163,31 @@ def gk_accuracy(spark, sf_dir: str) -> dict:
     }
 
 
+def bloom_accuracy(spark, sf_dir: str) -> dict:
+    from payroll_etl_fastapi_spark.operators import bloom as B
+
+    members = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("k")
+    )
+    n = members.distinct().count()
+    words = B.bloom_build(members, "k")
+    # probes guaranteed absent: keys offset far beyond the key space
+    n_probes = 100_000
+    absent = spark.range(n_probes).select(
+        (F.col("id") + 1_000_000_000).alias("k")
+    )
+    fp = absent.filter(
+        B.bloom_might_contain(F.col("k"), words)
+    ).count()
+    theory = (1.0 - math.exp(-B.BLOOM_HASHES * n / B.BLOOM_BITS)) ** B.BLOOM_HASHES
+    return {
+        "bits": B.BLOOM_BITS, "hashes": B.BLOOM_HASHES, "n_keys": n,
+        "n_probes": n_probes, "false_positives": fp,
+        "measured_fpr": round(fp / n_probes, 5),
+        "theory_fpr": round(theory, 5),
+    }
+
+
 def main() -> None:
     spark = get_spark("sketch_quality")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -172,6 +197,7 @@ def main() -> None:
         "hll": hll_accuracy(spark, SF_DIR),
         "hdr": hdr_accuracy(spark, SF_DIR),
         "gk": gk_accuracy(spark, SF_DIR),
+        "bloom": bloom_accuracy(spark, SF_DIR),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        ".sketch_quality.json")
@@ -199,6 +225,11 @@ def main() -> None:
     g = results["gk"]
     print(f"\napprox_percentile acc={g['accuracy']}: rank_err {g['rank_err']} "
           f"of n={g['n']} (bound {g['bound']}) within={g['within_contract']}")
+    bl = results["bloom"]
+    print(f"\nbloom {bl['bits']} bits / {bl['hashes']} hashes over "
+          f"{bl['n_keys']} keys: measured FPR {bl['measured_fpr']:.4%} vs "
+          f"theory {bl['theory_fpr']:.4%} ({bl['false_positives']} of "
+          f"{bl['n_probes']} absent probes)")
     print(f"\nwrote {out}")
     spark.stop()
 
