@@ -172,6 +172,7 @@ def rolling_hll_distinct(
     entity_col: str,
     ts_col: str,
     window_days: int = 7,
+    corrected: bool = False,
 ) -> DataFrame:
     """(day, dau_est, wau_est): approximate rolling DAU/WAU from mergeable
     HLL registers — the 100 TB swap `rolling_distinct` names: identical
@@ -241,16 +242,36 @@ def rolling_hll_distinct(
     # semantics of the exact twin + the SQL oracle). Gap-day case is pytest-
     # pinned in tests/test_sketch_hll.py (test_rolling_hll_gap_day_emits_
     # only_active_days).
-    return (
-        merged.groupBy("day")
-        .agg(
-            _snapped(s_d, n_d).alias("dau_est"),
-            _snapped(s_w, n_w).alias("wau_est"),
-            n_d.alias("_n_d"),
+    agged = merged.groupBy("day").agg(
+        _snapped(s_d, n_d).alias("dau_est"),
+        _snapped(s_w, n_w).alias("wau_est"),
+        n_d.alias("_n_d"),
+        n_w.alias("_n_w"),
+    ).filter(F.col("_n_d") > 0)
+    if corrected:
+        # production read path (measured, tools/sketch_quality.py + PLANS.md
+        # §sketch accuracy): typical DAU sits BELOW the raw estimator's
+        # 2.5·m = 640 design range, where raw bias reached +76% at n=150 on
+        # this very data — apply Flajolet's LinearCounting m·ln(m/V) per
+        # day/window exactly as sketch.hll_estimate_corrected does. The
+        # driver gate keeps corrected=False: ln() is not guaranteed last-bit
+        # identical across engines, so the raw estimator stays the
+        # oracle-replayable form; accuracy floors live in pytest instead.
+        md = F.lit(float(m))
+
+        def _lc(est, n_used):
+            v = (F.lit(m) - n_used).cast("double")
+            lc = md * F.log(md / v)
+            return F.when((est <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(est)
+
+        agged = agged.select(
+            "day",
+            _lc(F.col("dau_est"), F.col("_n_d")).alias("dau_est"),
+            _lc(F.col("wau_est"), F.col("_n_w")).alias("wau_est"),
+            "_n_d",
+            "_n_w",
         )
-        .filter(F.col("_n_d") > 0)
-        .drop("_n_d")
-    )
+    return agged.drop("_n_d", "_n_w")
 
 
 def ewma_fold(

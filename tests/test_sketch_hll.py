@@ -129,3 +129,33 @@ def test_rolling_hll_gap_day_emits_only_active_days(spark):
         assert r.dau_est > 400  # ~800 true, raw-HLL error << 50%
     # day 6's WAU window [May 31..Jun 6] covers days 1 and 5 -> ~1600 users
     assert out[dt.date(2025, 6, 6)].wau_est > out[dt.date(2025, 6, 6)].dau_est
+
+
+def test_rolling_hll_corrected_fixes_small_dau_bias(spark):
+    """Accuracy floor (round 7, measured in PLANS.md §sketch accuracy): at
+    DAU ~130 with m = 256 registers the RAW rolling estimator reported
+    ~2x truth (91% mean error at sf0.01) while staying oracle-green —
+    determinism can't see estimator bias. corrected=True applies
+    LinearCounting per day/window: mean error back to ~3%. In the design
+    range (>= 2.5m) corrected is the identical expression (pinned at
+    sf0.1-like cardinality by construction: LC only fires when the raw
+    estimate is <= 2.5m and empty registers exist)."""
+    import datetime
+
+    from payroll_etl_fastapi_spark.operators import timeseries as TS
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=d, seconds=u), f"user{u}")
+        for d in range(10)
+        for u in range(120)  # 120 true DAU << 2.5 * 256
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id string")
+    raw = {r.day: r.dau_est for r in TS.rolling_hll_distinct(
+        ev, "user_id", "ts").collect()}
+    corr = {r.day: r.dau_est for r in TS.rolling_hll_distinct(
+        ev, "user_id", "ts", corrected=True).collect()}
+    for day, est in corr.items():
+        assert abs(est - 120) / 120 < 0.15, (day, est)
+    # and the raw bias this exists to fix is real on the same registers
+    assert all(est > 120 * 1.3 for est in raw.values())
