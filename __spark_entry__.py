@@ -131,7 +131,10 @@ _WINDOW: tuple[str, ...] = (
     # gate takes this slot; events_rolling_distinct holds its r6 driver-green
     # row in _SECONDARY
     "ann_lsh_recall",
-    "events_journey_trigrams",
+    # ROUND-8 swap (VERDICT r7 #1): the trained IVF-PQ retrieval-recall
+    # quality gate takes this slot; events_journey_trigrams holds its r7
+    # driver-green row in _SECONDARY
+    "ann_pq_recall",
     # round-4 third-session batch
     "events_rolling_hll",
     "graph_bfs_hops",
@@ -191,6 +194,7 @@ _SECONDARY: tuple[str, ...] = (
     "quality_iqr_outliers",  # ceded its slot to quality_linear_fit (r7); r6 driver-green
     "search_hybrid_rrf",  # ceded its slot to search_bm25_known_item (r7); r6 driver-green
     "events_rolling_distinct",  # ceded its slot to ann_lsh_recall (r7); r6 driver-green
+    "events_journey_trigrams",  # ceded its slot to ann_pq_recall (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -265,9 +265,14 @@ def pq_train_codebooks(
     """Per-block deterministic Lloyd k-means: init = the k lowest-id
     vectors' block slices; assignment = the same struct-min argmin encode
     uses; update = integer-snapped per-dimension means (empty clusters keep
-    their centroid). Each iteration per block is one broadcast-free
-    projection + one (code, dim) grouped aggregate — the driver touches
-    only k·dsub doubles per block."""
+    their centroid). Every iteration trains ALL m blocks in ONE distributed
+    job: the m per-block argmins are m fold columns of a single projection,
+    posexplode fans the full vector out once, and one (block, code, bpos)
+    grouped aggregate yields every block's snapped sums — m·k·dsub grouped
+    rows collected per iteration (the pre-r8 per-(block, iteration) loop
+    launched m separate scan jobs per iteration; identical snapped sums,
+    so the trained books are bit-equal — pinned by
+    test_trained_codebooks_match_python_replica)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} blocks")
     dsub = dim // m
@@ -285,43 +290,51 @@ def pq_train_codebooks(
         for j in range(m)
     ]
     for _ in range(n_iters):
-        for j in range(m):
-            book = books[j]
-            cells = F.array(
-                *[
-                    F.struct(
-                        _block_dist(vec_col, j * dsub, c).alias("d"),
-                        F.lit(ci).alias("i"),
+        codes_arr = F.array(
+            *[
+                F.array_min(
+                    _block_dist_cells(vec_col, j * dsub, dsub, books[j])
+                ).getField("i")
+                for j in range(m)
+            ]
+        )
+        block = F.floor(F.col("pos") / F.lit(dsub)).cast("int")
+        # two-step select: computing the argmin array in the same select as
+        # posexplode trips an analyzer bug (the HOF lambda struct-field
+        # aliases are dropped during generator resolution and getField("i")
+        # fails); materializing _codes in its own projection first is safe
+        stats = (
+            df.select(codes_arr.alias("_codes"), vec.alias("_v"))
+            .select("_codes", F.posexplode("_v").alias("pos", "val"))
+            .select(
+                block.alias("block"),
+                F.element_at(F.col("_codes"), block + 1).alias("code"),
+                (F.col("pos") % dsub).alias("bpos"),
+                F.col("val"),
+            )
+            .groupBy("block", "code", "bpos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * SNAP + F.lit(0.5)).cast(
+                        "long"
                     )
-                    for ci, c in enumerate(book)
-                ]
+                ).alias("s"),
+                F.count(F.lit(1)).alias("c"),
             )
-            block_vals = F.slice(vec, j * dsub + 1, dsub)
-            stats = (
-                df.select(
-                    F.array_min(cells).getField("i").alias("code"),
-                    F.posexplode(block_vals).alias("pos", "val"),
-                )
-                .groupBy("code", "pos")
-                .agg(
-                    F.sum(
-                        F.floor(F.col("val").cast("double") * SNAP + F.lit(0.5)).cast(
-                            "long"
-                        )
-                    ).alias("s"),
-                    F.count(F.lit(1)).alias("c"),
-                )
-                .collect()
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            by_key.setdefault((int(r.block), int(r.code)), {})[int(r.bpos)] = (
+                float(r.s) / int(r.c) / float(SNAP)
             )
-            by_code: dict[int, dict[int, float]] = {}
-            for r in stats:
-                by_code.setdefault(int(r.code), {})[int(r.pos)] = (
-                    float(r.s) / int(r.c) / float(SNAP)
-                )
-            books[j] = [
-                [d[p] for p in sorted(d)] if (d := by_code.get(ci)) else old
+        books = [
+            [
+                [d[p] for p in sorted(d)] if (d := by_key.get((j, ci))) else old
                 for ci, old in enumerate(book)
             ]
+            for j, book in enumerate(books)
+        ]
     return books
 
 

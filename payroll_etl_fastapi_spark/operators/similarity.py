@@ -228,6 +228,66 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_pairs: int | None = 50_000_000,
+) -> DataFrame:
+    """Exact brute-force squared-L2 top-k: for each query vector, the k
+    NEAREST corpus vectors (self excluded). Output: (query_id, neighbor_id,
+    l2sq, rank). This is the metric-matched truth baseline for the ADC
+    rankers (pq_adc_topk / ivf_pq_topk approximate L2, not cosine — scoring
+    them against cosine truth would conflate quantization loss with the
+    metric mismatch; see PLANS.md §ANN recall), and the l2 twin of
+    cosine_topk: broadcast query side, one corpus scan, the same all-pairs
+    guard, ranking ties broken by (l2sq asc, neighbor_id asc).
+
+    Bit-exactness: the distance is a fixed-order fold of (a-b)^2 terms in
+    double from a 0.0 accumulator — IEEE-identical to DuckDB's list_reduce
+    first-element fold because 0.0 + x == x for the non-negative squared
+    terms (the same argument _coarse_assign documents)."""
+    if max_pairs is not None:
+        nc, nq = corpus.count(), queries.count()
+        if nc * nq > max_pairs:
+            raise ValueError(
+                f"l2_topk is a brute-force all-pairs plan: corpus({nc}) x "
+                f"queries({nq}) = {nc * nq} pairs exceeds max_pairs={max_pairs}. "
+                "Use the ANN operators (ivf_topk / pq_adc_topk / lsh_topk) at "
+                "this scale, or pass max_pairs=None to force the exact scan."
+            )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = floor_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("c_vec"),
+            F.col("q_vec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", l2.alias("l2sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2sq"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

@@ -627,22 +627,295 @@ def _pq_oracle(m: int = 4, kc: int = 8, dim: int = DIM, n_q: int = 8, topk: int 
     """
 
 
-@query("ann_pq_adc_topk", oracle=_pq_oracle())
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC search (operators.pq): encode every corpus
-    vector to 4 codes (8 centroids/block, seeded literal codebooks — the
-    oracle-friendly stand-in for trained ones, same split as ann_ivf_topk
-    vs ann_ivf_kmeans_topk), build each query's (block, code) distance
-    table, and rank neighbors by the micro-snapped table-lookup sum. The
-    oracle replays encode AND search bit-for-bit: distances are fixed-order
-    IEEE chains, so the integer ADC scores must match exactly. The trained
-    per-block k-means path is numpy-verified in tests/test_pq.py. NEW in
-    round 4 (past the driver window; locally oracle-verified, round-5
-    rotation candidate)."""
+# ---------------------------------------------------------------------------
+# TRAINED-PQ gate configs (round 8, VERDICT r7 #1 — the one weak item).
+# The r7 frontier (PLANS.md §ANN recall) measured the old random-codebook
+# m=4/k=8 demo configs at recall@10 = 0.008-0.021 — determinism demos, not
+# retrieval. The gates now exercise the RETRIEVAL-GRADE trained shape the
+# same way ann_ivf_kmeans_topk does: the oracle RE-TRAINS every quantizer by
+# unrolling the identical deterministic Lloyd iterations in SQL, so centroid
+# coordinates, codes, and ADC micros are bit-identical end to end. The
+# random-book configs are demoted to pytest determinism tests
+# (tests/test_pq.py::test_random_book_*_matches_duckdb_oracle, which keep
+# running _pq_oracle/_ivf_pq_oracle above).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # blocks — frontier: more blocks beat more codes at equal bits
+PQ_KC = 16      # codes per block (m=8/k=16 trained: recall@10 0.167 at sf0.1
+#                 isotropic, >=0.38 on the clustered pytest corpus)
+PQ_ITERS = 2
+PQ_DSUB = DIM // PQ_M
+PQ_NPROBE = 2          # ivf_pq ranked gate (frontier 0.130 at sf0.1)
+PQ_RECALL_NPROBE = 4   # recall gate probes half the 8 lists
+
+
+def _sql_block_dist(vec_expr: str, block_expr: str, bv_expr: str, dsub: int = PQ_DSUB) -> str:
+    """Squared L2 of one block slice to a CTE-carried per-block centroid —
+    the SQL twin of pq._block_dist_cells' fold (list_reduce's first-element
+    init ≡ the engine's 0.0-init fold for non-negative squared terms)."""
+    t = f"(CAST(({vec_expr})[({block_expr}) * {dsub} + i] AS DOUBLE) - ({bv_expr})[i])"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        f"i -> {t} * {t}), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_l2(a: str, b: str, dim: int = DIM) -> str:
+    """Full-dimension squared L2 — twin of similarity.l2_topk's fold and of
+    pq._coarse_assign's assignment distance."""
+    t = f"(CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> {t} * {t}), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_pq_train_ctes(
+    src: str,
+    m: int = PQ_M,
+    kc: int = PQ_KC,
+    n_iters: int = PQ_ITERS,
+    dim: int = DIM,
+    prefix: str = "pb",
+) -> tuple[str, str]:
+    """CTE chain replaying operators.pq.pq_train_codebooks over the CTE
+    ``src`` (columns vec_id, v): pb0 = the kc lowest-id vectors' block
+    slices (code = id-rank), then per iteration pba{i} (struct-min argmin
+    assignment, ties to the smaller code), pbs{i} (integer-snapped
+    per-(block, code, pos) sums), pb{i+1} (means via (double)sum / count /
+    2^20; empty clusters keep the previous centroid). Same IEEE fold order,
+    same snap, same division order as the engine trainer — the trained
+    books are bit-equal, the _sql_kmeans_ctes convention.
+    Returns (cte_sql, final_book_cte_name)."""
+    dsub = dim // m
+    snap = sim.SNAP  # pq.SNAP == similarity.SNAP (2^20), asserted in tests
+    dist = _sql_block_dist("s.v", "b.block", "b.bv", dsub)
+    parts = [
+        f"""{prefix}0 AS (
+        SELECT b.block,
+               CAST(row_number() OVER (PARTITION BY b.block ORDER BY s.vec_id) - 1 AS INTEGER) AS code,
+               list_transform(generate_series(1, {dsub}),
+                   i -> CAST(s.v[b.block * {dsub} + i] AS DOUBLE)) AS bv
+        FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT {kc}) s,
+             (SELECT unnest(generate_series(0, {m - 1})) AS block) b
+    )"""
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"""{prefix}a{i} AS (
+        SELECT s.vec_id, b.block, b.code FROM {src} s, {prefix}{i} b
+        QUALIFY row_number() OVER (
+            PARTITION BY s.vec_id, b.block ORDER BY {dist}, b.code
+        ) = 1
+    )"""
+        )
+        parts.append(
+            f"""{prefix}s{i} AS (
+        SELECT a.block, a.code, p.i AS pos,
+               sum(CAST(floor(CAST(s.v[a.block * {dsub} + p.i] AS DOUBLE) * {snap} + 0.5) AS BIGINT)) AS sm,
+               count(*) AS c
+        FROM {prefix}a{i} a JOIN {src} s USING (vec_id),
+             (SELECT unnest(generate_series(1, {dsub})) AS i) p
+        GROUP BY a.block, a.code, p.i
+    )"""
+        )
+        parts.append(
+            f"""{prefix}{i + 1} AS (
+        SELECT p.block, p.code, coalesce(n.bv, p.bv) AS bv
+        FROM {prefix}{i} p LEFT JOIN (
+            SELECT block, code,
+                   list(CAST(sm AS DOUBLE) / c / {float(snap)} ORDER BY pos) AS bv
+            FROM {prefix}s{i} GROUP BY block, code
+        ) n USING (block, code)
+    )"""
+        )
+    return ",\n    ".join(parts), f"{prefix}{n_iters}"
+
+
+def _pq_trained_adc_oracle(n_q: int = 8, topk: int = 5) -> str:
+    """SQL replay of pq_train_codebooks (raw vectors) + pq_adc_topk: train
+    the books inside the query, re-encode the corpus against them, build
+    each query's (block, code) micro-snapped distance table, rank."""
+    pb_ctes, pbf = _sql_pq_train_ctes("src")
+    enc_dist = _sql_block_dist("s.v", "b.block", "b.bv")
+    q_dist = _sql_block_dist("q.v", "b.block", "b.bv")
+    return f"""
+    WITH src AS (SELECT vec_id, embedding AS v FROM embeddings),
+    {pb_ctes},
+    enc AS (
+        SELECT s.vec_id AS id, b.block, b.code
+        FROM src s, {pbf} b
+        QUALIFY row_number() OVER (
+            PARTITION BY s.vec_id, b.block ORDER BY {enc_dist}, b.code
+        ) = 1
+    ),
+    q AS (SELECT vec_id, v FROM src WHERE vec_id < {n_q}),
+    qtab AS (
+        SELECT q.vec_id AS query_id, b.block, b.code,
+               CAST(floor(({q_dist}) * 1000000 + 0.5) AS BIGINT) AS du
+        FROM q, {pbf} b
+    ),
+    scored AS (
+        SELECT qtab.query_id, enc.id, CAST(sum(qtab.du) AS BIGINT) AS adc_micros
+        FROM enc JOIN qtab USING (block, code)
+        WHERE enc.id <> qtab.query_id
+        GROUP BY qtab.query_id, enc.id
+    ),
+    ranked AS (
+        SELECT query_id, id AS neighbor_id, adc_micros,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_micros, id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_micros, rank
+    FROM ranked WHERE rank <= {topk}
+    ORDER BY query_id, rank
+    """
+
+
+def _ivf_pq_trained_body(n_q: int, n_probe: int) -> str:
+    """Shared WITH-body of the trained IVF-PQ oracles, through ``ranked``:
+    kmeans-train the coarse quantizer (reusing ann_ivf_kmeans_topk's CTE
+    chain), L2-assign every vector (ivf_residuals' argmin), subtract the
+    list centroid, PQ-train the books ON THE RESIDUALS, encode, probe the
+    n_probe nearest lists per query, ADC-score, rank."""
+    pb_ctes, pbf = _sql_pq_train_ctes("src")
+    enc_dist = _sql_block_dist("s.v", "b.block", "b.bv")
+    q_dist = _sql_block_dist("q.v", "b.block", "b.bv")
+    return f"""{_KM_CTES},
+    casg AS (
+        SELECT e.vec_id, e.embedding, c.cent_id AS list_id
+        FROM embeddings e, {_KM_FINAL} c
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_sql_l2('e.embedding', 'c.cent_vec')}, c.cent_id
+        ) = 1
+    ),
+    src AS (
+        SELECT a.vec_id, a.list_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CAST(a.embedding[i] AS DOUBLE) - c.cent_vec[i]) AS v
+        FROM casg a JOIN {_KM_FINAL} c ON a.list_id = c.cent_id
+    ),
+    {pb_ctes},
+    enc AS (
+        SELECT s.vec_id AS id, s.list_id, b.block, b.code
+        FROM src s, {pbf} b
+        QUALIFY row_number() OVER (
+            PARTITION BY s.vec_id, b.block ORDER BY {enc_dist}, b.code
+        ) = 1
+    ),
+    probes AS (
+        SELECT e.vec_id AS query_id, e.embedding, c.cent_id AS list_id, c.cent_vec
+        FROM embeddings e, {_KM_FINAL} c
+        WHERE e.vec_id < {n_q}
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_sql_l2('e.embedding', 'c.cent_vec')}, c.cent_id
+        ) <= {n_probe}
+    ),
+    qsrc AS (
+        SELECT query_id, list_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) - cent_vec[i]) AS v
+        FROM probes
+    ),
+    qtab AS (
+        SELECT q.query_id, q.list_id, b.block, b.code,
+               CAST(floor(({q_dist}) * 1000000 + 0.5) AS BIGINT) AS du
+        FROM qsrc q, {pbf} b
+    ),
+    scored AS (
+        SELECT qtab.query_id, enc.id, CAST(sum(qtab.du) AS BIGINT) AS adc_micros
+        FROM enc
+        JOIN qtab ON enc.list_id = qtab.list_id
+                 AND enc.block = qtab.block AND enc.code = qtab.code
+        WHERE enc.id <> qtab.query_id
+        GROUP BY qtab.query_id, enc.id
+    ),
+    ranked AS (
+        SELECT query_id, id AS neighbor_id, adc_micros,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_micros, id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )"""
+
+
+def _ivf_pq_trained_oracle(n_q: int = 5, n_probe: int = PQ_NPROBE, topk: int = 5) -> str:
+    return f"""
+    WITH {_ivf_pq_trained_body(n_q, n_probe)}
+    SELECT query_id, neighbor_id, adc_micros, rank
+    FROM ranked WHERE rank <= {topk}
+    ORDER BY query_id, rank
+    """
+
+
+def _pq_recall_oracle(n_q: int = N_QUERIES, n_probe: int = PQ_RECALL_NPROBE, k: int = K) -> str:
+    return f"""
+    WITH {_ivf_pq_trained_body(n_q, n_probe)},
+    exact_ranked AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < {n_q} AND e.vec_id <> q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_sql_l2('e.embedding', 'q.embedding')}, e.vec_id
+        ) <= {k}
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS h
+        FROM exact_ranked e
+        JOIN ranked l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+         AND l.rank <= {k}
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(hits.h, 0) AS BIGINT) AS hits_at_10
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {n_q}) q
+    LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+    """
+
+
+def _train_ivf_pq(spark: SparkSession, sf_dir: str):
+    """(emb, cents, books): the trained IVF-PQ artifacts — kmeans coarse
+    quantizer + residual-trained codebooks (the FAISS shape; training books
+    on residuals beats raw-vector books because search only ever sees
+    residuals — PLANS.md §ANN recall #4). Training is part of each gate's
+    declared computation (NOT fixture()-memoized): the trained config IS
+    the operator under test."""
     from payroll_etl_fastapi_spark.operators import pq as PQ
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = PQ.pq_codebooks_random(4, 8, DIM)
+    kcents = sim.train_centroids_kmeans(
+        emb, n_centroids=N_KM_CENTROIDS, n_iters=N_KM_ITERS
+    )
+    cents = [v for _, v in kcents]
+    res = PQ.ivf_residuals(emb, cents)
+    books = PQ.pq_train_codebooks(
+        res, PQ_M, PQ_KC, DIM, n_iters=PQ_ITERS, vec_col="res"
+    )
+    return emb, cents, books
+
+
+@query("ann_pq_adc_topk", oracle=_pq_trained_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search with TRAINED codebooks (operators.pq
+    .pq_train_codebooks → pq_adc_topk): 2 deterministic per-block Lloyd
+    iterations over the raw vectors (m=8 blocks × 16 codes — the frontier's
+    retrieval-grade budget, recall@10 0.167 isotropic / ≥0.3 clustered),
+    then encode + micro-snapped table-lookup ranking. The oracle RE-TRAINS
+    the books by unrolling the identical iterations in SQL (same snapped
+    integer means, same struct-min assignment), so every code and ADC micro
+    matches bit-for-bit — the ann_ivf_kmeans_topk convention applied to PQ
+    (VERDICT r7 #1). The r4 random-codebook demo config lives on as a pytest
+    determinism test (test_pq.py)."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = PQ.pq_train_codebooks(emb, PQ_M, PQ_KC, DIM, n_iters=PQ_ITERS)
     queries = emb.filter(F.col("vec_id") < 8)
     return PQ.pq_adc_topk(emb, queries, books, k=5).orderBy("query_id", "rank")
 
@@ -791,27 +1064,64 @@ def _ivf_pq_oracle(
     """
 
 
-@query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+@query("ann_ivf_pq_topk", oracle=_ivf_pq_trained_oracle())
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composed index (operators.pq.ivf_pq_topk) — the FAISS
-    billion-vector shape run end to end: a seeded literal coarse quantizer
-    (8 lists, the oracle-friendly stand-in for train_centroids_kmeans)
-    routes every vector to an inverted list, PQ codes compress the
-    RESIDUAL (4 blocks × 8 centroids), and each query ADC-scans only its 2
-    nearest lists via one broadcast (list, block, code) table join. The
-    oracle replays assignment, residual arithmetic, encode, probe
-    selection, and the micro-snapped ADC ranking bit-for-bit. NEW in
-    round 4 (registered past the rotation commit; locally oracle-verified,
-    round-5 rotation candidate)."""
+    """IVF-PQ composed index, FULLY TRAINED (operators.similarity
+    .train_centroids_kmeans → operators.pq.ivf_residuals →
+    pq_train_codebooks → ivf_pq_topk) — the FAISS billion-vector shape run
+    end to end the way production would: a kmeans-trained coarse quantizer
+    (8 lists, 2 Lloyd iterations) routes every vector to an inverted list,
+    PQ books are trained ON THE RESIDUALS (8 blocks × 16 codes), and each
+    query ADC-scans only its 2 nearest lists via one broadcast (list,
+    block, code) table join. The oracle re-trains BOTH quantizers by
+    unrolling the identical deterministic iterations in SQL, then replays
+    assignment, residual arithmetic, encode, probe selection, and the
+    micro-snapped ADC ranking bit-for-bit (VERDICT r7 #1 — the r4 random
+    demo config, recall@10 0.008-0.020, is demoted to a pytest determinism
+    test in test_pq.py)."""
     from payroll_etl_fastapi_spark.operators import pq as PQ
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = PQ.ivf_centroids_random(8, DIM)
-    books = PQ.pq_codebooks_random(4, 8, DIM)
+    emb, cents, books = _train_ivf_pq(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return PQ.ivf_pq_topk(
-        emb, queries, cents, books, k=5, n_probe=2
+        emb, queries, cents, books, k=5, n_probe=PQ_NPROBE
     ).orderBy("query_id", "rank")
+
+
+@query("ann_pq_recall", oracle=_pq_recall_oracle())
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval QUALITY as a driver gate (VERDICT r7 #1, mirroring
+    ann_lsh_recall): per-query overlap between the TRAINED IVF-PQ's
+    top-{K} (kmeans coarse quantizer + residual-trained books, n_probe=4
+    of 8 lists) and the exact squared-L2 top-{K} (similarity.l2_topk —
+    metric-matched truth: ADC approximates L2, not cosine). The oracle
+    replays exact top-k, the full trained IVF-PQ pipeline, and the
+    per-query intersection, so a training or encode change that silently
+    destroys retrieval flips a correctness row. Knob frontier:
+    tools/ann_recall.py + PLANS.md §ANN recall; clustered-corpus pytest
+    floors in test_pq.py (trained ivf_pq ≥ 0.38)."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    emb, cents, books = _train_ivf_pq(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = sim.l2_topk(emb, queries, K).select("query_id", "neighbor_id")
+    approx = PQ.ivf_pq_topk(
+        emb, queries, cents, books, k=K, n_probe=PQ_RECALL_NPROBE
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits_at_10"),
+        )
+        .orderBy("query_id")
+    )
 
 
 def _semdedup_oracle(nlist: int = 64, threshold: float = 0.85) -> str:

@@ -213,3 +213,95 @@ def test_ivf_pq_residual_trained_books_recall(spark, clustered_emb):
     books = PQ.pq_train_codebooks(res_frame, 8, 16, 64, n_iters=2, vec_col="res")
     got = PQ.ivf_pq_topk(df, queries, cents, books, 10, n_probe=2).collect()
     assert _recall(got, _l2_truth(V, qids, 10), 10) >= 0.4
+
+
+# ---------------------------------------------------------------------------
+# round 8 (VERDICT r7 #1): the random-codebook configs the driver gates used
+# through r7 are DEMOTED to these determinism tests — they retrieve at
+# recall@10 ~0.02 (frontier, PLANS.md §ANN recall) but replay bit-exactly in
+# SQL, which is the property they pin. The driver gates now run the TRAINED
+# configs (suite_similarity._pq_trained_adc_oracle / _ivf_pq_trained_oracle).
+# ---------------------------------------------------------------------------
+
+
+def _duck_embeddings(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    return con
+
+
+def _testdata_emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_random_book_adc_matches_duckdb_oracle(spark):
+    from payroll_etl_fastapi_spark.plans.suite_similarity import DIM, _pq_oracle
+    from tests.conftest import SF_SMALL
+
+    emb = _testdata_emb(spark, SF_SMALL)
+    books = PQ.pq_codebooks_random(4, 8, DIM)
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_micros)
+        for r in PQ.pq_adc_topk(emb, queries, books, k=5).collect()
+    }
+    con = _duck_embeddings(SF_SMALL)
+    exp = {(q, rk): (n, d) for q, n, d, rk in con.sql(_pq_oracle()).fetchall()}
+    assert got == exp
+
+
+def test_random_book_ivf_pq_matches_duckdb_oracle(spark):
+    from payroll_etl_fastapi_spark.plans.suite_similarity import (
+        DIM,
+        _ivf_pq_oracle,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = _testdata_emb(spark, SF_SMALL)
+    cents = PQ.ivf_centroids_random(8, DIM)
+    books = PQ.pq_codebooks_random(4, 8, DIM)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_micros)
+        for r in PQ.ivf_pq_topk(emb, queries, cents, books, k=5, n_probe=2).collect()
+    }
+    con = _duck_embeddings(SF_SMALL)
+    exp = {(q, rk): (n, d) for q, n, d, rk in con.sql(_ivf_pq_oracle()).fetchall()}
+    assert got == exp
+
+
+def test_snap_constants_shared():
+    """The SQL training replay (suite_similarity._sql_pq_train_ctes) inlines
+    similarity.SNAP; the engine trainer snaps with pq.SNAP — they must be
+    the same constant or the replayed books silently diverge."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    assert PQ.SNAP == sim.SNAP == (1 << 20)
+
+
+def test_l2_topk_matches_numpy_and_guards(spark):
+    """similarity.l2_topk is the metric-matched exact baseline for the ADC
+    rankers (ann_pq_recall gate): squared-L2 ranking must equal numpy truth,
+    ties break toward the smaller neighbor_id, and the all-pairs guard
+    refuses oversized plans."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 8))
+    df = _frame(spark, X)
+    queries = df.filter(F.col("vec_id") < 4)
+    got = {}
+    for r in sim.l2_topk(df, queries, 5).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    truth = _l2_truth(X, [0, 1, 2, 3], 5)
+    for q in range(4):
+        ids = [n for _, n in sorted(got[q])]
+        assert set(ids) == truth[q], q
+    with pytest.raises(ValueError, match="brute-force all-pairs"):
+        sim.l2_topk(df, queries, 5, max_pairs=10).collect()
