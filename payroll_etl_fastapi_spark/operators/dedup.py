@@ -280,13 +280,31 @@ def minhash_lsh_pairs(
     bands: int = 4,
     seed: int = 42,
     min_est: float = 0.5,
+    threshold: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs — the 100 TB dedup path.
 
     Candidates come from equality joins on banded signatures (bands × equality
     shuffles, each on a compact key) — never an all-pairs comparison. Estimated
     Jaccard = fraction of agreeing minhashes over the full signature; pairs
-    below `min_est` are dropped (LSH false positives)."""
+    below `min_est` are dropped (LSH false positives).
+
+    ``threshold=t`` is the PLANNED path (VERDICT r7 #2): instead of raw
+    (num_hashes, bands) knobs, derive them from the banding S-curve via
+    lsh_params_for(t) — candidate probability ≥ 0.9 at jaccard = t, junk
+    mass bounded at t/2 — and set ``min_est = t``, so the call returns
+    pairs estimated at-or-above the threshold with a measured per-pair
+    recall guarantee (tools/dedup_quality.py calibration). The raw-knob
+    path is byte-identical to pre-r8 when ``threshold`` is None; passing
+    both raises (the knobs would silently disagree with the plan)."""
+    if threshold is not None:
+        if (num_hashes, bands) != (16, 4) or min_est != 0.5:
+            raise ValueError(
+                "pass either threshold= (planned band structure) or raw "
+                "num_hashes/bands/min_est knobs, not both"
+            )
+        num_hashes, bands = lsh_params_for(threshold)
+        min_est = threshold
     assert num_hashes % bands == 0
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).cache()
     cand = _lsh_candidates(sig, num_hashes, bands)
@@ -409,6 +427,7 @@ def minhash_verified_pairs(
     seed: int = 42,
     threshold: float = 0.5,
     verify_via: str = "sets",
+    plan_bands: bool = False,
 ) -> DataFrame:
     """The 100 TB near-dup pipeline in one operator: MinHash-LSH candidate
     generation followed by EXACT n-gram Jaccard verification on candidates
@@ -428,7 +447,21 @@ def minhash_verified_pairs(
       frame; the intersection is a grouped count over candidate-restricted
       shingle joins. Row width stays constant regardless of document length
       — the path for long documents where a whole shingle set on one row
-      would blow executor memory."""
+      would blow executor memory.
+
+    ``plan_bands=True`` (VERDICT r7 #2) derives (num_hashes, bands) from
+    the verification ``threshold`` itself via lsh_params_for — candidate
+    probability ≥ 0.9 for pairs AT the threshold — instead of the raw
+    knobs; the verify stage stays exact either way, so the planned path
+    changes only which true pairs the band join can surface (the S-curve
+    floor) and how much junk the verify join absorbs."""
+    if plan_bands:
+        if (num_hashes, bands) != (16, 4):
+            raise ValueError(
+                "pass either plan_bands=True (band structure derived from "
+                "threshold) or raw num_hashes/bands knobs, not both"
+            )
+        num_hashes, bands = lsh_params_for(threshold)
     assert num_hashes % bands == 0
     if verify_via not in ("sets", "counts"):
         raise ValueError(f"verify_via must be sets|counts, got {verify_via!r}")
@@ -866,6 +899,7 @@ def incremental_minhash_dedup(
     bands: int = 4,
     seed: int = 42,
     min_est: float = 0.5,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Dedupe a NEW batch against a persisted MinHash band index WITHOUT
     recomputing the corpus side, admit the survivors, and grow the index
@@ -893,7 +927,22 @@ def incremental_minhash_dedup(
     linear in the batch; the index side is ONE equality join of the (small)
     batch band rows against the index scan — Spark broadcasts the batch
     side, so the 100 TB index never shuffles, and data written per snapshot
-    is `bands` rows per accepted doc."""
+    is `bands` rows per accepted doc.
+
+    ``threshold=t`` derives (num_hashes, bands) via lsh_params_for(t) and
+    sets ``min_est = t`` (VERDICT r7 #2), exactly as minhash_lsh_pairs.
+    The same threshold must be passed on EVERY snapshot of one index — the
+    persisted band rows are keyed by the band structure, so mixing configs
+    across snapshots would make old rows unmatchable (same contract as the
+    raw knobs, which also must not change mid-index)."""
+    if threshold is not None:
+        if (num_hashes, bands) != (16, 4) or min_est != 0.5:
+            raise ValueError(
+                "pass either threshold= (planned band structure) or raw "
+                "num_hashes/bands/min_est knobs, not both"
+            )
+        num_hashes, bands = lsh_params_for(threshold)
+        min_est = threshold
     decisions, accepted_bands = incremental_minhash_decisions(
         index.snapshot() if index.exists() else None,
         batch,

@@ -650,3 +650,104 @@ def test_lsh_params_for_rejects_impossible_asks():
         lsh_params_for(1.5)
     with _pytest.raises(ValueError, match="min_recall"):
         lsh_params_for(0.5, min_recall=1.0)
+
+
+# ---------------------------------------------------------------------------
+# round 8 (VERDICT r7 #2): the S-curve planner is WIRED into the public
+# entry points — threshold= derives (num_hashes, bands) via lsh_params_for
+# and must hit the planner-predicted recall on a planted jaccard grid.
+# The raw-knob path stays byte-identical (the oracle gates keep their 16/4).
+# ---------------------------------------------------------------------------
+
+
+def _planted_grid(spark, n_docs=60, n_tokens=30, seed=99):
+    """(df, true_ids, sub_ids): docs of random tokens plus one truncated
+    copy per doc at keep=0.9 (pair jaccard ~0.89 — above the 0.7 plan
+    threshold) and one at keep=0.5 (~0.46 — junk the plan must prune).
+    Copy ids are base + 10_000 / + 20_000."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{rng.randrange(10**9):09d}" for _ in range(5000)]
+    rows = []
+    for i in range(n_docs):
+        toks = rng.sample(vocab, n_tokens)
+        rows.append((i, " ".join(toks)))
+        rows.append((i + 10_000, " ".join(toks[: int(0.9 * n_tokens)])))
+        rows.append((i + 20_000, " ".join(toks[: int(0.5 * n_tokens)])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    true_ids = {(i, i + 10_000) for i in range(n_docs)}
+    sub_ids = {(i, i + 20_000) for i in range(n_docs)}
+    return df, true_ids, sub_ids
+
+
+def test_lsh_pairs_threshold_hits_planner_recall(spark):
+    """minhash_lsh_pairs(threshold=0.7): the planner picks (36, 9) (r=4 —
+    1-(1-0.7^4)^9 = 0.907 at-threshold), so planted j~0.89 pairs must be
+    recovered at the S-curve's ~0.99 while j~0.46 copies stay pruned by
+    the est >= 0.7 cutoff."""
+    assert dedup.lsh_params_for(0.7) == (36, 9)
+    df, true_ids, sub_ids = _planted_grid(spark)
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.7).collect()
+    }
+    assert len(got & true_ids) / len(true_ids) >= 0.95
+    assert len(got & sub_ids) / len(sub_ids) <= 0.15
+
+
+def test_lsh_pairs_threshold_equals_explicit_knobs(spark):
+    """The planned path is sugar, not a fork: threshold=0.7 returns the
+    identical pair set as the raw knobs it derives."""
+    df, _, _ = _planted_grid(spark, n_docs=20)
+    planned = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.7).collect()
+    }
+    raw = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            df, num_hashes=36, bands=9, min_est=0.7
+        ).collect()
+    }
+    assert planned == raw
+
+
+def test_threshold_and_raw_knobs_conflict_raises(spark):
+    df, _, _ = _planted_grid(spark, n_docs=2)
+    with pytest.raises(ValueError, match="not both"):
+        dedup.minhash_lsh_pairs(df, threshold=0.7, num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="not both"):
+        dedup.minhash_verified_pairs(
+            df, threshold=0.7, plan_bands=True, num_hashes=32, bands=8
+        )
+
+
+def test_verified_pairs_plan_bands(spark):
+    """minhash_verified_pairs(threshold=0.7, plan_bands=True): exact-verify
+    on planner-derived candidates — planted j~0.89 pairs recovered, every
+    reported jaccard exact and >= threshold."""
+    df, true_ids, _ = _planted_grid(spark)
+    rows = dedup.minhash_verified_pairs(df, threshold=0.7, plan_bands=True).collect()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in rows}
+    assert len(got & true_ids) / len(true_ids) >= 0.95
+    assert all(r.jaccard >= 0.7 for r in rows)
+
+
+def test_incremental_dedup_threshold_param(spark, tmp_path):
+    """incremental_minhash_dedup(threshold=0.7): same derivation; a batch
+    holding a j~0.89 copy of an indexed doc is rejected with the copy's
+    est >= 0.7, an unrelated doc is admitted."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    index = TxTable(spark, str(tmp_path / "band_index"))
+    df, _, _ = _planted_grid(spark, n_docs=5)
+    base = df.filter(F.col("doc_id") < 10_000)
+    dec1 = dedup.incremental_minhash_dedup(index, base, threshold=0.7)
+    assert all(r.accepted for r in dec1.collect())
+    copies = df.filter((F.col("doc_id") >= 10_000) & (F.col("doc_id") < 20_000))
+    dec2 = {r.id: r for r in dedup.incremental_minhash_dedup(
+        index, copies, threshold=0.7).collect()}
+    rejected = [r for r in dec2.values() if not r.accepted]
+    assert len(rejected) >= 4  # S-curve ~0.99 at j~0.89; 5 planted copies
+    assert all(r.est_jaccard >= 0.7 for r in rejected)
