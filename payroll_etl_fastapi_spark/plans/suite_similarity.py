@@ -1303,7 +1303,11 @@ def dedup_semantic_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r.embedding]
         for r in emb.orderBy("vec_id").limit(k).collect()
     ]
-    out = sim.semantic_dedup(corpus, cents, threshold=0.85)
+    # fold-for-audit: k grows with n past the r8 gemm auto-cutover (k=568
+    # at sf1 exceeds GEMM_AUTO_CENTROIDS=512), and GEMM reassociates float
+    # sums — explicit 'broadcast' keeps this oracle-replayed gate bit-exact
+    # at EVERY scale; production calls use the default auto promotion
+    out = sim.semantic_dedup(corpus, cents, threshold=0.85, assign_via="broadcast")
     return out.select(
         F.col("id").alias("vec_id"), "cluster_id", F.col("is_dropped").cast("long")
     ).orderBy("vec_id")

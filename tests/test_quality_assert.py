@@ -1,0 +1,132 @@
+"""Unit tests for tools/quality_assert.py's PURE verdict function
+check_quality, driven without running the three quality harnesses (the
+test_sf1_assert.py pattern — VERDICT r7 #3: the nonzero-exit-on-drift logic
+must be unit-tested so the per-round gate cannot rot silently)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _mod():
+    spec = importlib.util.spec_from_file_location(
+        "quality_assert", os.path.join(REPO, "tools", "quality_assert.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _baseline():
+    with open(os.path.join(REPO, "tools", "quality_baseline.json")) as fh:
+        return json.load(fh)
+
+
+def _green_artifacts(baseline):
+    """Artifacts that satisfy every committed contract exactly at the
+    floor/ceiling boundary (contracts are inclusive)."""
+    ann = {
+        "results": [
+            {"family": k.split("|")[0], "config": k.split("|")[1], "recall_at_10": v}
+            for k, v in baseline["ann_recall_floors"].items()
+        ]
+    }
+    dedup = {
+        "lsh": [
+            {
+                "num_hashes": int(k.split("/")[0]),
+                "bands": int(k.split("/")[1]),
+                **floors,
+            }
+            for k, floors in baseline["dedup_recall_floors"].items()
+        ],
+        "estimation": [
+            {"num_hashes": int(h), "mae": ceil}
+            for h, ceil in baseline["dedup_est_mae_ceilings"].items()
+        ],
+    }
+    sk = baseline["sketch"]
+    sketch = {
+        "cms": {"max_over": 100, "epsN": 200.0, "mean_over": sk["cms_mean_over_ceiling"]},
+        "hll": [
+            {"column": "dau", "corrected_rel_err": sk["hll_corrected_rel_err_ceiling"]}
+        ],
+        "hdr": [{"quantile": "p50", "within_contract": True}],
+        "gk": {"within_contract": True},
+        "bloom": {
+            "measured_fpr": 0.015,
+            "theory_fpr": 0.015 / sk["bloom_fpr_theory_ratio_ceiling"],
+        },
+    }
+    return {"ann": ann, "dedup": dedup, "sketch": sketch}
+
+
+def test_baseline_is_committed_and_green_at_the_boundary():
+    m, b = _mod(), _baseline()
+    assert b["ann_recall_floors"], "ann floors must not be empty"
+    assert m.check_quality(_green_artifacts(b), b) == []
+
+
+def test_missing_artifact_fails():
+    m, b = _mod(), _baseline()
+    art = _green_artifacts(b)
+    art["ann"] = None
+    fails = m.check_quality(art, b)
+    assert any("ann_recall.json missing" in f for f in fails)
+
+
+def test_recall_below_floor_fails_and_default_marker_is_ignored():
+    m, b = _mod(), _baseline()
+    art = _green_artifacts(b)
+    key = next(iter(b["ann_recall_floors"]))
+    fam, cfg = key.split("|")
+    # marker stripped: a *default*-suffixed label still matches its floor key
+    art["ann"]["results"] = [
+        {"family": fam, "config": cfg + " *default*",
+         "recall_at_10": b["ann_recall_floors"][key] - 0.01}
+    ]
+    fails = m.check_quality(art, b)
+    assert any(key in f and "< floor" in f for f in fails)
+    # every OTHER floored config is now absent — also failures
+    assert sum("absent" in f for f in fails) == len(b["ann_recall_floors"]) - 1
+
+
+def test_dedup_recall_and_mae_contracts():
+    m, b = _mod(), _baseline()
+    art = _green_artifacts(b)
+    art["dedup"]["lsh"][0]["recall_j>=0.8"] -= 0.05
+    first_h = art["dedup"]["estimation"][0]
+    first_h["mae"] += 0.01
+    fails = m.check_quality(art, b)
+    assert any("recall_j>=0.8" in f for f in fails)
+    assert any("est MAE" in f for f in fails)
+
+
+def test_sketch_contracts():
+    m, b = _mod(), _baseline()
+    art = _green_artifacts(b)
+    art["sketch"]["cms"]["max_over"] = 300  # > epsN 200
+    art["sketch"]["hll"][0]["corrected_rel_err"] = 0.5
+    art["sketch"]["hdr"][0]["within_contract"] = False
+    art["sketch"]["gk"]["within_contract"] = False
+    art["sketch"]["bloom"]["measured_fpr"] = 1.0
+    fails = m.check_quality(art, b)
+    for needle in ("epsilon*N", "LinearCounting", "HDR", "GK", "Bloom"):
+        assert any(needle in f for f in fails), needle
+
+
+def test_committed_artifacts_pass_committed_baseline():
+    """The repo's own committed artifacts must satisfy the committed
+    contracts — if this fails, either quality regressed (fix the engine) or
+    a contract knowingly changed (update the baseline in the same commit)."""
+    m, b = _mod(), _baseline()
+    artifacts = {
+        name: json.load(open(os.path.join(REPO, fn)))
+        for name, fn in m.ARTIFACTS.items()
+    }
+    assert m.check_quality(artifacts, b) == []

@@ -109,3 +109,71 @@ def test_gemm_assignment_exact_tie_takes_smaller_centroid_id(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 2}
+
+
+def test_auto_assign_via_selection_boundaries(spark, monkeypatch):
+    """round 8 (VERDICT r7 #6): auto promotes literal → broadcast → gemm at
+    the documented cutoffs. Pinned by intercepting which concrete path
+    _assign_clusters takes (the selection, not the arithmetic — agreement
+    is pinned separately)."""
+    chosen = {}
+    real_gemm = sim._assign_clusters_gemm
+
+    def spy_gemm(corpus, cents, id_col, vec_col):
+        chosen["via"] = "gemm"
+        return real_gemm(corpus, cents, id_col, vec_col)
+
+    monkeypatch.setattr(sim, "_assign_clusters_gemm", spy_gemm)
+    X = np.eye(4, 8)
+    df = _frame(spark, X)
+
+    def pick(n_cents, dim=8):
+        chosen.clear()
+        cents = [[float(i == j) for j in range(dim)] for i in range(n_cents)]
+        plan = sim._assign_clusters(df, cents, "vec_id", "embedding", "auto")
+        if "via" in chosen:
+            return "gemm"
+        # fold paths: the broadcast plan carries the _cents crossJoin, the
+        # literal plan does not reference a second source
+        return "broadcast" if "_cents" in plan._jdf.queryExecution().logical().toString() else "literal"
+
+    assert pick(64) == "literal"        # 64 x 8 = 512 terms, at the cutoff
+    assert pick(65) == "broadcast"      # 65 x 8 = 520 terms, past it
+    assert pick(sim.GEMM_AUTO_CENTROIDS) == "broadcast"
+    assert pick(sim.GEMM_AUTO_CENTROIDS + 1) == "gemm"
+
+
+def test_gemm_auto_promotion_agrees_with_broadcast_past_cutoff(spark):
+    """Routing agreement at the promotion boundary: a separated corpus
+    assigned with k just past GEMM_AUTO_CENTROIDS routes identically under
+    auto (gemm) and the explicit broadcast fold."""
+    rng = np.random.default_rng(5)
+    k = sim.GEMM_AUTO_CENTROIDS + 8
+    dim = 8
+    cents = [list(map(float, rng.normal(size=dim) * 10)) for _ in range(k)]
+    X = np.array(cents[:40]) + rng.normal(scale=1e-3, size=(40, dim))
+    df = _frame(spark, X)
+    via_auto = {
+        r.id: r.cluster_id
+        for r in sim._assign_clusters(df, cents, "vec_id", "embedding", "auto").collect()
+    }
+    via_fold = {
+        r.id: r.cluster_id
+        for r in sim._assign_clusters(
+            df, cents, "vec_id", "embedding", "broadcast"
+        ).collect()
+    }
+    assert via_auto == via_fold
+    assert set(via_auto.values()) == set(range(40))
+
+
+def test_gemm_preserves_non_bigint_id_type(spark):
+    """ADVICE r7: the gemm mapInPandas schema derives the id field's type
+    from the input (the literal/broadcast paths always preserved it; the
+    hardcoded `id long` broke non-bigint ids only on this path)."""
+    rows = [(f"doc-{i}", [float(i), 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = sim._assign_clusters_gemm(df, [[0.0, 0.0], [3.0, 0.0]], "vec_id", "embedding")
+    assert out.schema["id"].dataType.simpleString() == "string"
+    got = {r.id: r.cluster_id for r in out.collect()}
+    assert got == {"doc-0": 0, "doc-1": 0, "doc-2": 1, "doc-3": 1}

@@ -161,7 +161,8 @@ def main() -> None:
             else PQ.pq_codebooks_random(m, kc, DIM)
         )
         src = "trained" if trained else "random"
-        dflt = " *default*" if (m, kc, trained) == (4, 8, False) else ""
+        # r8: the driver gate trains m=8/k=16 on raw vectors (ann_pq_adc_topk)
+        dflt = " *default*" if (m, kc, trained) == (8, 16, True) else ""
         run("pq_adc", f"m={m} k={kc} {src}{dflt}", l2t,
             lambda b=books: PQ.pq_adc_topk(emb, queries, b, K))
 
@@ -170,8 +171,7 @@ def main() -> None:
     g_books = PQ.pq_codebooks_random(4, 8, DIM)
     t_books = PQ.pq_train_codebooks(emb, 4, 8, DIM, n_iters=2)
     for n_probe in [1, 2, 4, 8]:
-        dflt = " *default*" if n_probe == 2 else ""
-        run("ivf_pq", f"nlist=8 m=4 k=8 rnd nprobe={n_probe}{dflt}", l2t,
+        run("ivf_pq", f"nlist=8 m=4 k=8 rnd nprobe={n_probe}", l2t,
             lambda np_=n_probe: PQ.ivf_pq_topk(
                 emb, queries, g_cents, g_books, K, n_probe=np_))
     for n_probe in [2, 8]:
@@ -189,8 +189,11 @@ def main() -> None:
     # FAISS-style residual-trained books (ivf_residuals → pq_train_codebooks)
     r_frame = PQ.ivf_residuals(emb, km_cents).localCheckpoint()
     r_books = PQ.pq_train_codebooks(r_frame, 8, 16, DIM, n_iters=2, vec_col="res")
-    for n_probe in [2, 8]:
-        run("ivf_pq", f"nlist=8(t) m=8 k=16 RESID-trained nprobe={n_probe}", l2t,
+    # r8: nprobe=2 is the ann_ivf_pq_topk gate config, nprobe=4 the
+    # ann_pq_recall gate config
+    for n_probe in [2, 4, 8]:
+        dflt = " *default*" if n_probe == 2 else ""
+        run("ivf_pq", f"nlist=8(t) m=8 k=16 RESID-trained nprobe={n_probe}{dflt}", l2t,
             lambda np_=n_probe: PQ.ivf_pq_topk(
                 emb, queries, km_cents, r_books, K, n_probe=np_))
 
