@@ -57,11 +57,15 @@ _W1_NUM = det3("d1y", "d12", "d1", "d2y", "d22", "d2", "dy", "d2", "dn")
 _W2_NUM = det3("d11", "d1y", "d1", "d12", "d2y", "d2", "d1", "dy", "dn")
 _W0_NUM = det3("d11", "d12", "d1y", "d12", "d22", "d2y", "d1", "d2", "dy")
 
+# degenerate designs (collinear or constant features) have Gram determinant
+# exactly 0 — the weights are NULLed rather than silently Inf/NaN, in BOTH
+# engines (ADVICE r7: detectable, not divide-by-zero garbage). det itself is
+# emitted by linear_fit so callers can inspect near-singularity too.
 SOLVE_EXPRS: dict[str, str] = {
     "det": _DET,
-    "w1": f"({_W1_NUM}) / ({_DET})",
-    "w2": f"({_W2_NUM}) / ({_DET})",
-    "w0": f"({_W0_NUM}) / ({_DET})",
+    "w1": f"CASE WHEN ({_DET}) = 0.0 THEN NULL ELSE ({_W1_NUM}) / ({_DET}) END",
+    "w2": f"CASE WHEN ({_DET}) = 0.0 THEN NULL ELSE ({_W2_NUM}) / ({_DET}) END",
+    "w0": f"CASE WHEN ({_DET}) = 0.0 THEN NULL ELSE ({_W0_NUM}) / ({_DET}) END",
 }
 # diagnostics over the solved row (w1/w2/w0 referenced by name):
 #   SSE = y'y − w'X'y   (algebraic identity — no second data pass)
@@ -119,10 +123,10 @@ def linear_fit(df: DataFrame, x1: Column, x2: Column, y: Column) -> DataFrame:
         "*", *[F.col(src).cast("double").alias(dst) for dst, src in _DBL.items()]
     )
     solved = dbl.select(
-        "*", *[F.expr(e).alias(k) for k, e in SOLVE_EXPRS.items() if k != "det"]
+        "*", *[F.expr(e).alias(k) for k, e in SOLVE_EXPRS.items()]
     )
     return solved.select(
-        "n", "s11", "s22", "syy", "w1", "w2", "w0",
+        "n", "s11", "s22", "syy", "det", "w1", "w2", "w0",
         F.expr(DIAG_EXPRS["r2"]).alias("r2"),
     )
 

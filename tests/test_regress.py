@@ -69,3 +69,51 @@ def test_predict_broadcast_apply(spark):
     scored = R.predict(df, F.col("x1"), F.col("x2"), fit)
     for r in scored.collect():
         assert abs(r.y_hat - r.y) < 1e-8  # exact plane → exact predictions
+
+
+def test_degenerate_design_nulls_weights_and_emits_det(spark):
+    """ADVICE r7: collinear features (x2 = 2*x1 → Gram det = 0) must yield
+    NULL weights and det = 0.0 — detectable, not silent Inf/NaN — and the
+    oracle's CASE replays identically (the formulas are one Python source)."""
+    import duckdb
+
+    from payroll_etl_fastapi_spark.operators import regress as R
+
+    rows = [(i, 2 * i, 3 * i + 1) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    fit = R.linear_fit(df, F.col("x1"), F.col("x2"), F.col("y")).first()
+    assert fit.det == 0.0
+    assert fit.w1 is None and fit.w2 is None and fit.w0 is None
+    assert fit.r2 is None  # diagnostics reference the nulled weights
+
+    # same CASE, same verdict in the oracle's engine
+    con = duckdb.connect()
+    dbl = ", ".join(
+        f"CAST({src} AS DOUBLE) AS {dst}" for dst, src in R._DBL.items()
+    )
+    got = con.sql(f"""
+        WITH f AS (SELECT * FROM (VALUES {", ".join(f"({a},{b},{c})" for a,b,c in rows)}) t(x1, x2, y)),
+        sums AS (
+            SELECT count(*) AS n, CAST(sum(x1) AS BIGINT) AS s1,
+                   CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+                   CAST(sum(x2*x2) AS BIGINT) AS s22, CAST(sum(x1*y) AS BIGINT) AS s1y,
+                   CAST(sum(x2*y) AS BIGINT) AS s2y, CAST(sum(y*y) AS BIGINT) AS syy
+            FROM f
+        ),
+        dbl AS (SELECT *, {dbl} FROM sums)
+        SELECT {R.SOLVE_EXPRS['det']} AS det, {R.SOLVE_EXPRS['w1']} AS w1 FROM dbl
+    """).fetchone()
+    assert got[0] == 0.0 and got[1] is None
+
+
+def test_non_degenerate_fit_unchanged_by_the_guard(spark):
+    """The CASE guard is a no-op for det != 0: the exact-plane fit still
+    recovers (3, 2, 5) with r2 == 1 and a nonzero det."""
+    from payroll_etl_fastapi_spark.operators import regress as R
+
+    rows = [(i, (i * 7) % 5, 3 * i + 2 * ((i * 7) % 5) + 5) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    fit = R.linear_fit(df, F.col("x1"), F.col("x2"), F.col("y")).first()
+    assert fit.det != 0.0
+    assert abs(fit.w1 - 3) < 1e-9 and abs(fit.w2 - 2) < 1e-9 and abs(fit.w0 - 5) < 1e-9
