@@ -53,6 +53,14 @@ from payroll_etl_fastapi_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PASSES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+# Methodology version stamped into BENCH_DETAIL.json and the stdout payload
+# (ADVICE r7): bumps whenever the measurement protocol changes, so tooling
+# can refuse cross-methodology deltas instead of silently comparing a
+# warm-input run against a pre-r7 mixed-cache one. History:
+#   v1 = r1-r6 (first-pass inputs cold or OS-cache-dependent)
+#   v2-warm = r7+ (all parquet inputs page-cache-warmed before timing;
+#            first_pass_total is NOT a cold-start number)
+METHODOLOGY = "v2-warm"
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -155,6 +163,7 @@ def main() -> None:
         "metric": "suite_seconds",
         "value": round(total, 4),
         "estimator": f"min_of_{PASSES}",
+        "methodology": METHODOLOGY,
         "warmed_inputs": True,
         "first_pass_total": round(first_pass_total, 4),
         "median_total": round(median_total, 4),
@@ -178,6 +187,7 @@ def main() -> None:
         "metric": "suite_seconds",
         "value": round(total, 4),
         "estimator": f"min_of_{PASSES}",
+        "methodology": METHODOLOGY,
         "warmed_inputs": True,
         "first_pass_total": round(first_pass_total, 4),
         "median_total": round(median_total, 4),

@@ -1193,6 +1193,18 @@ def dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text")
     )
+    # ADVICE r7: the grid-copy id arithmetic assumes doc ids fit below the
+    # offset — at a larger scale factor a silent overflow would collide
+    # copy ids across keep-percent levels (and with base ids), corrupting
+    # the planted truth pairs. Fail loudly instead (column max over parquet
+    # footer stats — metadata-cheap).
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= _RECALL_OFF:
+        raise ValueError(
+            f"dedup_lsh_pair_recall: max doc_id {max_id} >= grid offset "
+            f"{_RECALL_OFF}; raise _RECALL_OFF (gate + oracle share the "
+            "literal) before running at this scale"
+        )
     toks = F.split(dedup.normalize_text(F.col("text")), " ")
     corpus = docs
     for gi, kp in enumerate(_RECALL_GRID):

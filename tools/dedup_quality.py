@@ -126,6 +126,13 @@ def main() -> None:
     n_docs = docs.count()
 
     # ---- grid corpus: docs + truncated copies at each keep-fraction --------
+    # mirror of the gate's bound (ADVICE r7): copy ids must not collide
+    # across keep levels or with base ids at any scale factor
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id < GRID_OFF, (
+        f"max doc_id {max_id} >= GRID_OFF {GRID_OFF}: grid-copy ids would "
+        "collide — raise GRID_OFF before running at this scale"
+    )
     parts = [docs]
     for gi, p in enumerate(GRID):
         toks = F.split(D.normalize_text(F.col("text")), " ")
