@@ -1247,18 +1247,6 @@ def dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text")
     )
-    # ADVICE r7: the grid-copy id arithmetic assumes doc ids fit below the
-    # offset — at a larger scale factor a silent overflow would collide
-    # copy ids across keep-percent levels (and with base ids), corrupting
-    # the planted truth pairs. Fail loudly instead (column max over parquet
-    # footer stats — metadata-cheap).
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    if max_id is not None and max_id >= _RECALL_OFF:
-        raise ValueError(
-            f"dedup_lsh_pair_recall: max doc_id {max_id} >= grid offset "
-            f"{_RECALL_OFF}; raise _RECALL_OFF (gate + oracle share the "
-            "literal) before running at this scale"
-        )
     toks = F.split(dedup.normalize_text(F.col("text")), " ")
     corpus = docs
     for gi, kp in enumerate(_RECALL_GRID):
@@ -1280,6 +1268,21 @@ def dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit((gi + 1) * _RECALL_OFF) for gi in range(len(_RECALL_GRID))])
         ).alias("off"),
     ).select("id_a", (F.col("id_a") + F.col("off")).alias("id_b"))
+
+    # ADVICE r7: grid-copy id arithmetic must not collide copy ids across
+    # keep-percent levels or with base ids — at an unexpected id
+    # distribution (striped sf1 ids, a future generator) collisions would
+    # silently corrupt the planted truth pairs. Exact check, one
+    # column-pruned aggregate over the id column only.
+    dup = corpus.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("doc_id"))).alias("d")
+    ).first()[0]
+    if dup:
+        raise ValueError(
+            f"dedup_lsh_pair_recall: {dup} grid-copy doc_id collisions — "
+            f"adjust _RECALL_OFF ({_RECALL_OFF}; gate + oracle share the "
+            "literal) for this id distribution"
+        )
 
     truth = dedup.ngram_jaccard_pairs(
         corpus, "text", "doc_id", n=3, threshold=0.0, candidates=planted

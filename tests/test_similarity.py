@@ -440,3 +440,73 @@ def test_incremental_semantic_index_join_broadcasts_batch(spark, tmp_path):
     # the only sort-merge join allowed is the batch-sized verdict join on
     # id; nothing may ever hash-partition on the index join key
     assert "hashpartitioning(cluster_id" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 8 (VERDICT r7 #2, embedding family): the sign-LSH planner is wired
+# into embedding_near_dup_pairs — plan_bands=True derives (num_planes,
+# bands) from the cosine threshold, calibrated against the analytic
+# 1 - (1 - p^r)^B curve on a planted cosine grid.
+# ---------------------------------------------------------------------------
+
+
+def _planted_cosine_grid(spark, n_pairs=50, dim=64, seed=17):
+    """(df, true_ids, junk_ids): unit base vectors with one planted partner
+    at cosine ~0.92 (above the 0.8 plan threshold) and one at cosine ~0.3
+    (junk the plan must mostly prune). Partner ids are base + 10_000 /
+    + 20_000."""
+    import math
+
+    rng = np.random.default_rng(seed)
+
+    def _pair_at(v, c):
+        u = rng.normal(size=dim)
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        return c * v + math.sqrt(1 - c * c) * u
+
+    rows = []
+    for i in range(n_pairs):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 10_000, [float(x) for x in _pair_at(v, 0.92)]))
+        rows.append((i + 20_000, [float(x) for x in _pair_at(v, 0.30)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    true_ids = {(i, i + 10_000) for i in range(n_pairs)}
+    junk_ids = {(i, i + 20_000) for i in range(n_pairs)}
+    return df, true_ids, junk_ids
+
+
+def test_lsh_planes_for_pick_and_validation():
+    # cosine 0.8: p = 1 - acos(0.8)/pi = 0.7952; cheapest family clearing
+    # recall 0.9 at-threshold with junk mass <= 0.2 at cosine 0 is
+    # 5 bits x 7 bands = 35 planes
+    assert sim.lsh_planes_for(0.8) == (35, 7)
+    with pytest.raises(ValueError, match="threshold"):
+        sim.lsh_planes_for(1.5)
+    with pytest.raises(ValueError, match="no sign-LSH family"):
+        sim.lsh_planes_for(0.2, max_planes=8)
+
+
+def test_near_dup_plan_bands_hits_planner_recall(spark):
+    """plan_bands=True at threshold 0.8: planted cosine-0.92 partners are
+    candidates with analytic probability 1-(1-p^5)^7 ~ 0.99 (p(0.92) =
+    0.872), and the exact verify keeps them; cosine-0.30 junk is below the
+    verify threshold regardless of banding."""
+    df, true_ids, junk_ids = _planted_cosine_grid(spark)
+    rows = sim.embedding_near_dup_pairs(
+        df, threshold=0.8, dim=64, plan_bands=True
+    ).collect()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in rows}
+    assert len(got & true_ids) / len(true_ids) >= 0.9
+    assert not (got & junk_ids)
+    assert all(r.cosine >= 0.8 for r in rows)
+
+
+def test_near_dup_plan_bands_conflict_raises(spark):
+    df, _, _ = _planted_cosine_grid(spark, n_pairs=2)
+    with pytest.raises(ValueError, match="not both"):
+        sim.embedding_near_dup_pairs(
+            df, threshold=0.8, plan_bands=True, num_planes=64, bands=16
+        )

@@ -126,13 +126,6 @@ def main() -> None:
     n_docs = docs.count()
 
     # ---- grid corpus: docs + truncated copies at each keep-fraction --------
-    # mirror of the gate's bound (ADVICE r7): copy ids must not collide
-    # across keep levels or with base ids at any scale factor
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    assert max_id < GRID_OFF, (
-        f"max doc_id {max_id} >= GRID_OFF {GRID_OFF}: grid-copy ids would "
-        "collide — raise GRID_OFF before running at this scale"
-    )
     parts = [docs]
     for gi, p in enumerate(GRID):
         toks = F.split(D.normalize_text(F.col("text")), " ")
@@ -147,6 +140,15 @@ def main() -> None:
     for pp in parts[1:]:
         corpus = corpus.unionByName(pp)
     corpus = corpus.localCheckpoint()
+    # mirror of the gate's collision guard (ADVICE r7): grid-copy ids must
+    # stay unique for any id distribution — exact check, one aggregate
+    dup = corpus.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("doc_id"))).alias("d")
+    ).first()[0]
+    assert not dup, (
+        f"{dup} grid-copy doc_id collisions — adjust GRID_OFF ({GRID_OFF}) "
+        "for this id distribution"
+    )
     planted = docs.select(
         F.col("doc_id").alias("id_a"),
         F.explode(F.array(*[

@@ -85,6 +85,10 @@ DEFAULT_GATES = [
     "dedup_lsh_pair_recall",
     "quality_linear_fit",
     "search_bm25_known_item",
+    # round-8 additions: the trained IVF-PQ pipeline (train + search) and
+    # its retrieval-recall quality gate (artifacts fixtured, search timed)
+    "ann_ivf_pq_topk",
+    "ann_pq_recall",
     "kpi_summary_month",
     "kpi_anomalies_mad",
     "kpi_delta_months",
