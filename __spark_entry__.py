@@ -111,7 +111,10 @@ _WINDOW: tuple[str, ...] = (
     # round-4 late additions
     "vocab_bpe_apply",
     "streaming_sketch_hdr",
-    "events_transition_matrix",
+    # ROUND-8 second swap: the byte-packed PQ index search gate (storage-
+    # format parity contract) takes this slot; events_transition_matrix
+    # holds its r7 driver-green row in _SECONDARY
+    "ann_pq_packed_search",
     # ROUND-7 third swap (VERDICT r6 #1, dedup side): the LSH pair-recall
     # S-curve quality gate takes this slot; dedup_prefix_filter_jaccard
     # holds its r6 driver-green row in _SECONDARY
@@ -195,6 +198,7 @@ _SECONDARY: tuple[str, ...] = (
     "search_hybrid_rrf",  # ceded its slot to search_bm25_known_item (r7); r6 driver-green
     "events_rolling_distinct",  # ceded its slot to ann_lsh_recall (r7); r6 driver-green
     "events_journey_trigrams",  # ceded its slot to ann_pq_recall (r8); r7 driver-green
+    "events_transition_matrix",  # ceded its slot to ann_pq_packed_search (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -43,7 +43,10 @@ __all__ = [
     "pq_codebooks_random",
     "pq_train_codebooks",
     "pq_encode",
+    "pq_pack_codes",
+    "pq_unpack_codes",
     "pq_adc_topk",
+    "pq_adc_topk_packed",
     "ivf_centroids_random",
     "ivf_pq_topk",
 ]
@@ -156,6 +159,109 @@ def pq_encode(
         cells = _block_dist_cells(vec_col, j * dsub, dsub, book)
         cols.append(F.array_min(cells).getField("i").alias(f"c{j}"))
     return df.select(*cols)
+
+
+def pq_pack_codes(
+    codes: DataFrame, m: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, [keep...,] code binary): the m per-block codes packed into ONE
+    m-byte binary column — the production storage format (FAISS stores
+    exactly this: a billion 64-dim float vectors become a billion m-byte
+    rows; at m=8 that is a 32× storage/scan-width reduction over the raw
+    doubles). Input is pq_encode's output (id, c0 … c{m-1}); each code
+    must fit one byte (k ≤ 256, which every PQ config here satisfies —
+    byte-per-code is also FAISS's default layout).
+
+    JVM-only projection: code → zero-padded hex pair → concat → unhex.
+    No shuffle, no Python."""
+    hex_pairs = [
+        F.lpad(F.hex(F.col(f"c{j}").cast("int")), 2, "0") for j in range(m)
+    ]
+    return codes.select(
+        "id",
+        *[F.col(c) for c in keep],
+        F.unhex(F.concat(*hex_pairs)).alias("code"),
+    )
+
+
+def pq_unpack_codes(
+    packed: DataFrame, m: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, [keep...,] c0 … c{m-1}): inverse of pq_pack_codes — byte j of
+    the binary column back to block j's integer code (hex window → base-16
+    conv). Search does NOT need this (pq_adc_topk_packed melts the bytes
+    directly); it exists for audit/debug and the round-trip contract
+    test."""
+    cols = [F.col("id"), *[F.col(c) for c in keep]]
+    hx = F.hex(F.col("code"))
+    for j in range(m):
+        cols.append(
+            F.conv(F.substring(hx, j * 2 + 1, 2), 16, 10).cast("int").alias(f"c{j}")
+        )
+    return packed.select(*cols)
+
+
+def _melt_packed(packed: DataFrame, m: int, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [keep...,] block, code) from the packed binary column: explode
+    block indices, slice one hex pair per block. The ADC join consumes
+    this directly — the packed column never round-trips through m int
+    columns."""
+    hx = F.hex(F.col("code"))
+    return (
+        packed.select(
+            "id",
+            *[F.col(c) for c in keep],
+            hx.alias("_hx"),
+            F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("block"),
+        )
+        .select(
+            "id",
+            *keep,
+            "block",
+            F.conv(
+                F.substring(F.col("_hx"), F.col("block") * 2 + 1, 2), 16, 10
+            )
+            .cast("int")
+            .alias("code"),
+        )
+    )
+
+
+def pq_adc_topk_packed(
+    packed: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_adc_topk over a PRE-ENCODED, byte-packed corpus — the production
+    search shape: the stored index is (id, m-byte code) rows written once
+    by pq_encode → pq_pack_codes; queries build their broadcast distance
+    table against the codebooks and the scan touches only id + m bytes per
+    vector (never the raw embeddings). Identical ranking to pq_adc_topk on
+    the same codes — pytest-pinned."""
+    m = len(codebooks)
+    melted = _melt_packed(packed, m)
+    table = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_adc_entries(vec_col, codebooks)).alias("e"),
+        )
+        .select("query_id", "e.block", "e.code", "e.du")
+    )
+    scored = (
+        melted.join(F.broadcast(table), ["block", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("du").alias("adc_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_micros"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "adc_micros", "rank")
+    )
 
 
 def _adc_entries(vec_col: str, codebooks: list[list[list[float]]]) -> Column:

@@ -774,6 +774,46 @@ def _pq_trained_adc_oracle(n_q: int = 8, topk: int = 5) -> str:
     """
 
 
+@query("ann_pq_packed_search", oracle=_pq_trained_adc_oracle(n_q=6, topk=7))
+def ann_pq_packed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the byte-PACKED stored index (operators.pq
+    .pq_pack_codes → pq_adc_topk_packed) — the production storage contract:
+    the index is (id, m-byte binary code) parquet written ONCE (a 32×
+    scan-width reduction vs the raw 64-double vectors at m=8), and search
+    melts the bytes directly into the broadcast-table join without ever
+    touching the embeddings. The oracle replays TRAINING + encode + ADC on
+    the raw table (_pq_trained_adc_oracle), so the gate hash proves the
+    pack → store → melt → rank path is value-identical to unpacked ADC —
+    the storage format loses nothing. The index build (train + encode +
+    pack + write) is fixture()-memoized input, the production semantics by
+    definition (the stored index exists before any query); pack/unpack
+    round-trip and packed ≡ plain ranking are additionally pytest-pinned."""
+    import os
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+    from payroll_etl_fastapi_spark.plans.suite import fixture
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _build() -> tuple[str, list]:
+        import atexit
+        import shutil
+        import tempfile
+
+        fx = tempfile.mkdtemp(prefix="spark_pq_packed_fix_")
+        atexit.register(shutil.rmtree, fx, ignore_errors=True)
+        books = PQ.pq_train_codebooks(emb, PQ_M, PQ_KC, DIM, n_iters=PQ_ITERS)
+        out = os.path.join(fx, "packed_index.parquet")
+        PQ.pq_pack_codes(PQ.pq_encode(emb, books), PQ_M).write.parquet(out)
+        return out, books
+
+    path, books = fixture(sf_dir, "pq_packed_index", _build)
+    packed = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 6)
+    return PQ.pq_adc_topk_packed(packed, queries, books, k=7).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _ivf_pq_trained_body(n_q: int, n_probe: int) -> str:
     """Shared WITH-body of the trained IVF-PQ oracles, through ``ranked``:
     kmeans-train the coarse quantizer (reusing ann_ivf_kmeans_topk's CTE

@@ -305,3 +305,46 @@ def test_l2_topk_matches_numpy_and_guards(spark):
         assert set(ids) == truth[q], q
     with pytest.raises(ValueError, match="brute-force all-pairs"):
         sim.l2_topk(df, queries, 5, max_pairs=10).collect()
+
+
+def test_pack_unpack_roundtrip_and_packed_search_parity(spark):
+    """round 8: the byte-packed storage format (pq_pack_codes /
+    pq_adc_topk_packed) — pack→unpack is the identity on codes, the binary
+    column is exactly m bytes, and packed search ranks identically to
+    pq_adc_topk on the same codes."""
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(60, 16))
+    df = _frame(spark, X)
+    books = PQ.pq_train_codebooks(df, m=4, k=8, dim=16, n_iters=2)
+    codes = PQ.pq_encode(df, books)
+    packed = PQ.pq_pack_codes(codes, m=4)
+    rows = packed.collect()
+    assert all(len(r.code) == 4 for r in rows)
+    back = {
+        r.id: (r.c0, r.c1, r.c2, r.c3)
+        for r in PQ.pq_unpack_codes(packed, m=4).collect()
+    }
+    orig = {r.id: (r.c0, r.c1, r.c2, r.c3) for r in codes.collect()}
+    assert back == orig
+    queries = df.filter(F.col("vec_id") < 3)
+    plain = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_micros)
+        for r in PQ.pq_adc_topk(df, queries, books, k=5).collect()
+    }
+    via_packed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_micros)
+        for r in PQ.pq_adc_topk_packed(packed, queries, books, k=5).collect()
+    }
+    assert via_packed == plain
+
+
+def test_packed_code_handles_high_codes(spark):
+    """codes >= 16 need the zero-padded two-hex-digit window (hex(255) =
+    'FF', hex(5) = '5' unpadded) — pin the boundary bytes."""
+    codes = spark.createDataFrame(
+        [(1, 0, 255, 16, 9)], "id long, c0 int, c1 int, c2 int, c3 int"
+    )
+    packed = PQ.pq_pack_codes(codes, m=4).collect()[0]
+    assert packed.code.hex().upper() == "00FF1009"
+    back = PQ.pq_unpack_codes(PQ.pq_pack_codes(codes, m=4), m=4).collect()[0]
+    assert (back.c0, back.c1, back.c2, back.c3) == (0, 255, 16, 9)
