@@ -393,3 +393,60 @@ def test_linear_fit_is_one_scan_one_exchange(spark):
     assert _nodes(plan, "HashAggregate") == 2  # partial + final
     for forbidden in ("Join", "Sort", "Window"):
         assert _nodes(plan, forbidden) == 0, forbidden
+
+
+def test_packed_pq_index_is_pure_projection_and_broadcast_search(spark):
+    """round 8: pq_pack_codes must be a single-scan pure projection (no
+    exchange, no Python eval) — the 100 TB encode-and-store path; and the
+    packed ADC search must join the melted bytes against a BROADCAST
+    per-query table (never shuffle the corpus side for the table)."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = PQ.pq_codebooks_random(4, 8, 64)
+    packed = PQ.pq_pack_codes(PQ.pq_encode(emb, books), m=4)
+    buf = _io.StringIO()
+    with _rs(buf):
+        packed.explain("formatted")
+    plan = buf.getvalue()
+    assert _nodes(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _nodes(plan, r"Scan parquet") == 1
+
+    queries = emb.filter("vec_id < 3")
+    buf = _io.StringIO()
+    with _rs(buf):
+        PQ.pq_adc_topk_packed(packed, queries, books, k=5).explain("formatted")
+    splan = buf.getvalue()
+    assert _nodes(splan, "BroadcastHashJoin") >= 1
+    assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
+
+
+def test_l2_topk_broadcasts_queries_single_window(spark):
+    """round 8: the exact-L2 truth baseline must broadcast the query side
+    (one corpus scan, no corpus shuffle before scoring) and rank through
+    exactly one window exchange — the cosine_topk shape."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter("vec_id < 3")
+    buf = _io.StringIO()
+    with _rs(buf):
+        sim.l2_topk(emb, queries, 5).explain("formatted")
+    plan = buf.getvalue()
+    assert _nodes(plan, "BroadcastNestedLoopJoin") >= 1 or _nodes(
+        plan, "BroadcastHashJoin"
+    ) >= 1
+    # exactly one ranking window; the bare-word pattern excludes the
+    # WindowGroupLimit pushdown nodes Spark 4 adds around it
+    assert _nodes(plan, r"Window\b(?!GroupLimit)") == 1
