@@ -49,6 +49,8 @@ __all__ = [
     "pq_adc_topk_packed",
     "ivf_centroids_random",
     "ivf_pq_topk",
+    "ivf_pq_encode_packed",
+    "ivf_pq_topk_packed",
 ]
 
 PQ_SEED = 77
@@ -250,18 +252,7 @@ def pq_adc_topk_packed(
         )
         .select("query_id", "e.block", "e.code", "e.du")
     )
-    scored = (
-        melted.join(F.broadcast(table), ["block", "code"])
-        .filter(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", "id")
-        .agg(F.sum("du").alias("adc_micros"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_micros"), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("id").alias("neighbor_id"), "adc_micros", "rank")
-    )
+    return _adc_rank(melted, table, k, join_keys=["block", "code"])
 
 
 def _adc_entries(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
@@ -340,23 +331,7 @@ def pq_adc_topk(
         )
         .select("query_id", "e.block", "e.code", "e.du")
     )
-    scored = (
-        melted.join(F.broadcast(table), ["block", "code"])
-        .filter(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", "id")
-        .agg(F.sum("du").alias("adc_micros"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_micros"), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            "adc_micros",
-            "rank",
-        )
-    )
+    return _adc_rank(melted, table, k, join_keys=["block", "code"])
 
 
 def pq_train_codebooks(
@@ -557,11 +532,7 @@ def ivf_pq_topk(
     join matches — the corpus-side work is one scan + one (query, vector)
     partial-sum shuffle, and the inverted-list restriction happens in the
     join, not a per-list scan loop."""
-    nlist = len(centroids)
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    vec = F.col(vec_col)
-
     # coarse assignment via ONE broadcast row of (cent_id, cent_vec)
     # structs and a fold-based L2 argmin: the unrolled literal chains for
     # nlist x dim terms pushed the fused encode stage past janino's 64 KB
@@ -569,8 +540,6 @@ def ivf_pq_topk(
     # the fold is bit-identical to the chain (IEEE 0.0 + x == x for the
     # non-negative squared terms). array_sort pins _cents to cent_id
     # order so element_at(list_id + 1) retrieves the assigned centroid.
-    spark = corpus.sparkSession
-    one_row, mapped = _coarse_assign(spark, centroids, vec)
     enc_in = ivf_residuals(corpus, centroids, id_col, vec_col)
     codes = pq_encode(enc_in, codebooks, id_col=id_col, vec_col="res", keep=("list_id",))
     melted = codes.select(
@@ -585,8 +554,27 @@ def ivf_pq_topk(
             )
         ).alias("bc"),
     ).select("id", "list_id", "bc.block", "bc.code")
+    table = _ivf_pq_query_table(
+        queries, centroids, codebooks, n_probe, id_col, vec_col
+    )
+    return _adc_rank(melted, table, k, join_keys=["list_id", "block", "code"])
 
-    # probe selection: sort the (distance, list_id) structs, keep n_probe
+
+def _ivf_pq_query_table(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, list_id, block, code, du): each query's micro-snapped
+    RESIDUAL distance table restricted to its n_probe nearest lists — the
+    tiny broadcast side every IVF-PQ search variant joins against. Probe
+    selection sorts (distance, list_id) structs with array_sort (no window,
+    no shuffle)."""
+    vec = F.col(vec_col)
+    one_row, mapped = _coarse_assign(queries.sparkSession, centroids, vec)
     probed = (
         queries.crossJoin(one_row)
         .select(
@@ -603,14 +591,21 @@ def ivf_pq_topk(
         lambda a, b: a.cast("double") - b,
     )
     probed_res = probed.select("query_id", "list_id", qres.alias("qres"))
-    table = probed_res.select(
+    return probed_res.select(
         "query_id",
         "list_id",
         F.explode(_adc_entries("qres", codebooks)).alias("e"),
     ).select("query_id", "list_id", "e.block", "e.code", "e.du")
 
+
+def _adc_rank(
+    melted: DataFrame, table: DataFrame, k: int, join_keys: list[str]
+) -> DataFrame:
+    """Shared ADC scoring tail: broadcast the per-query table into the
+    melted code stream, sum integer micros per (query, vector), rank with
+    the (micros, id) integer-deterministic tiebreak."""
     scored = (
-        melted.join(F.broadcast(table), ["list_id", "block", "code"])
+        melted.join(F.broadcast(table), join_keys)
         .filter(F.col("id") != F.col("query_id"))
         .groupBy("query_id", "id")
         .agg(F.sum("du").alias("adc_micros"))
@@ -621,3 +616,47 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "adc_micros", "rank")
     )
+
+
+def ivf_pq_encode_packed(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, code binary): the complete FAISS stored-index row —
+    coarse list assignment + the residual's m PQ codes packed to m bytes
+    (pq_pack_codes). Write this once; every later search reads id + an int
+    + m bytes per vector and never the embeddings. One scan, no shuffle."""
+    enc = pq_encode(
+        ivf_residuals(corpus, centroids, id_col, vec_col),
+        codebooks,
+        id_col=id_col,
+        vec_col="res",
+        keep=("list_id",),
+    )
+    return pq_pack_codes(enc, len(codebooks), keep=("list_id",))
+
+
+def ivf_pq_topk_packed(
+    packed: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_pq_topk over the PRE-ENCODED byte-packed index
+    (ivf_pq_encode_packed's output) — the production search shape: melt
+    the stored bytes per probed list and join the broadcast query table;
+    the raw embeddings are never touched. Ranking identical to
+    ivf_pq_topk on the same index — pytest-pinned."""
+    m = len(codebooks)
+    melted = _melt_packed(packed, m, keep=("list_id",))
+    table = _ivf_pq_query_table(
+        queries, centroids, codebooks, n_probe, id_col, vec_col
+    )
+    return _adc_rank(melted, table, k, join_keys=["list_id", "block", "code"])

@@ -348,3 +348,34 @@ def test_packed_code_handles_high_codes(spark):
     assert packed.code.hex().upper() == "00FF1009"
     back = PQ.pq_unpack_codes(PQ.pq_pack_codes(codes, m=4), m=4).collect()[0]
     assert (back.c0, back.c1, back.c2, back.c3) == (0, 255, 16, 9)
+
+
+def test_ivf_pq_packed_index_parity(spark):
+    """round 8: the complete FAISS stored-index row (ivf_pq_encode_packed:
+    id + list_id + m residual-code bytes) searched via ivf_pq_topk_packed
+    must rank identically to ivf_pq_topk on the raw vectors."""
+    rng = np.random.default_rng(31)
+    X = np.concatenate(
+        [rng.normal(3, 0.5, size=(15, 8)), rng.normal(-3, 0.5, size=(15, 8))]
+    )
+    df = _frame(spark, X)
+    cents = [[3.0] * 8, [-3.0] * 8]
+    books = PQ.pq_train_codebooks(
+        PQ.ivf_residuals(df, cents), m=2, k=4, dim=8, n_iters=2, vec_col="res"
+    )
+    packed = PQ.ivf_pq_encode_packed(df, cents, books)
+    rows = packed.collect()
+    assert {len(r.code) for r in rows} == {2}
+    assert {r.list_id for r in rows} == {0, 1}
+    queries = df.filter(F.col("vec_id") < 3)
+    plain = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_micros)
+        for r in PQ.ivf_pq_topk(df, queries, cents, books, k=5, n_probe=1).collect()
+    }
+    via_packed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_micros)
+        for r in PQ.ivf_pq_topk_packed(
+            packed, queries, cents, books, k=5, n_probe=1
+        ).collect()
+    }
+    assert via_packed == plain
