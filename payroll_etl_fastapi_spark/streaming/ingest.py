@@ -56,12 +56,29 @@ def stream_ingest_dedup(
     bands: int = 4,
     seed: int = 42,
     min_est: float = 0.5,
+    threshold: float | None = None,
 ):
     """Drain the currently-available document stream (availableNow) through
     the dedup-ingest loop; returns the terminated query (recentProgress
     readable). Batches apply in trigger order — arrival order, not id
     order, decides which duplicate survives across batches (within a batch
-    the keep-first min-id rule applies, as in the batch operator)."""
+    the keep-first min-id rule applies, as in the batch operator).
+
+    ``threshold=t`` derives (num_hashes, bands) via dedup.lsh_params_for(t)
+    and sets ``min_est = t`` (the planned path, VERDICT r7 #2 — same
+    contract as incremental_minhash_dedup): pass the SAME threshold on
+    every drain of one index, exactly as the raw knobs must not change
+    mid-index."""
+    if threshold is not None:
+        from payroll_etl_fastapi_spark.operators.dedup import lsh_params_for
+
+        if (num_hashes, bands) != (16, 4) or min_est != 0.5:
+            raise ValueError(
+                "pass either threshold= (planned band structure) or raw "
+                "num_hashes/bands/min_est knobs, not both"
+            )
+        num_hashes, bands = lsh_params_for(threshold)
+        min_est = threshold
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"

@@ -185,3 +185,40 @@ def test_stream_ingest_index_survives_compaction(spark, tmp_path, chunks):
     )
     d2 = dedup.incremental_minhash_dedup(index, fresh).collect()
     assert d2[0].accepted
+
+
+def test_stream_ingest_threshold_planned_params(spark, tmp_path):
+    """round 8: the streaming ingest accepts the planned threshold= contract
+    (same derivation as incremental_minhash_dedup) — a near-identical doc
+    arriving in a later batch is rejected at est >= threshold, and mixing
+    the plan with raw knobs raises."""
+    import os
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_dedup
+
+    toks = [f"tok{i:03d}" for i in range(40)]
+    rows = [(0, " ".join(toks)), (1, " ".join(toks[:36]))]  # j ~ 0.9 pair
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, (did, text) in enumerate(rows):
+        spark.createDataFrame([(did, text)], "doc_id long, text string").toPandas().to_parquet(
+            os.path.join(src, f"b{i}.parquet"), index=False
+        )
+        os.utime(os.path.join(src, f"b{i}.parquet"), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index = TxTable(spark, str(tmp_path / "idx"))
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    stream_ingest_dedup(stream, index, corpus, str(tmp_path / "ckpt"), threshold=0.7)
+    admitted = sorted(r.doc_id for r in corpus.snapshot().collect())
+    assert admitted == [0]  # the j~0.9 copy was rejected at the 0.7 plan
+
+    with pytest.raises(ValueError, match="not both"):
+        stream_ingest_dedup(
+            stream, index, corpus, str(tmp_path / "ckpt2"),
+            threshold=0.7, num_hashes=32, bands=8,
+        )
