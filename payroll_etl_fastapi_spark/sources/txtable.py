@@ -493,6 +493,7 @@ class TxTable:
         schema_json: str | None = None,
         extra: dict | None = None,
         constraints: dict[str, str] | None = None,
+        known_files: dict[str, list[str]] | None = None,
     ) -> None:
         """Atomic compare-and-swap commit of v<version>.json.
 
@@ -501,26 +502,28 @@ class TxTable:
         table's constraint set without each call site threading it.
 
         Every commit also fences its data dirs at FILE granularity
-        (``data_files``, VERDICT r7 #7): dirs already fenced by an earlier
-        manifest carry their original commit-time list forward verbatim
-        (walking backward through prior versions — restore() may resurrect
-        dirs the immediately-prior manifest dropped); only NEW dirs are
-        listed from disk, so a file that appears in a committed dir after
-        its commit can never be blessed by a later commit either."""
+        (``data_files``, VERDICT r7 #7): dirs fenced by the NEWEST prior
+        manifest carry their original commit-time list forward verbatim;
+        callers that re-reference OLDER dirs (restore resurrecting a
+        dropped version, clone referencing a source head) pass the target
+        manifest's fences via ``known_files`` so the original fence — not a
+        fresh listing that would bless post-commit strays — survives.
+        Only genuinely NEW dirs are listed from disk. One prior-manifest
+        read per commit, so a per-epoch streaming commit stays O(1) in
+        table history (the first cut walked ALL priors — O(V²) over a
+        stream's life)."""
         prior = [v for v in self._versions() if v < version]
+        prior_snap = self._read_manifest(prior[-1]) if prior else None
         if constraints is None:
-            constraints = (
-                dict(self._read_manifest(prior[-1]).constraints) if prior else {}
-            )
+            constraints = dict(prior_snap.constraints) if prior_snap else {}
         fenced: dict[str, list[str]] = {}
         pending = set(data_dirs)
-        for v in reversed(prior):
-            if not pending:
-                break
-            snap_files = self._read_manifest(v).data_files
-            if snap_files is None:
-                continue
-            for d, fs in snap_files:
+        for d, fs in known_files.items() if known_files else ():
+            if d in pending:
+                fenced[d] = list(fs)
+                pending.discard(d)
+        if prior_snap is not None and prior_snap.data_files is not None:
+            for d, fs in prior_snap.data_files:
                 if d in pending:
                     fenced[d] = list(fs)
                     pending.discard(d)
@@ -903,6 +906,14 @@ class TxTable:
             target.partition_by,
             target.schema_json,
             extra={"restored_version": version},
+            # carry the TARGET's commit-time fences: a fresh listing here
+            # would bless files that landed in the dirs after `version`
+            # committed (replay purity, pinned by test)
+            known_files=(
+                {d: list(fs) for d, fs in target.data_files}
+                if target.data_files is not None
+                else None
+            ),
         )
         return head_version + 1
 
@@ -920,16 +931,25 @@ class TxTable:
         constraints carry over; history does not (the clone starts at v1,
         Delta clone semantics)."""
         head = self._read_manifest(self.latest_version())
+        head_files = dict(head.data_files) if head.data_files is not None else {}
+        known: dict[str, list[str]] | None = {} if head_files else None
         dest = TxTable(self.spark, dest_root)
         if dest.exists():
             raise ValueError(f"clone destination {dest_root} already exists")
         if shallow:
-            dirs = [
-                d
-                if os.path.isabs(d)
-                else os.path.join(os.path.abspath(self.root), d)
-                for d in head.data_dirs
-            ]
+            dirs = []
+            for d in head.data_dirs:
+                ad = (
+                    d
+                    if os.path.isabs(d)
+                    else os.path.join(os.path.abspath(self.root), d)
+                )
+                dirs.append(ad)
+                if d in head_files:
+                    # fences are dir-relative — remap to the clone's
+                    # (absolute) dir key so the source's commit-time fence
+                    # rides along instead of a fresh listing
+                    known[ad] = list(head_files[d])
         else:
             dirs = []
             for i, d in enumerate(head.data_dirs):
@@ -938,6 +958,8 @@ class TxTable:
                     os.path.join(self.root, d), os.path.join(dest_root, rel)
                 )
                 dirs.append(rel)
+                if d in head_files:
+                    known[rel] = list(head_files[d])
         dest._publish(
             1,
             dirs,
@@ -945,6 +967,7 @@ class TxTable:
             head.partition_by,
             head.schema_json,
             constraints=dict(head.constraints),
+            known_files=known,
             extra={
                 "source_root": os.path.abspath(self.root),
                 "source_version": head.version,

@@ -1090,3 +1090,19 @@ def test_pre_r8_manifest_reads_whole_dir_legacy(spark, table):
     json.dump(doc, open(mpath, "w"))
     _inject_post_commit_file(spark, table, 1, [500, 501])
     assert _ids(table.snapshot()) == list(range(10)) + [500, 501]
+
+
+def test_clone_carries_the_source_fence(spark, table, tmp_path):
+    """Both clone flavors must carry the SOURCE's commit-time file fence:
+    a stray part file injected into the source dir before cloning is
+    invisible through the clone (shallow references the poisoned source
+    dir; deep copytree even copies the stray bytes — the fence excludes
+    them either way)."""
+    _inject_post_commit_file(spark, table, 1, [600, 601])
+    sh = table.clone(str(tmp_path / "sh"), shallow=True)
+    assert _ids(sh.snapshot()) == list(range(10))
+    dp = table.clone(str(tmp_path / "dp"), shallow=False)
+    assert _ids(dp.snapshot()) == list(range(10))
+    # and a LATER commit on the clone still carries the fence forward
+    dp.append(spark.range(100, 102))
+    assert _ids(dp.snapshot()) == list(range(10)) + [100, 101]
