@@ -161,7 +161,11 @@ _WINDOW: tuple[str, ...] = (
     "profile_hot_keys",
     "profile_table_fingerprint",
     "dedup_keep_best",
-    "events_decayed_popularity",
+    # ROUND-8 third swap: the exact-re-rank refinement gate (FAISS
+    # IndexRefineFlat shape — base vs refined hits@10 in one row) takes this
+    # slot; events_decayed_popularity holds its r7 driver-green row in
+    # _SECONDARY
+    "ann_pq_refine",
     # ROUND-7 fourth swap: the in-engine least-squares fit gate (new model-
     # fitting family) takes this slot; quality_iqr_outliers holds its r6
     # driver-green row in _SECONDARY
@@ -199,6 +203,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_rolling_distinct",  # ceded its slot to ann_lsh_recall (r7); r6 driver-green
     "events_journey_trigrams",  # ceded its slot to ann_pq_recall (r8); r7 driver-green
     "events_transition_matrix",  # ceded its slot to ann_pq_packed_search (r8); r7 driver-green
+    "events_decayed_popularity",  # ceded its slot to ann_pq_refine (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

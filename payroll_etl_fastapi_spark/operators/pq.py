@@ -49,6 +49,7 @@ __all__ = [
     "pq_adc_topk_packed",
     "ivf_centroids_random",
     "ivf_pq_topk",
+    "ivf_pq_topk_refined",
     "ivf_pq_encode_packed",
     "ivf_pq_topk_packed",
 ]
@@ -615,6 +616,46 @@ def _adc_rank(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "adc_micros", "rank")
+    )
+
+
+def ivf_pq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    n_probe: int = 2,
+    refine_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search with an exact re-rank tail (FAISS ``IndexRefineFlat``):
+    the ADC index over-fetches ``k * refine_mult`` candidates per query,
+    then ``similarity.refine_topk`` recomputes exact squared-L2 for JUST
+    those candidates from the original vectors and keeps the true top-``k``.
+    Output: (query_id, neighbor_id, l2_micros, rank).
+
+    This is the production answer to PQ's quantization loss: recall becomes
+    "did the true neighbor make the shortlist" (bounded by probe coverage)
+    instead of "did the 8-byte code rank it first". Cost: one extra corpus
+    scan pruned by a broadcast id join of |queries| x (k x refine_mult)
+    shortlist rows — at 100 TB the stored packed index serves the ADC pass
+    and only shortlisted rows' vectors are ever read back."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    shortlist = ivf_pq_topk(
+        corpus,
+        queries,
+        centroids,
+        codebooks,
+        k=k * refine_mult,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    return sim.refine_topk(
+        corpus, shortlist, queries, k, id_col=id_col, vec_col=vec_col
     )
 
 

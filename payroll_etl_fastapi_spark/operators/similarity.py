@@ -297,6 +297,63 @@ def l2_topk(
     )
 
 
+def refine_topk(
+    corpus: DataFrame,
+    shortlist: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of an ANN shortlist — the FAISS ``IndexRefineFlat``
+    recipe: a cheap approximate search (ADC / LSH) over-fetches a shortlist
+    of candidate ids, and the ORIGINAL vectors are consulted only for those
+    candidates to compute exact squared-L2 and keep the true top-``k``.
+    Recall then depends only on whether the true neighbor made the
+    shortlist, not on where quantization mis-ranked it inside the list.
+
+    ``shortlist``: (query_id, neighbor_id) — any ANN operator's output.
+    Output: (query_id, neighbor_id, l2_micros, rank), ranked by exact
+    distance with the (l2_micros asc, neighbor_id asc) integer tiebreak.
+
+    Scale shape: the shortlist is |queries| x k' rows — broadcast it into
+    ONE corpus scan (a broadcast join on id prunes the scan to candidate
+    rows; no all-pairs product, no corpus shuffle); the query vectors join
+    in as a second broadcast. Exactly one window over |queries| x k' rows
+    ranks the result. The squared-L2 is the same fixed-order zip_with fold
+    as l2_topk, snapped to integer micros — bit-replayable in the oracle."""
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("c_vec"),
+            F.col("q_vec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.join(q, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.floor(l2 * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("l2_micros"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_micros"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

@@ -379,3 +379,92 @@ def test_ivf_pq_packed_index_parity(spark):
         ).collect()
     }
     assert via_packed == plain
+
+
+# ---------------------------------------------------------------------------
+# round 8: exact-re-rank refinement (FAISS IndexRefineFlat shape) — the
+# ann_pq_refine gate's operator. Recall becomes "did the true neighbor make
+# the shortlist"; on the clustered corpus every cluster-mate does.
+# ---------------------------------------------------------------------------
+
+
+def test_refine_topk_matches_numpy_rerank(spark):
+    """similarity.refine_topk over an ARBITRARY shortlist: per query, the k
+    exact-L2-smallest shortlist members, micro-snapped, ties (micros, id) —
+    verified against a float64 numpy replay including the snap."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((30, 8))
+    df = _frame(spark, X)
+    queries = df.filter(F.col("vec_id") < 3)
+    # shortlist: a fixed pseudo-random 8-candidate set per query
+    pairs = [(q, int(n)) for q in range(3) for n in rng.choice(30, 8, replace=False)]
+    short = spark.createDataFrame(pairs, "query_id long, neighbor_id long")
+    got = sim.refine_topk(df, short, queries, k=4).collect()
+
+    def fold_l2(a, b):  # the operator's sequential left fold, replayed
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    for q in range(3):
+        cand = [n for qq, n in pairs if qq == q]
+        micros = {
+            n: int(math.floor(fold_l2(X[n], X[q]) * 1_000_000 + 0.5))
+            for n in cand
+        }
+        want = sorted(cand, key=lambda n: (micros[n], n))[:4]
+        got_q = sorted(
+            (r for r in got if r.query_id == q), key=lambda r: r.rank
+        )
+        assert [r.neighbor_id for r in got_q] == want
+        assert [r.l2_micros for r in got_q] == [micros[n] for n in want]
+
+
+def test_refine_recall_floor_and_dominance(spark, clustered_emb):
+    """Refined IVF-PQ (k*4 shortlist, exact re-rank) on the clustered
+    corpus: measured base 0.44 -> refined 1.00 recall@10 — every true
+    neighbor is a cluster-mate, lands in the probed lists' shortlist, and
+    the exact re-rank recovers it. Floors: refined >= 0.95 and never below
+    base (driver-scale lift: 0.44 -> 0.82 at sf0.01, the ann_pq_refine
+    gate's own rows)."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    df, V, qids = clustered_emb
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+    cents = [c for _, c in sim.train_centroids_kmeans(df, n_centroids=8, n_iters=2)]
+    res_frame = PQ.ivf_residuals(df, cents).localCheckpoint()
+    books = PQ.pq_train_codebooks(res_frame, 8, 16, 64, n_iters=2, vec_col="res")
+    truth = _l2_truth(V, qids, 10)
+    base = PQ.ivf_pq_topk(df, queries, cents, books, 10, n_probe=2).collect()
+    ref = PQ.ivf_pq_topk_refined(
+        df, queries, cents, books, 10, n_probe=2, refine_mult=4
+    ).collect()
+    rb, rr = _recall(base, truth, 10), _recall(ref, truth, 10)
+    assert rr >= 0.95
+    assert rr >= rb
+
+
+def test_refine_full_shortlist_equals_exact(spark):
+    """When every list is probed and the shortlist covers the whole corpus,
+    the refined ranking IS the exact l2_topk ranking — quantization cannot
+    lose a candidate it only re-orders."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((20, 8))
+    df = _frame(spark, X)
+    cents = [[1.0] * 8, [-1.0] * 8]
+    books = PQ.pq_train_codebooks(
+        PQ.ivf_residuals(df, cents), m=2, k=4, dim=8, n_iters=2, vec_col="res"
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    ref = PQ.ivf_pq_topk_refined(
+        df, queries, cents, books, k=5, n_probe=2, refine_mult=4
+    ).collect()
+    exact = sim.l2_topk(df, queries, k=5).collect()
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact}
+    got = {(r.query_id, r.rank): r.neighbor_id for r in ref}
+    assert got == want

@@ -196,6 +196,16 @@ def main() -> None:
         run("ivf_pq", f"nlist=8(t) m=8 k=16 RESID-trained nprobe={n_probe}{dflt}", l2t,
             lambda np_=n_probe: PQ.ivf_pq_topk(
                 emb, queries, km_cents, r_books, K, n_probe=np_))
+    # r8: exact-re-rank refinement (ivf_pq_topk_refined, FAISS
+    # IndexRefineFlat) — shortlist k*4, exact L2 re-rank from the original
+    # vectors; nprobe=4 mult=4 is the ann_pq_refine gate config. Recall is
+    # bounded only by shortlist coverage, so it tracks nprobe tightly.
+    for n_probe in [2, 4, 8]:
+        dflt = " *gate*" if n_probe == 4 else ""
+        run("ivf_pq_refined",
+            f"nlist=8(t) RESID-trained nprobe={n_probe} mult=4{dflt}", l2t,
+            lambda np_=n_probe: PQ.ivf_pq_topk_refined(
+                emb, queries, km_cents, r_books, K, n_probe=np_, refine_mult=4))
 
     payload = {
         "sf_dir": SF_DIR,

@@ -48,9 +48,10 @@ HARNESSES = {
 
 
 def _ann_key(entry: dict) -> str:
-    """(family, config) key with the presentation-only *default* marker
-    stripped, so moving the marker never orphans a baseline entry."""
-    return f"{entry['family']}|{entry['config'].replace(' *default*', '')}"
+    """(family, config) key with the presentation-only *default*/*gate*
+    markers stripped, so moving a marker never orphans a baseline entry."""
+    config = entry["config"].replace(" *default*", "").replace(" *gate*", "")
+    return f"{entry['family']}|{config}"
 
 
 def check_quality(artifacts: dict, baseline: dict) -> list[str]:
