@@ -159,7 +159,10 @@ _WINDOW: tuple[str, ...] = (
     "linkage_blocked_names",
     "events_ewma_hourly",
     "profile_hot_keys",
-    "profile_table_fingerprint",
+    # ROUND-8 fourth swap: the semantic benchmark-decontamination gate (the
+    # embedding complement of corpus_contamination) takes this slot;
+    # profile_table_fingerprint holds its r7 driver-green row in _SECONDARY
+    "corpus_semantic_decontamination",
     "dedup_keep_best",
     # ROUND-8 third swap: the exact-re-rank refinement gate (FAISS
     # IndexRefineFlat shape — base vs refined hits@10 in one row) takes this
@@ -204,6 +207,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_journey_trigrams",  # ceded its slot to ann_pq_recall (r8); r7 driver-green
     "events_transition_matrix",  # ceded its slot to ann_pq_packed_search (r8); r7 driver-green
     "events_decayed_popularity",  # ceded its slot to ann_pq_refine (r8); r7 driver-green
+    "profile_table_fingerprint",  # ceded its slot to corpus_semantic_decontamination (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -675,6 +675,89 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = DEFAULT_PLANES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination — the embedding
+    sibling of corpus.contamination_stats' 5-gram overlap: flag every corpus
+    vector whose cosine to SOME benchmark vector reaches ``threshold``, with
+    the strongest match as evidence. Paraphrased or re-tokenized test items
+    that n-gram overlap misses still land next to their source in embedding
+    space (the Phi/Llama decontamination recipe).
+
+    Output: (id, bench_id, cosine) — one row per CONTAMINATED corpus id,
+    carrying its best benchmark match (max cosine, ties to the smaller
+    bench id). Clean corpus rows don't appear; downstream drops flagged ids
+    with one anti-join.
+
+    Scale shape (the asymmetric two-table variant of
+    embedding_near_dup_pairs): the benchmark side is small by definition
+    (test sets are thousands of rows vs the 100 TB corpus), so its band
+    rows AND its vectors are broadcast — candidate generation is one
+    corpus scan producing bare (id, band, sig) triples joined against the
+    broadcast bench band table, and the exact-cosine verify re-attaches
+    corpus vectors via one narrow id join. The corpus is never shuffled by
+    value; the only wide exchange carries candidate (id, bench_id) pairs.
+    Recall is bounded by the band structure exactly as the oracle replays
+    it; every floating step is the shared fold/LCG contract."""
+    corpus = floor_parallelism(corpus)
+    planes = hyperplane_signs(num_planes, dim)
+
+    def band_rows(df: DataFrame, out_id: str, in_id: str) -> DataFrame:
+        sigs = band_signatures(vec_col, planes, bands)
+        pairs = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), s.alias("sig"))
+                for b, s in enumerate(sigs)
+            ]
+        )
+        return df.select(
+            F.col(in_id).alias(out_id), F.explode(pairs).alias("bs")
+        ).select(out_id, "bs.band", "bs.sig")
+
+    cand = (
+        band_rows(corpus, "id", id_col)
+        .join(F.broadcast(band_rows(bench, "bench_id", bench_id_col)), ["band", "sig"])
+        .select("id", "bench_id")
+        .dropDuplicates(["id", "bench_id"])
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+    )
+    bvecs = F.broadcast(
+        bench.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.col(vec_col).alias("b_vec"),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("b_norm"),
+        )
+    )
+    cos = cosine_prenormed(
+        F.col("c_vec"), F.col("b_vec"), F.col("c_norm"), F.col("b_norm")
+    )
+    scored = (
+        cand.join(cvecs, "id")
+        .join(bvecs, "bench_id")
+        .select("id", "bench_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("bench_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "bench_id", "cosine")
+    )
+
+
 SNAP = 1 << 20  # fixed-point scale for k-means dimension means (exact sums)
 
 

@@ -327,6 +327,72 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_semantic_decontamination",
+    oracle=f"""
+    WITH bench AS (
+        SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CASE WHEN (i - 1) % 7 = 0 THEN CAST(0.0 AS FLOAT)
+                             ELSE embedding[i] END) AS embedding
+        FROM embeddings WHERE vec_id % 23 = 5
+    ),
+    cbands AS (
+{_sql_bands_cte('embeddings')}
+    ),
+    bbands AS (
+{_sql_bands_cte('bench')}
+    ),
+    cand AS (
+        SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
+        FROM cbands c JOIN bbands b ON c.band = b.band AND c.sig = b.sig
+    ),
+    scored AS (
+        SELECT cand.vec_id, cand.bench_id,
+               {_sql_cosine('e.embedding', 'bn.embedding')} AS cosine
+        FROM cand
+        JOIN embeddings e ON cand.vec_id = e.vec_id
+        JOIN bench bn ON cand.bench_id = bn.vec_id
+    ),
+    flagged AS (
+        SELECT vec_id, bench_id, cosine FROM scored WHERE cosine >= 0.8
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, bench_id
+        ) = 1
+    )
+    SELECT vec_id, bench_id, {_sql_r6('cosine')} AS cosine
+    FROM flagged ORDER BY vec_id
+    """,
+)
+def corpus_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (operators.similarity
+    .semantic_contamination): flag corpus vectors whose cosine to a
+    BENCHMARK vector reaches 0.8, each with its strongest match — the
+    embedding-space complement of the 5-gram `corpus_contamination` gate
+    (paraphrases that defeat n-gram overlap still land next to their source
+    in embedding space). Positive path by construction: the benchmark is a
+    planted every-23rd sample of the corpus with every 7th element zeroed
+    (cosine ≈ 0.92 to its source when their band signatures collide —
+    dedup_embedding_cosine's mutation). Asymmetric scale shape: the bench's
+    band rows and vectors are BROADCAST; the corpus contributes one scan of
+    bare (id, band, sig) triples plus one narrow id re-attach join — the
+    100 TB side never shuffles by value. The oracle replays the bench
+    construction, both band tables, the candidate join, the exact cosine,
+    and the best-match window."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 23 == 5).select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("bench_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i % 7 == 0, F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    out = sim.semantic_contamination(emb, bench, threshold=0.8, dim=DIM)
+    return out.select(
+        F.col("id").alias("vec_id"), "bench_id", _r6(F.col("cosine")).alias("cosine")
+    ).orderBy("vec_id")
+
+
 N_CENTROIDS = 16
 N_PROBE = 4
 

@@ -510,3 +510,43 @@ def test_near_dup_plan_bands_conflict_raises(spark):
         sim.embedding_near_dup_pairs(
             df, threshold=0.8, plan_bands=True, num_planes=64, bands=16
         )
+
+
+# ---------------------------------------------------------------------------
+# round 8: semantic benchmark decontamination (two-table embedding near-dup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_contamination_flags_planted_and_skips_clean(spark):
+    """Verbatim benchmark copies of half the corpus are flagged (cosine 1.0,
+    every band collides); the orthogonal-ish other half never reaches the
+    0.99 threshold; output is one best-match row per contaminated id."""
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)], SCHEMA
+    )
+    bench = spark.createDataFrame(
+        [(i + 500, [float(x) for x in vecs[i]]) for i in range(10)],
+        "bench_id long, embedding array<float>",
+    )
+    out = sim.semantic_contamination(corpus, bench, threshold=0.99, dim=8)
+    rows = out.collect()
+    got = {r.id: r.bench_id for r in rows}
+    assert got == {i: i + 500 for i in range(10)}
+    assert all(r.cosine >= 0.99 for r in rows)
+    # one row per contaminated id even with multiple band collisions
+    assert len(rows) == len(got)
+
+
+def test_semantic_contamination_best_match_tiebreak(spark):
+    """Two identical benchmark entries match a corpus vector at the same
+    cosine — the smaller bench_id wins deterministically."""
+    v = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame([(0, v)], SCHEMA)
+    bench = spark.createDataFrame(
+        [(7, v), (3, v)], "bench_id long, embedding array<float>"
+    )
+    out = sim.semantic_contamination(corpus, bench, threshold=0.9, dim=8).collect()
+    assert len(out) == 1
+    assert out[0].bench_id == 3
