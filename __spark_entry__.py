@@ -151,7 +151,10 @@ _WINDOW: tuple[str, ...] = (
     # round-4 fifth-session batch
     "events_interval_merge",
     "quality_k_anonymity",
-    "text_vocab_coverage",
+    # ROUND-8 fifth swap: the bigram-LM perplexity gate (conditional step
+    # past text_lm_score) takes this text-family slot; text_vocab_coverage
+    # holds its r7 driver-green row in _SECONDARY
+    "text_bigram_lm",
     # ROUND-7 swap (VERDICT r6 #2): the scaled-k SemDeDup gate takes the
     # containment slot at registration; dedup_containment holds its r6
     # driver-green row in _SECONDARY
@@ -208,6 +211,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_transition_matrix",  # ceded its slot to ann_pq_packed_search (r8); r7 driver-green
     "events_decayed_popularity",  # ceded its slot to ann_pq_refine (r8); r7 driver-green
     "profile_table_fingerprint",  # ceded its slot to corpus_semantic_decontamination (r8); r7 driver-green
+    "text_vocab_coverage",  # ceded its slot to text_bigram_lm (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

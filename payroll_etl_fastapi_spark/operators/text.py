@@ -310,6 +310,75 @@ def bigram_counts(
     )
 
 
+def bigram_lm_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    snap_micros: bool = False,
+):
+    """Per-document negative log-likelihood under the corpus's own BIGRAM
+    language model with add-alpha smoothing — the conditional-probability
+    step past unigram_lm_scores and the reduced-but-replayable form of the
+    CCNet/KenLM perplexity filter: p(w2|w1) = (c(w1,w2) + α) / (c(w1·) +
+    α·V), where c(w1·) counts w1 as a bigram CONTEXT and V is the corpus
+    vocabulary size. Word-salad that passes a unigram filter (common words,
+    nonsense order) scores HIGH here, because its transitions are unseen.
+
+    Output: (id, n_bigrams, avg_neg_log_prob) — one row per document with
+    ≥ 2 tokens.
+
+    Plan shape (100 TB): bigrams are built ARRAY-LOCALLY per document (two
+    shifted slices zipped — the bigram_counts shape, no positional
+    self-join); ONE (w1, w2)-keyed aggregate builds the transition table;
+    context counts derive from THAT table (a groupBy over distinct bigrams,
+    not a second corpus pass); V rides in as a broadcast 1-row aggregate.
+    The two probability attaches are plain shuffle joins on (w1, w2) and
+    w1 — 1 row per key on the model side, AQE skew-split hot contexts. No
+    Python anywhere.
+
+    ``snap_micros=True`` snaps each transition's neg-log-p to integer
+    microunits before the per-doc sum (unigram_lm_scores' determinism
+    convention) — the oracle-replayable mode."""
+    toks = tokens(F.col(text_col))
+    t = docs.select(F.col(id_col).alias("id"), toks.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    n_pairs = F.size(F.col("t")) - 1
+    zipped = F.arrays_zip(
+        F.slice(F.col("t"), 1, n_pairs), F.slice(F.col("t"), 2, n_pairs)
+    )
+    doc_pairs = t.select("id", F.explode(zipped).alias("p")).select(
+        "id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2")
+    )
+    big = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vsize = docs.select(F.explode(tokens(F.col(text_col))).alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v_size")
+    )
+    neg_log_p = -F.log(
+        (F.col("c12") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha) * F.col("v_size"))
+    )
+    joined = (
+        doc_pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vsize))
+    )
+    if snap_micros:
+        per_pair = F.floor(neg_log_p * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return joined.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(per_pair) / F.count(F.lit(1)) / F.lit(1e6)).alias(
+                "avg_neg_log_prob"
+            ),
+        )
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(neg_log_p).alias("avg_neg_log_prob"),
+    )
+
+
 def pmi_collocations(
     docs,
     text_col: str = "text",

@@ -464,6 +464,71 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH tt AS (
+        SELECT doc_id AS id, string_split({_SQL_NORM_TEXT}, ' ') AS t
+        FROM documents
+        WHERE {_SQL_NORM_TEXT} <> ''
+    ),
+    pairs AS (
+        SELECT id, t[i] AS w1, t[i + 1] AS w2
+        FROM (
+            SELECT id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM tt WHERE len(t) >= 2
+        )
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1),
+    vs AS (
+        SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v_size
+        FROM (
+            SELECT unnest(string_split({_SQL_NORM_TEXT}, ' ')) AS tok
+            FROM documents WHERE {_SQL_NORM_TEXT} <> ''
+        )
+    ),
+    per AS (
+        SELECT id,
+               CAST(floor(-ln((c12 + 1.0) / (c1 + 1.0 * v_size))
+                          * 1000000 + 0.5) AS BIGINT) AS nlp_u
+        FROM pairs JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vs
+    )
+    SELECT id AS doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(sum(nlp_u) AS BIGINT) / count(*) / 1000000.0, 6)
+               AS avg_neg_log_prob
+    FROM per
+    GROUP BY id
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (operators.text.bigram_lm_scores,
+    snap_micros mode): per-document average negative log-probability of
+    each token given its PREDECESSOR under the corpus's own add-one
+    bigram model — the conditional step past text_lm_score that catches
+    word-salad a unigram filter passes (common words, nonsense order →
+    unseen transitions → high surprise; the CCNet/KenLM filter signal
+    reduced to an exactly-SQL-replayable form). Transition and context
+    counts both come from ONE bigram aggregate (contexts derive from the
+    transition table, not a second corpus pass); per-pair scores snap to
+    integer microunits before the per-doc sum so aggregation order cannot
+    perturb the result."""
+    from payroll_etl_fastapi_spark.plans.suite import _r6
+
+    docs = _t(spark, sf_dir, "documents")
+    out = T.bigram_lm_scores(docs, "text", "doc_id", alpha=1.0, snap_micros=True)
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "n_bigrams",
+            _r6(F.col("avg_neg_log_prob")).alias("avg_neg_log_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "sketch_cms_token_counts",
     oracle=f"""
     WITH toks AS (

@@ -39,3 +39,44 @@ def test_unigram_lm_snap_micros_close_to_raw(spark):
     assert set(raw) == set(snap)
     for k in raw:
         assert abs(raw[k] - snap[k]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# round 8: bigram LM (the conditional step — text_bigram_lm gate's operator)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_scores_exact_tiny(spark):
+    # corpus bigrams: doc1 'a b a b' -> (a,b) x2, (b,a) x1; doc2 'a b'
+    # -> (a,b); totals c12(a,b)=3, c12(b,a)=1; contexts c1(a)=3, c1(b)=1;
+    # vocab V=2 (a, b); add-one smoothing
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in T.bigram_lm_scores(docs).collect()}
+    V = 3  # a, b, solo
+    p_ab = (3 + 1) / (3 + V)
+    p_ba = (1 + 1) / (1 + V)
+    want1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    want2 = -math.log(p_ab)
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].avg_neg_log_prob - want1) < 1e-12
+    assert out[2].n_bigrams == 1
+    assert abs(out[2].avg_neg_log_prob - want2) < 1e-12
+    # single-token and empty docs have no bigrams -> no row
+    assert 3 not in out and 4 not in out
+
+
+def test_bigram_lm_flags_word_salad_unigram_cannot(spark):
+    """The functional claim: a scrambled doc whose TOKEN multiset equals an
+    in-order doc (identical unigram score by construction) scores strictly
+    higher under the bigram model — its transitions are unseen."""
+    prose = "the quick brown fox jumps over the lazy dog"
+    salad = "dog the over quick lazy fox the jumps brown"  # same multiset
+    rows = [(i, prose) for i in range(20)] + [(100, prose), (101, salad)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.id: r.avg_neg_log_prob for r in T.unigram_lm_scores(docs).collect()}
+    assert abs(uni[100] - uni[101]) < 1e-12
+    big = {r.id: r.avg_neg_log_prob for r in T.bigram_lm_scores(docs).collect()}
+    assert big[101] > big[100] + 1.0
