@@ -160,7 +160,10 @@ _WINDOW: tuple[str, ...] = (
     # driver-green row in _SECONDARY
     "dedup_semantic_scaledk",
     "linkage_blocked_names",
-    "events_ewma_hourly",
+    # ROUND-8 sixth swap: the duplicated-span REMOVAL gate (the cleaning
+    # half of dedup_duplicate_spans) takes this slot; events_ewma_hourly
+    # holds its r7 driver-green row in _SECONDARY
+    "dedup_span_removal",
     "profile_hot_keys",
     # ROUND-8 fourth swap: the semantic benchmark-decontamination gate (the
     # embedding complement of corpus_contamination) takes this slot;
@@ -212,6 +215,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_decayed_popularity",  # ceded its slot to ann_pq_refine (r8); r7 driver-green
     "profile_table_fingerprint",  # ceded its slot to corpus_semantic_decontamination (r8); r7 driver-green
     "text_vocab_coverage",  # ceded its slot to text_bigram_lm (r8); r7 driver-green
+    "events_ewma_hourly",  # ceded its slot to dedup_span_removal (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -685,6 +685,84 @@ def duplicate_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the cleaning half of
+    duplicate_span_stats (Lee et al. 2022 exact-substring dedup as applied
+    by RefinedWeb/Dolma: don't drop the document, CUT the boilerplate):
+    each doc's normalized text is rebuilt from its non-overlapping
+    ``span_tokens``-token windows with every span that appears in
+    ≥ ``min_docs`` DISTINCT documents removed; the sub-window tail (and
+    docs shorter than one window) always survives. ``keep_first=True``
+    keeps one canonical copy corpus-wide — the occurrence in the LOWEST
+    doc id — so shared text is deduplicated, not eradicated.
+
+    Output: (id, n_spans, kept_spans, text_clean) — every input doc
+    appears; text_clean is the space-joined kept spans in original order,
+    then the tail.
+
+    Plan shape (100 TB): duplicate_span_stats' linear pipeline plus one
+    ordered per-doc rebuild — one tokenize pass, ONE digest-keyed aggregate
+    (count-distinct + min id, map-side partials; the span string never
+    shuffles beyond its doc), one digest join back, and a per-doc
+    collect_list bounded by doc length (array-local sort on span position,
+    never a global sort). No all-pairs anywhere."""
+    w = span_tokens
+    df = floor_parallelism(df)
+    t = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    n_full = F.expr(f"size(t) DIV {w}")
+    idx = F.when(
+        F.size(F.col("t")) >= w, F.sequence(F.lit(0), n_full - 1)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("t"), i * w + 1, w)).alias("span"),
+        ),
+    )
+    tail = F.expr(
+        f"concat_ws(' ', slice(t, (size(t) DIV {w}) * {w} + 1, "
+        f"size(t) - (size(t) DIV {w}) * {w}))"
+    )
+    base = t.select("id", n_full.cast("long").alias("n_spans"), tail.alias("tail"))
+    sp = t.select("id", F.explode(spans).alias("s")).select(
+        "id", "s.pos", F.md5(F.col("s.span")).alias("fp"), "s.span"
+    )
+    counts = sp.groupBy("fp").agg(
+        F.countDistinct("id").alias("n_docs"), F.min("id").alias("first_id")
+    )
+    drop = (F.col("n_docs") >= min_docs) & (
+        F.lit(not keep_first) | (F.col("id") != F.col("first_id"))
+    )
+    kept = sp.join(counts, "fp").filter(~drop)
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("body"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_spans",
+        F.coalesce(F.col("kept_spans"), F.lit(0)).cast("long").alias("kept_spans"),
+        F.concat_ws(
+            " ", F.nullif(F.coalesce(F.col("body"), F.lit("")), F.lit("")),
+            F.nullif(F.col("tail"), F.lit("")),
+        ).alias("text_clean"),
+    )
+
+
 def prefix_filter_candidates(
     df: DataFrame,
     text_col: str = "text",

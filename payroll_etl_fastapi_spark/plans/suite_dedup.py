@@ -503,6 +503,72 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_stats(corpus, "text", "doc_id").orderBy("id")
 
 
+def _span_removal_oracle(w: int = 8, min_docs: int = 2) -> str:
+    return f"""
+    WITH {_sql_corpus(mutated=True)},
+    toks AS (
+        SELECT id, string_split({_SQL_NORM}, ' ') AS t FROM corpus
+    ),
+    base AS (
+        SELECT id,
+               CAST(len(t) // {w} AS BIGINT) AS n_spans,
+               array_to_string(
+                   list_slice(t, (len(t) // {w}) * {w} + 1, len(t)), ' '
+               ) AS tail
+        FROM toks
+    ),
+    sp AS (
+        SELECT id, i AS pos,
+               array_to_string(list_slice(t, i * {w} + 1, i * {w} + {w}), ' ') AS span
+        FROM toks, unnest(
+            CASE WHEN len(t) >= {w}
+                 THEN generate_series(0, len(t) // {w} - 1)
+                 ELSE [] END) AS u(i)
+    ),
+    fp AS (SELECT id, pos, md5(span) AS fp, span FROM sp),
+    cnt AS (
+        SELECT fp, count(DISTINCT id) AS n_docs, min(id) AS first_id
+        FROM fp GROUP BY fp
+    ),
+    kept AS (
+        SELECT f.id, f.pos, f.span
+        FROM fp f JOIN cnt c USING (fp)
+        WHERE NOT (c.n_docs >= {min_docs} AND f.id <> c.first_id)
+    ),
+    rebuilt AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS kept_spans,
+               string_agg(span, ' ' ORDER BY pos) AS body
+        FROM kept GROUP BY id
+    )
+    SELECT b.id,
+           b.n_spans,
+           CAST(coalesce(r.kept_spans, 0) AS BIGINT) AS kept_spans,
+           concat_ws(' ', nullif(coalesce(r.body, ''), ''), nullif(b.tail, ''))
+               AS text_clean
+    FROM base b LEFT JOIN rebuilt r USING (id)
+    ORDER BY b.id
+    """
+
+
+@query("dedup_span_removal", oracle=_span_removal_oracle())
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators.dedup.remove_duplicate_spans,
+    keep_first=True) — the cleaning half of dedup_duplicate_spans: instead
+    of flagging docs, CUT every 8-token span that appears in ≥2 distinct
+    documents, keeping one canonical copy in the lowest doc id (Lee et al.
+    2022 / RefinedWeb exact-substring dedup as a transformation). Corpus =
+    documents ∪ mutated copies, so by construction every original keeps its
+    full text (it IS the first occurrence) while each copy is stripped to
+    its sub-window tail + the mutation suffix — both behaviors inside the
+    gate hash, which covers the rebuilt text verbatim. The oracle replays
+    windows, digests, the (count-distinct, min-id) table, the keep/drop
+    verdicts, and the ordered text rebuild."""
+    corpus = _spark_corpus(spark, sf_dir, mutated=True)
+    return dedup.remove_duplicate_spans(
+        corpus, "text", "doc_id", keep_first=True
+    ).orderBy("id")
+
+
 def _prefix_filter_oracle(num: int = 7, den: int = 10) -> str:
     return f"""
     WITH corpus AS (

@@ -751,3 +751,68 @@ def test_incremental_dedup_threshold_param(spark, tmp_path):
     rejected = [r for r in dec2.values() if not r.accepted]
     assert len(rejected) >= 4  # S-curve ~0.99 at j~0.89; 5 planted copies
     assert all(r.est_jaccard >= 0.7 for r in rejected)
+
+
+# ---------------------------------------------------------------------------
+# round 8: duplicated-span REMOVAL (the cleaning half of duplicate_span_stats)
+# ---------------------------------------------------------------------------
+
+
+def _span8(words):
+    return " ".join(words)
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Shared 8-token window cut; unique windows and the sub-window tail
+    survive; keep_first keeps the lowest-id occurrence only."""
+    boiler = _span8([f"b{i}" for i in range(8)])  # the shared span
+    uniq1 = _span8([f"u{i}" for i in range(8)])
+    uniq2 = _span8([f"v{i}" for i in range(8)])
+    df = corpus(
+        spark,
+        [
+            (1, f"{boiler} {uniq1} tail one"),
+            (2, f"{uniq2} {boiler} extra"),
+            (3, "short doc"),
+        ],
+    )
+    out = {
+        r.id: r
+        for r in dedup.remove_duplicate_spans(df, keep_first=False).collect()
+    }
+    # boiler appears in 2 distinct docs -> removed EVERYWHERE
+    assert out[1].text_clean == f"{uniq1} tail one"
+    assert out[2].text_clean == f"{uniq2} extra"
+    assert (out[1].n_spans, out[1].kept_spans) == (2, 1)
+    # docs shorter than one window pass through verbatim (tail-only)
+    assert out[3].text_clean == "short doc"
+    assert (out[3].n_spans, out[3].kept_spans) == (0, 0)
+
+    kept = {
+        r.id: r
+        for r in dedup.remove_duplicate_spans(df, keep_first=True).collect()
+    }
+    # the lowest-id occurrence is the canonical copy and survives
+    assert kept[1].text_clean == f"{boiler} {uniq1} tail one"
+    assert kept[2].text_clean == f"{uniq2} extra"
+
+
+def test_remove_duplicate_spans_preserves_order(spark):
+    """Kept spans rebuild in original position order even when the window
+    aggregate scrambles them."""
+    spans = [_span8([f"w{j}_{i}" for i in range(8)]) for j in range(5)]
+    text = " ".join(spans) + " tl"
+    df = corpus(spark, [(1, text), (2, "unrelated words here")])
+    out = {r.id: r for r in dedup.remove_duplicate_spans(df).collect()}
+    assert out[1].text_clean == text
+    assert (out[1].n_spans, out[1].kept_spans) == (5, 5)
+
+
+def test_remove_duplicate_spans_self_repeat_not_cross_doc(spark):
+    """A doc repeating its own span is NOT cross-document duplication
+    (min_docs counts DISTINCT docs) — both occurrences survive."""
+    s = _span8([f"r{i}" for i in range(8)])
+    df = corpus(spark, [(1, f"{s} {s}"), (2, "other content entirely")])
+    out = {r.id: r for r in dedup.remove_duplicate_spans(df).collect()}
+    assert out[1].text_clean == f"{s} {s}"
+    assert out[1].kept_spans == 2
