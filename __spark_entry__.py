@@ -122,7 +122,10 @@ _WINDOW: tuple[str, ...] = (
     "graph_label_propagation",
     "unpivot_segment_balances",
     "sql_pricing_summary",
-    "graph_triangle_counts",
+    # ROUND-8 seventh swap: the deterministic shuffle-shard export gate
+    # (training-order reproducibility contract) takes this slot;
+    # graph_triangle_counts holds its r7 driver-green row in _SECONDARY
+    "corpus_shuffle_shards",
     # ROUND-7 fifth swap: the known-item retrieval-quality gate (search
     # member of the quality trilogy) takes this slot; search_hybrid_rrf
     # holds its r6 driver-green row in _SECONDARY
@@ -216,6 +219,7 @@ _SECONDARY: tuple[str, ...] = (
     "profile_table_fingerprint",  # ceded its slot to corpus_semantic_decontamination (r8); r7 driver-green
     "text_vocab_coverage",  # ceded its slot to text_bigram_lm (r8); r7 driver-green
     "events_ewma_hourly",  # ceded its slot to dedup_span_removal (r8); r7 driver-green
+    "graph_triangle_counts",  # ceded its slot to corpus_shuffle_shards (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

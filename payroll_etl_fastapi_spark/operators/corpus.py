@@ -96,6 +96,45 @@ def packed_sequences(
     return packed.select(id_col, tokens_col, "pack_id")
 
 
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the training-export
+    layout step (tfrecord/WebDataset style): examples must reach the trainer
+    in a pseudorandom order that is REPRODUCIBLE (same seed → same shards,
+    same within-shard order, on any cluster size) so a crashed run resumes
+    mid-epoch and two experiments see identical data order.
+
+    Every example gets a shuffle key = md5(seed ":" id); its shard is the
+    key's 28-bit prefix mod ``n_shards`` and its position is its (key, id)
+    rank within the shard. The assignment depends only on (seed, id):
+    re-running, repartitioning, or scaling the cluster cannot perturb it;
+    changing ``seed`` draws a fresh permutation.
+
+    Output: (id, skey, shard, pos).
+
+    Scale shape (100 TB): keying and shard assignment are a pure projection;
+    ONE exchange on the shard key; the within-shard rank is a per-shard
+    window (each shard is a partition — the physical writer is
+    ``repartition(n_shards, shard).sortWithinPartitions(skey, id)`` followed
+    by a partitioned write, which reuses this exact exchange+sort)."""
+    skey = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    keyed = docs.select(F.col(id_col).alias("id"), skey.alias("skey"))
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("skey", 1, 7), 16, 10).cast("long") % n_shards).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "id")
+    return sharded.withColumn("pos", F.row_number().over(w) - F.lit(1))
+
+
 def stratified_sample(
     key: Column,
     rates_per_mille: dict[str, int],

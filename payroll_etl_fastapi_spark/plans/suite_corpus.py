@@ -816,3 +816,71 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     strata stay dimension-sized at any corpus scale."""
     docs = _t(spark, sf_dir, "documents")
     return C.temperature_shares(docs, "source").orderBy("stratum")
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffle-shard export layout (round 8)
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 8
+_SHUF_SEED = 7
+_SHUF_MOD = 1_000_003  # order-checksum modulus (prime, keeps terms small)
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id AS id,
+               md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    ),
+    sharded AS (
+        SELECT id, skey,
+               CAST(CAST(('0x' || substr(skey, 1, 7)) AS BIGINT) % {_SHUF_SHARDS}
+                    AS INTEGER) AS shard
+        FROM keyed
+    ),
+    pos AS (
+        SELECT id, skey, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY skey, id) - 1 AS pos
+        FROM sharded
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(CASE WHEN pos = 0 THEN id END) AS first_doc,
+           CAST(sum((pos + 1) *
+                ({_SQL_H28.format(x='CAST(id AS VARCHAR)')} % {_SHUF_MOD}))
+                AS BIGINT) AS order_checksum
+    FROM pos
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard export layout (operators.corpus
+    .shuffle_shards): the tfrecord/WebDataset step — every doc's shard and
+    within-shard position derive only from (seed, doc_id) via md5, so the
+    training order is reproducible on any cluster size and a new seed draws
+    a fresh permutation. The gate emits per-shard (n_docs, the doc at
+    position 0, and a POSITION-WEIGHTED integer checksum of id hashes), so
+    the hash pins the complete shuffle order, not just the membership —
+    any perturbation of the permutation flips a row. The oracle replays
+    keying, 28-bit shard assignment, the (key, id) rank, and the weighted
+    checksum."""
+    docs = _t(spark, sf_dir, "documents")
+    out = C.shuffle_shards(docs, n_shards=_SHUF_SHARDS, seed=_SHUF_SEED)
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(F.when(F.col("pos") == 0, F.col("id"))).alias("first_doc"),
+            F.sum(
+                (F.col("pos") + 1)
+                * (C.h28(F.col("id").cast("string")) % _SHUF_MOD)
+            )
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -326,3 +326,49 @@ def test_temperature_shares_token_weighted(spark):
     # weighted by tokens: a=400, b=100 -> sqrt 20/10 -> 6666/3333 bp
     assert rows["a"].n_docs == 400 and rows["b"].n_docs == 100
     assert rows["a"].share_bp == 6666 and rows["b"].share_bp == 3333
+
+
+# ---------------------------------------------------------------------------
+# round 8: deterministic shuffle-shard export (corpus_shuffle_shards gate)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_is_a_reproducible_permutation(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = C.shuffle_shards(docs, n_shards=4, seed=7).collect()
+    b = C.shuffle_shards(docs, n_shards=4, seed=7).collect()
+    key = lambda r: (r.id, r.shard, r.pos, r.skey)  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    # every doc exactly once; positions contiguous 0..n-1 within each shard
+    assert sorted(r.id for r in a) == list(range(200))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_shuffle_shards_seed_draws_a_new_permutation(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = {r.id: (r.shard, r.pos) for r in C.shuffle_shards(docs, 4, seed=7).collect()}
+    b = {r.id: (r.shard, r.pos) for r in C.shuffle_shards(docs, 4, seed=8).collect()}
+    assert sum(a[i] != b[i] for i in a) > 100  # most assignments move
+
+
+def test_shuffle_shards_assignment_stable_under_corpus_growth(spark):
+    """(shard, skey) depend only on (seed, id): appending docs never moves
+    an existing doc's shard or key — only within-shard ranks can shift."""
+    old = spark.createDataFrame(
+        [(i, "") for i in range(100)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, "") for i in range(150)], "doc_id long, text string"
+    )
+    a = {r.id: (r.shard, r.skey) for r in C.shuffle_shards(old, 4, seed=7).collect()}
+    b = {r.id: (r.shard, r.skey) for r in C.shuffle_shards(new, 4, seed=7).collect()}
+    assert all(a[i] == b[i] for i in a)
