@@ -120,7 +120,11 @@ _WINDOW: tuple[str, ...] = (
     # holds its r6 driver-green row in _SECONDARY
     "dedup_lsh_pair_recall",
     "graph_label_propagation",
-    "unpivot_segment_balances",
+    # ROUND-8 eighth swap: the SQ8 scalar-quantized search gate (the other
+    # FAISS storage format; the only ANN gate whose full training replays
+    # as one SQL aggregate) takes this slot; unpivot_segment_balances holds
+    # its r7 driver-green row in _SECONDARY
+    "ann_sq8_topk",
     "sql_pricing_summary",
     # ROUND-8 seventh swap: the deterministic shuffle-shard export gate
     # (training-order reproducibility contract) takes this slot;
@@ -220,6 +224,7 @@ _SECONDARY: tuple[str, ...] = (
     "text_vocab_coverage",  # ceded its slot to text_bigram_lm (r8); r7 driver-green
     "events_ewma_hourly",  # ceded its slot to dedup_span_removal (r8); r7 driver-green
     "graph_triangle_counts",  # ceded its slot to corpus_shuffle_shards (r8); r7 driver-green
+    "unpivot_segment_balances",  # ceded its slot to ann_sq8_topk (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

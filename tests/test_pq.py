@@ -468,3 +468,49 @@ def test_refine_full_shortlist_equals_exact(spark):
     want = {(r.query_id, r.rank): r.neighbor_id for r in exact}
     got = {(r.query_id, r.rank): r.neighbor_id for r in ref}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 8: SQ8 scalar quantization (the ann_sq8_topk gate's operators)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_reconstruction_error_within_half_step(spark):
+    """Decode error per dimension is bounded by half a quantization step
+    (span/510); a constant dimension (span 0) decodes to exactly lo."""
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((50, 8))
+    X[:, 3] = 2.5  # degenerate dimension
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    bounds = PQ.sq8_train_bounds(df, 8)
+    assert bounds[3][0] == bounds[3][1]
+    packed = PQ.sq8_encode_packed(df, bounds)
+    # decode via the search path's expression: run sq8_topk with the row
+    # itself as query — d_micros of the self-free nearest reflects decode,
+    # so instead decode directly through unpack + python
+    rows = {r.id: bytes(r.code) for r in packed.collect()}
+    Xf = X.astype(np.float32).astype(np.float64)
+    for i, code in rows.items():
+        for d, (lo, hi) in enumerate(bounds):
+            dec = lo + (code[d] * (hi - lo)) / 255.0
+            if hi == lo:
+                assert code[d] == 0 and dec == lo
+            else:
+                assert abs(dec - Xf[i][d]) <= (hi - lo) / 510.0 + 1e-12
+
+
+def test_sq8_recall_floor_on_clustered_corpus(spark, clustered_emb):
+    """SQ8 at 64 bytes/vector: measured 0.97 recall@10 on the clustered
+    corpus (vs 0.44 for 8-byte IVF-PQ) — the storage-compression endpoint
+    of the quantization frontier retrieves near-exactly."""
+    df, V, qids = clustered_emb
+    bounds = PQ.sq8_train_bounds(df, 64)
+    packed = PQ.sq8_encode_packed(df, bounds)
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+    got = PQ.sq8_topk(packed, queries, bounds, 10).collect()
+    out = [r for r in got]
+    # rows carry neighbor_id; reuse the file's recall helper
+    assert _recall(out, _l2_truth(V, qids, 10), 10) >= 0.9
