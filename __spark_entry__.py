@@ -148,7 +148,10 @@ _WINDOW: tuple[str, ...] = (
     # round-4 third-session batch
     "events_rolling_hll",
     "graph_bfs_hops",
-    "streaming_enrich_dim",
+    # ROUND-8 ninth swap: the overlapping-chunk retrieval-prep gate takes
+    # this slot; streaming_enrich_dim holds its r7 driver-green row in
+    # _SECONDARY
+    "corpus_chunk_overlap",
     "events_range_frame_totals",
     "quality_observed_audit",
     "streaming_txcatalog_dual",
@@ -225,6 +228,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_ewma_hourly",  # ceded its slot to dedup_span_removal (r8); r7 driver-green
     "graph_triangle_counts",  # ceded its slot to corpus_shuffle_shards (r8); r7 driver-green
     "unpivot_segment_balances",  # ceded its slot to ann_sq8_topk (r8); r7 driver-green
+    "streaming_enrich_dim",  # ceded its slot to corpus_chunk_overlap (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

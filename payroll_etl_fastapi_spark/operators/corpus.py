@@ -135,6 +135,55 @@ def shuffle_shards(
     return sharded.withColumn("pos", F.row_number().over(w) - F.lit(1))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token overlapping windows — retrieval/passage prep (the RAG
+    chunking step; also the context-window slicer for long-doc training):
+    chunk ``c`` covers tokens [c*stride+1, c*stride+chunk_tokens]; with
+    stride < chunk_tokens consecutive chunks overlap by chunk_tokens −
+    stride tokens so no boundary-straddling passage is ever split across
+    a retrieval unit. n_chunks = 1 for docs ≤ chunk_tokens (the whole
+    doc), else 1 + ceil((n − chunk_tokens) / stride) — full coverage, the
+    last chunk may be shorter, all integer arithmetic. Empty docs emit no
+    rows.
+
+    Output: (id, chunk_id, chunk_text, n_tokens).
+
+    Scale shape: tokenize + window build are ARRAY-LOCAL (one transform
+    over a sequence of chunk starts, then one explode at ~n/stride rows
+    per doc) — a pure projection, no shuffle, no Python."""
+    from payroll_etl_fastapi_spark.operators.text import tokens
+
+    w, s = int(chunk_tokens), int(stride)
+    if w <= 0 or s <= 0:
+        raise ValueError(f"chunk_tokens ({w}) and stride ({s}) must be positive")
+    t = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 1)
+    n = F.size(F.col("t"))
+    # integer ceil via expr to keep DIV semantics identical to the oracle
+    n_chunks = F.expr(
+        f"CASE WHEN size(t) <= {w} THEN 1 "
+        f"ELSE 1 + (size(t) - {w} + {s - 1}) DIV {s} END"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("t"), c * s + 1, w)).alias("chunk_text"),
+            F.least(n - c * s, F.lit(w)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return t.select("id", F.explode(chunks).alias("c")).select(
+        "id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    )
+
+
 def stratified_sample(
     key: Column,
     rates_per_mille: dict[str, int],

@@ -884,3 +884,63 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping-chunk retrieval prep (round 8)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64
+_CHUNK_S = 48
+_CHUNK_MOD = 17  # gate slices every 17th doc to keep rows bounded at sf0.1
+
+
+@query(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH tt AS (
+        SELECT doc_id AS id, string_split({_SQL_NORM.format(col='text')}, ' ') AS t
+        FROM documents
+        WHERE doc_id % {_CHUNK_MOD} = 3 AND {_SQL_NORM.format(col='text')} <> ''
+    ),
+    nc AS (
+        SELECT id, t,
+               CASE WHEN len(t) <= {_CHUNK_W} THEN 1
+                    ELSE 1 + (len(t) - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}
+               END AS n_chunks
+        FROM tt
+    ),
+    chunks AS (
+        SELECT id, CAST(c AS BIGINT) AS chunk_id,
+               array_to_string(
+                   list_slice(t, c * {_CHUNK_S} + 1,
+                              c * {_CHUNK_S} + {_CHUNK_W}), ' ') AS chunk_text,
+               CAST(least(len(t) - c * {_CHUNK_S}, {_CHUNK_W}) AS BIGINT)
+                   AS n_tokens
+        FROM (
+            SELECT id, t, unnest(generate_series(0, n_chunks - 1)) AS c
+            FROM nc
+        )
+    )
+    SELECT id AS doc_id, chunk_id, chunk_text, n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (operators.corpus.chunk_documents,
+    64-token windows at stride 48 — 16-token overlap): the RAG/passage
+    retrieval prep step; overlap guarantees no passage straddling a
+    boundary is ever split across retrieval units, full coverage with an
+    integer-exact chunk count (1 + ceil((n − w) / s)), last chunk may run
+    short. The gate slices every 17th doc and hashes the chunk TEXT
+    verbatim, so window placement, overlap, the short-doc single-chunk
+    path, and the short last chunk are all inside the driver hash.
+    Array-local build — one projection + explode, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _CHUNK_MOD == 3
+    )
+    out = C.chunk_documents(docs, chunk_tokens=_CHUNK_W, stride=_CHUNK_S)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "n_tokens"
+    ).orderBy("doc_id", "chunk_id")

@@ -372,3 +372,46 @@ def test_shuffle_shards_assignment_stable_under_corpus_growth(spark):
     a = {r.id: (r.shard, r.skey) for r in C.shuffle_shards(old, 4, seed=7).collect()}
     b = {r.id: (r.shard, r.skey) for r in C.shuffle_shards(new, 4, seed=7).collect()}
     assert all(a[i] == b[i] for i in a)
+
+
+# ---------------------------------------------------------------------------
+# round 8: overlapping-chunk retrieval prep (corpus_chunk_overlap gate)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in C.chunk_documents(docs, chunk_tokens=4, stride=3).collect():
+        out.setdefault(r.id, []).append((r.chunk_id, r.chunk_text, r.n_tokens))
+    # n=10, w=4, s=3 -> 1 + ceil(6/3) = 3 chunks at starts 0, 3, 6
+    assert sorted(out[1]) == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t3 t4 t5 t6", 4),
+        (2, "t6 t7 t8 t9", 4),
+    ]
+    # doc shorter than one window -> a single whole-doc chunk
+    assert out[2] == [(0, "short doc", 2)]
+    # empty doc -> no rows
+    assert 3 not in out
+
+
+def test_chunk_documents_short_last_chunk_and_coverage(spark):
+    toks = [f"w{i}" for i in range(9)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        C.chunk_documents(docs, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # n=9 -> 1 + ceil(5/3) = 3 chunks; last starts at 6, runs 3 tokens short of none (tokens 6..8)
+    assert [r.n_tokens for r in rows] == [4, 4, 3]
+    assert rows[-1].chunk_text == "w6 w7 w8"
+    # every token is covered by at least one chunk
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == set(toks)
