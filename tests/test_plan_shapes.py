@@ -434,6 +434,7 @@ def test_l2_topk_broadcasts_queries_single_window(spark):
     import io as _io
     from contextlib import redirect_stdout as _rs
 
+    from pyspark.sql import functions as F
     from payroll_etl_fastapi_spark.operators import similarity as sim
 
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
@@ -450,3 +451,90 @@ def test_l2_topk_broadcasts_queries_single_window(spark):
     # exactly one ranking window; the bare-word pattern excludes the
     # WindowGroupLimit pushdown nodes Spark 4 adds around it
     assert _nodes(plan, r"Window\b(?!GroupLimit)") == 1
+
+
+def test_refine_topk_broadcasts_shortlist_and_queries(spark):
+    """round 8: the exact re-rank tail must reach the corpus through a
+    BROADCAST join on the shortlist ids (one pruned corpus scan — never a
+    corpus shuffle or cartesian) and attach query vectors by a second
+    broadcast; ranking is one window over |queries|*k' rows."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter("vec_id < 3")
+    short = (
+        emb.filter("vec_id < 40")
+        .crossJoin(queries.select(F.col("vec_id").alias("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        sim.refine_topk(emb, short, queries, k=5).explain("formatted")
+    plan = buf.getvalue()
+    assert _nodes(plan, "BroadcastHashJoin") >= 2
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_contamination_broadcasts_bench_side(spark):
+    """round 8: the two-table decontamination must broadcast the benchmark
+    band rows AND the benchmark vectors — the 100 TB corpus side is never
+    shuffled by value (only candidate (id, bench_id) pairs exchange)."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bench = emb.filter("vec_id % 23 = 5").select(
+        (F.col("vec_id") + 1000000).alias("bench_id"), "embedding"
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        sim.semantic_contamination(emb, bench, 0.8).explain("formatted")
+    plan = buf.getvalue()
+    assert _nodes(plan, "BroadcastHashJoin") >= 2
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sq8_encode_pure_projection_search_no_python(spark):
+    """round 8: SQ8 encode must be a single-scan pure projection (the
+    store-once path), and search must stay JVM-side with the query side
+    broadcast (BroadcastNestedLoopJoin over the tiny query set — the
+    guarded l2_topk shape, scanning only the byte index)."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bounds = PQ.sq8_train_bounds(emb, 64)
+    packed = PQ.sq8_encode_packed(emb, bounds)
+    buf = _io.StringIO()
+    with _rs(buf):
+        packed.explain("formatted")
+    plan = buf.getvalue()
+    assert _nodes(plan, "Exchange") == 0
+    assert _nodes(plan, r"Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    queries = emb.filter("vec_id < 3")
+    buf = _io.StringIO()
+    with _rs(buf):
+        PQ.sq8_topk(packed, queries, bounds, k=5).explain("formatted")
+    splan = buf.getvalue()
+    assert "Broadcast" in splan
+    assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
