@@ -153,7 +153,11 @@ _WINDOW: tuple[str, ...] = (
     # _SECONDARY
     "corpus_chunk_overlap",
     "events_range_frame_totals",
-    "quality_observed_audit",
+    # ROUND-8 tenth swap: the l-diversity audit (homogeneity-attack
+    # complement of k-anonymity, completing the privacy trio) takes this
+    # slot; quality_observed_audit holds its r7 driver-green row in
+    # _SECONDARY
+    "quality_l_diversity",
     "streaming_txcatalog_dual",
     "warclite_scan",
     "warclite_stream_rollup",
@@ -229,6 +233,7 @@ _SECONDARY: tuple[str, ...] = (
     "graph_triangle_counts",  # ceded its slot to corpus_shuffle_shards (r8); r7 driver-green
     "unpivot_segment_balances",  # ceded its slot to ann_sq8_topk (r8); r7 driver-green
     "streaming_enrich_dim",  # ceded its slot to corpus_chunk_overlap (r8); r7 driver-green
+    "quality_observed_audit",  # ceded its slot to quality_l_diversity (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -135,6 +135,40 @@ def shuffle_shards(
     return sharded.withColumn("pos", F.row_number().over(w) - F.lit(1))
 
 
+def write_shuffle_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> None:
+    """Physically materialize shuffle_shards: one parquet directory per
+    shard (``shard=<s>/``), rows stored in shuffle-key order WITHIN each
+    shard file so a trainer streaming a shard reads examples in the exact
+    deterministic order shuffle_shards assigns. The plan is the documented
+    production shape: repartition on the shard key (one exchange) +
+    sortWithinPartitions(skey, id) (no global sort) + partitioned write.
+    Read-back order == pos order is pytest-pinned."""
+    keyed = shuffle_shards(docs, n_shards, seed, id_col).select(
+        "id", "skey", "shard"
+    )
+    payload = docs.select(F.col(id_col).alias("id"), *
+        [c for c in docs.columns if c != id_col])
+    # the sort LEADS with the partition column: FileFormatWriter requires
+    # task rows ordered by partition columns and injects its own
+    # shard-only sort (not key-stable) when they are not — sorting
+    # (shard, skey, id) satisfies the requirement, so the writer keeps
+    # the key order inside every shard file
+    (
+        keyed.join(payload, "id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "skey", "id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 64,

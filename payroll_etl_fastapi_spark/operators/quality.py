@@ -169,3 +169,28 @@ def k_anonymity(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .filter(F.col("class_size") < k)
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: Sequence[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """(quasi..., class_size, n_sensitive): the equivalence classes over the
+    quasi-identifier tuple whose SENSITIVE attribute takes FEWER than ``l``
+    distinct values — the homogeneity-attack gap k-anonymity leaves open
+    (Machanavajjhala 2007): a class can hold k rows yet disclose everyone's
+    sensitive value when all k agree on it. Run AFTER k_anonymity passes;
+    a class failing here needs generalization or suppression even though it
+    is large enough.
+
+    One grouped (count, exact count-distinct) on the quasi tuple — the
+    count-distinct expands to Spark's two-phase exact plan (partial
+    aggregation on (quasi, sensitive), then the class rollup); no joins,
+    no windows, same 100 TB cost class as any distinct-count rollup."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )

@@ -203,6 +203,52 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risky.orderBy("c_nationkey", "c_mktsegment", "bal_bin")
 
 
+_L_DIV = 3
+
+
+@query(
+    "quality_l_diversity",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c_nationkey, bal_bin,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+    FROM quasi
+    GROUP BY c_nationkey, bal_bin
+    HAVING count(DISTINCT c_mktsegment) < {_L_DIV}
+    ORDER BY c_nationkey, bal_bin
+    """,
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators.quality.l_diversity): the homogeneity-
+    attack gap k-anonymity leaves open (Machanavajjhala 2007) — an
+    equivalence class over (nation, balance-bin) can be large enough for
+    k-anonymity yet disclose everyone's market segment when fewer than l=3
+    distinct segments appear in it. Completes the privacy trio: PII scrub
+    (direct identifiers) → k-anonymity (class size) → l-diversity
+    (sensitive-value spread). One grouped (count, exact count-distinct)
+    rollup — Spark's two-phase exact distinct plan, no joins, no windows;
+    the risky classes are the homogeneous ones, so the report stays small
+    at any scale."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bin"),
+        "c_mktsegment",
+    )
+    risky = Q.l_diversity(c, ["c_nationkey", "bal_bin"], "c_mktsegment", _L_DIV)
+    return risky.select(
+        "c_nationkey",
+        "bal_bin",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("n_sensitive").cast("long").alias("n_sensitive"),
+    ).orderBy("c_nationkey", "bal_bin")
+
+
 def _iqr_oracle() -> str:
     from payroll_etl_fastapi_spark.operators import sketch as SK
 

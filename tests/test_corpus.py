@@ -415,3 +415,31 @@ def test_chunk_documents_short_last_chunk_and_coverage(spark):
     for r in rows:
         covered.update(r.chunk_text.split(" "))
     assert covered == set(toks)
+
+
+def test_write_shuffle_shards_readback_order_matches_pos(spark, tmp_path):
+    """The materialized shards must stream back in exactly shuffle_shards'
+    deterministic order: for each shard dir, parquet row order (its
+    within-file layout) equals the pos ranking."""
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(120)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    C.write_shuffle_shards(docs, out, n_shards=3, seed=7)
+    want = {}
+    for r in C.shuffle_shards(docs, 3, seed=7).collect():
+        want.setdefault(r.shard, []).append((r.pos, r.id))
+    import pyarrow.parquet as pq
+    import glob as g
+    import os
+
+    for shard, pairs in want.items():
+        ordered_ids = [i for _, i in sorted(pairs)]
+        files = sorted(g.glob(os.path.join(out, f"shard={shard}", "*.parquet")))
+        got = []
+        for f in files:
+            got.extend(pq.read_table(f, columns=["id"]).column("id").to_pylist())
+        assert got == ordered_ids, shard
+    # payload rides along
+    back = spark.read.parquet(out)
+    assert back.count() == 120 and "text" in back.columns

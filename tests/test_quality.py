@@ -104,3 +104,23 @@ def test_k_anonymity_empty_report_when_generalized(spark):
     )
     assert k_anonymity(df, ["qa", "qb"], 5).count() == 2
     assert k_anonymity(df, ["qa"], 5).count() == 0
+
+
+def test_l_diversity_catches_homogeneous_class_k_anonymity_passes(spark):
+    """round 8: a class large enough for k-anonymity but with ONE sensitive
+    value fails l-diversity — the homogeneity attack the k-check misses."""
+    from payroll_etl_fastapi_spark.operators import quality as Q
+
+    rows = (
+        [(1, "d1") for _ in range(10)]            # homogeneous, big class
+        + [(2, f"d{i % 4}") for i in range(10)]   # diverse class
+        + [(3, "d1"), (3, "d2")]                  # small but diverse
+    )
+    df = spark.createDataFrame(rows, "quasi int, diag string")
+    k_risky = {r.quasi for r in Q.k_anonymity(df, ["quasi"], 5).collect()}
+    assert k_risky == {3}  # only the small class fails k
+    l_risky = {
+        (r.quasi, r.class_size, r.n_sensitive)
+        for r in Q.l_diversity(df, ["quasi"], "diag", 3).collect()
+    }
+    assert l_risky == {(1, 10, 1), (3, 2, 2)}  # class 1 passes k, fails l

@@ -196,6 +196,13 @@ def main() -> None:
         run("ivf_pq", f"nlist=8(t) m=8 k=16 RESID-trained nprobe={n_probe}{dflt}", l2t,
             lambda np_=n_probe: PQ.ivf_pq_topk(
                 emb, queries, km_cents, r_books, K, n_probe=np_))
+    # r8: SQ8 scalar quantization (byte per dimension) — the storage-
+    # compression endpoint of the frontier: near-exact recall at 4x
+    # scan-width cut; the ann_sq8_topk gate config.
+    sq8_bounds = PQ.sq8_train_bounds(emb, DIM)
+    sq8_packed = PQ.sq8_encode_packed(emb, sq8_bounds).localCheckpoint()
+    run("sq8", "8bit per-dim *gate*", l2t,
+        lambda: PQ.sq8_topk(sq8_packed, queries, sq8_bounds, K))
     # r8: exact-re-rank refinement (ivf_pq_topk_refined, FAISS
     # IndexRefineFlat) — shortlist k*4, exact L2 re-rank from the original
     # vectors; nprobe=4 mult=4 is the ann_pq_refine gate config. Recall is

@@ -89,6 +89,16 @@ DEFAULT_GATES = [
     # its retrieval-recall quality gate (artifacts fixtured, search timed)
     "ann_ivf_pq_topk",
     "ann_pq_recall",
+    # round-8 session additions: exact-re-rank refine (ADC + pruned corpus
+    # re-read), SQ8 (full byte-index scan per query batch — the documented
+    # linear-scan contract), span removal + bigram LM (linear text passes
+    # with digest/bigram-keyed joins), semantic decontamination (broadcast
+    # bench band join)
+    "ann_pq_refine",
+    "ann_sq8_topk",
+    "dedup_span_removal",
+    "text_bigram_lm",
+    "corpus_semantic_decontamination",
     "kpi_summary_month",
     "kpi_anomalies_mad",
     "kpi_delta_months",
