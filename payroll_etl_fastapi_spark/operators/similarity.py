@@ -685,6 +685,7 @@ def semantic_contamination(
     dim: int = 64,
     num_planes: int = DEFAULT_PLANES,
     bands: int = DEFAULT_BANDS,
+    plan_bands: bool = False,
 ) -> DataFrame:
     """Semantic (embedding-level) benchmark decontamination — the embedding
     sibling of corpus.contamination_stats' 5-gram overlap: flag every corpus
@@ -707,7 +708,18 @@ def semantic_contamination(
     corpus vectors via one narrow id join. The corpus is never shuffled by
     value; the only wide exchange carries candidate (id, bench_id) pairs.
     Recall is bounded by the band structure exactly as the oracle replays
-    it; every floating step is the shared fold/LCG contract."""
+    it; every floating step is the shared fold/LCG contract.
+
+    ``plan_bands=True`` derives (num_planes, bands) from the cosine
+    ``threshold`` via lsh_planes_for (the r8 measured-threshold contract,
+    same rule as embedding_near_dup_pairs) instead of the raw knobs."""
+    if plan_bands:
+        if (num_planes, bands) != (DEFAULT_PLANES, DEFAULT_BANDS):
+            raise ValueError(
+                "pass either plan_bands=True (band structure derived from "
+                "threshold) or raw num_planes/bands knobs, not both"
+            )
+        num_planes, bands = lsh_planes_for(threshold)
     corpus = floor_parallelism(corpus)
     planes = hyperplane_signs(num_planes, dim)
 

@@ -550,3 +550,29 @@ def test_semantic_contamination_best_match_tiebreak(spark):
     out = sim.semantic_contamination(corpus, bench, threshold=0.9, dim=8).collect()
     assert len(out) == 1
     assert out[0].bench_id == 3
+
+
+def test_semantic_contamination_plan_bands(spark):
+    """plan_bands derives the band family from the threshold (the r8
+    planner contract) and still flags the verbatim planted benchmark;
+    mixing plan_bands with raw knobs raises."""
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], SCHEMA
+    )
+    bench = spark.createDataFrame(
+        [(i + 900, [float(x) for x in vecs[i]]) for i in range(8)],
+        "bench_id long, embedding array<float>",
+    )
+    got = {
+        r.id: r.bench_id
+        for r in sim.semantic_contamination(
+            corpus, bench, threshold=0.95, dim=8, plan_bands=True
+        ).collect()
+    }
+    assert got == {i: i + 900 for i in range(8)}
+    with pytest.raises(ValueError, match="not both"):
+        sim.semantic_contamination(
+            corpus, bench, 0.95, dim=8, plan_bands=True, bands=2
+        )
