@@ -203,7 +203,11 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risky.orderBy("c_nationkey", "c_mktsegment", "bal_bin")
 
 
-_L_DIV = 3
+# bin 250 / l=4 keeps a positive path at EVERY scale (141/785/48 risky
+# classes at sf0.001/0.01/0.1) — the first-cut 1000/3 saturated to zero
+# rows at sf0.1 as classes grew, leaving the sweep row trivially empty
+_L_DIV = 4
+_L_BIN = 250
 
 
 @query(
@@ -211,7 +215,7 @@ _L_DIV = 3
     oracle=f"""
     WITH quasi AS (
         SELECT c_nationkey,
-               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+               CAST(floor(c_acctbal / {_L_BIN}) AS BIGINT) AS bal_bin,
                c_mktsegment
         FROM customer
     )
@@ -228,16 +232,16 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit (operators.quality.l_diversity): the homogeneity-
     attack gap k-anonymity leaves open (Machanavajjhala 2007) — an
     equivalence class over (nation, balance-bin) can be large enough for
-    k-anonymity yet disclose everyone's market segment when fewer than l=3
+    k-anonymity yet disclose everyone's market segment when fewer than l=4
     distinct segments appear in it. Completes the privacy trio: PII scrub
     (direct identifiers) → k-anonymity (class size) → l-diversity
     (sensitive-value spread). One grouped (count, exact count-distinct)
     rollup — Spark's two-phase exact distinct plan, no joins, no windows;
     the risky classes are the homogeneous ones, so the report stays small
-    at any scale."""
+    at any scale (141/785/48 rows at sf0.001/0.01/0.1)."""
     c = _t(spark, sf_dir, "customer").select(
         "c_nationkey",
-        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bin"),
+        F.floor(F.col("c_acctbal") / _L_BIN).cast("long").alias("bal_bin"),
         "c_mktsegment",
     )
     risky = Q.l_diversity(c, ["c_nationkey", "bal_bin"], "c_mktsegment", _L_DIV)
