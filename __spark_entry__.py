@@ -163,7 +163,10 @@ _WINDOW: tuple[str, ...] = (
     "warclite_stream_rollup",
     "txtable_data_skipping",
     # round-4 fifth-session batch
-    "events_interval_merge",
+    # ROUND-8 eleventh swap: the incremental exact-substring (span) ingest
+    # gate — completing the incremental-dedup trio — takes this slot;
+    # events_interval_merge holds its r7 driver-green row in _SECONDARY
+    "dedup_span_incremental",
     "quality_k_anonymity",
     # ROUND-8 fifth swap: the bigram-LM perplexity gate (conditional step
     # past text_lm_score) takes this text-family slot; text_vocab_coverage
@@ -234,6 +237,7 @@ _SECONDARY: tuple[str, ...] = (
     "unpivot_segment_balances",  # ceded its slot to ann_sq8_topk (r8); r7 driver-green
     "streaming_enrich_dim",  # ceded its slot to corpus_chunk_overlap (r8); r7 driver-green
     "quality_observed_audit",  # ceded its slot to quality_l_diversity (r8); r7 driver-green
+    "events_interval_merge",  # ceded its slot to dedup_span_incremental (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

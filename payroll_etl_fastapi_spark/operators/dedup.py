@@ -763,6 +763,115 @@ def remove_duplicate_spans(
     )
 
 
+def incremental_span_decisions(
+    index_spans: DataFrame | None,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    max_dup_bp: int = 5000,
+) -> tuple[DataFrame, DataFrame]:
+    """Side-effect-free core of `incremental_span_dedup`: given the
+    persisted span-digest rows (fp, id) of every previously ACCEPTED doc
+    (or None for a fresh index), decide each batch doc — REJECT iff the
+    fraction of its spans already present in the index OR in a lower-id
+    batch doc reaches ``max_dup_bp`` basis points (the duplicate_span_stats
+    flag rule applied at ingest time). Returns (decisions, accepted_spans)
+    without writing anything.
+
+    decisions: (id, accepted, n_spans, dup_spans, dup_bp) — docs shorter
+    than one span window have nothing to match and are always accepted
+    (n_spans 0, dup_bp 0); they also append nothing, so re-ingest stays
+    idempotent for them too (spanful docs self-match at 10000 bp on
+    re-ingest and are rejected).
+
+    Scale shape (the incremental_minhash_decisions discipline): the
+    batch's span/digest work is linear in the batch; the index side is ONE
+    equality semi-join restricted by the BROADCAST batch digest set before
+    its distinct — the 100 TB index never shuffles by value, and data
+    written per snapshot is one row per accepted doc's distinct span."""
+    sp = doc_spans(batch, text_col, id_col, span_tokens)
+    # one lazy checkpoint: the occurrence frame feeds the per-fp lookup,
+    # the flag join, AND the accepted-spans append — separate actions
+    # would each re-run the tokenize+window pass
+    occ = sp.select("id", F.md5("span").alias("fp")).localCheckpoint(eager=False)
+    fp_min = occ.groupBy("fp").agg(F.min("id").alias("first_id"))
+    if index_spans is not None:
+        idx_hit = (
+            index_spans.join(F.broadcast(fp_min.select("fp")), "fp", "left_semi")
+            .select("fp")
+            .distinct()
+            .withColumn("in_index", F.lit(True))
+        )
+        lookup = fp_min.join(idx_hit, "fp", "left")
+    else:
+        lookup = fp_min.withColumn("in_index", F.lit(False))
+    flagged = occ.join(F.broadcast(lookup), "fp")
+    dup = F.coalesce(F.col("in_index"), F.lit(False)) | (
+        F.col("first_id") < F.col("id")
+    )
+    per = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(dup.cast("long")).cast("long").alias("dup_spans"),
+    )
+    decisions = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.expr(
+                "CASE WHEN n_spans > 0 THEN dup_spans * 10000 DIV n_spans "
+                "ELSE 0 END"
+            ).cast("long"),
+        )
+        .withColumn("accepted", F.col("dup_bp") < max_dup_bp)
+        .select("id", "accepted", "n_spans", "dup_spans", "dup_bp")
+    )
+    accepted_spans = occ.dropDuplicates(["id", "fp"]).join(
+        F.broadcast(decisions.filter(F.col("accepted")).select("id")),
+        "id",
+        "left_semi",
+    ).select("fp", "id")
+    return decisions, accepted_spans
+
+
+def incremental_span_dedup(
+    index,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    max_dup_bp: int = 5000,
+) -> DataFrame:
+    """Exact-substring dedup at INGEST time — the span-granular sibling of
+    incremental_minhash_dedup (Lee et al. 2022 applied the RefinedWeb way:
+    snapshots arrive over weeks, and a new doc whose text is mostly spans
+    the corpus already holds is boilerplate/recycled content to drop).
+    ``index`` is a sources.txtable.TxTable holding `(fp, id)` — one row
+    per distinct 8-token span of every previously accepted doc. A batch
+    doc is rejected when ≥ ``max_dup_bp``/10000 of its spans match the
+    index or a lower-id batch doc (greedy keep-first, the minhash twin's
+    convention); survivors' distinct span digests append. Returns one
+    decision row per batch doc: (id, accepted, n_spans, dup_spans,
+    dup_bp). Re-ingesting a batch admits only its span-less docs
+    (everything else self-matches at 10000 bp) — pytest-pinned."""
+    decisions, accepted_spans = incremental_span_decisions(
+        index.snapshot() if index.exists() else None,
+        batch,
+        text_col,
+        id_col,
+        span_tokens,
+        max_dup_bp,
+    )
+    index.append(accepted_spans)
+    return decisions
+
+
 def prefix_filter_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -569,6 +569,153 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _sql_span_fps(src: str, out: str, w: int = 8) -> str:
+    """CTE pair: tokenize ``src`` (columns id, text) and emit one
+    (id, fp) row per non-overlapping w-token window — the doc_spans +
+    md5 digest twin shared by the incremental span-dedup oracle."""
+    return f"""{out}_t AS (
+        SELECT id, string_split({_SQL_NORM}, ' ') AS t FROM {src}
+    ),
+    {out} AS (
+        SELECT id,
+               md5(array_to_string(
+                   list_slice(t, i * {w} + 1, i * {w} + {w}), ' ')) AS fp
+        FROM {out}_t, unnest(
+            CASE WHEN len(t) >= {w}
+                 THEN generate_series(0, len(t) // {w} - 1)
+                 ELSE [] END) AS u(i)
+    )"""
+
+
+def _span_incremental_oracle(max_dup_bp: int = 5000) -> str:
+    """Replay BOTH snapshots of the span-dedup ingest end to end: snapshot
+    A's own greedy keep-first (no index), the index = accepted A docs'
+    distinct digests, then batch B against index ∪ lower-id B."""
+    return f"""
+    WITH a AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    b AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id, text || '{_MUTATION}' AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_sql_span_fps('a', 'asp')},
+    afmin AS (SELECT fp, min(id) AS first_id FROM asp GROUP BY fp),
+    aper AS (
+        SELECT s.id, count(*) AS n_spans,
+               sum(CASE WHEN m.first_id < s.id THEN 1 ELSE 0 END) AS dup_spans
+        FROM asp s JOIN afmin m USING (fp)
+        GROUP BY s.id
+    ),
+    adec AS (
+        SELECT a.id,
+               coalesce(p.n_spans, 0) AS n_spans,
+               coalesce(p.dup_spans, 0) AS dup_spans,
+               CASE WHEN coalesce(p.n_spans, 0) > 0
+                    THEN coalesce(p.dup_spans, 0) * 10000 // p.n_spans
+                    ELSE 0 END AS dup_bp
+        FROM a LEFT JOIN aper p ON a.id = p.id
+    ),
+    idx AS (
+        SELECT DISTINCT s.fp
+        FROM asp s JOIN adec d ON s.id = d.id
+        WHERE d.dup_bp < {max_dup_bp}
+    ),
+    {_sql_span_fps('b', 'bsp')},
+    bfmin AS (SELECT fp, min(id) AS first_id FROM bsp GROUP BY fp),
+    bper AS (
+        SELECT s.id, count(*) AS n_spans,
+               sum(CASE WHEN i.fp IS NOT NULL OR m.first_id < s.id
+                        THEN 1 ELSE 0 END) AS dup_spans
+        FROM bsp s
+        JOIN bfmin m USING (fp)
+        LEFT JOIN idx i ON s.fp = i.fp
+        GROUP BY s.id
+    ),
+    bdec AS (
+        SELECT b.id,
+               coalesce(p.n_spans, 0) AS n_spans,
+               coalesce(p.dup_spans, 0) AS dup_spans,
+               CASE WHEN coalesce(p.n_spans, 0) > 0
+                    THEN coalesce(p.dup_spans, 0) * 10000 // p.n_spans
+                    ELSE 0 END AS dup_bp
+        FROM b LEFT JOIN bper p ON b.id = p.id
+    )
+    SELECT CAST(0 AS BIGINT) AS snapshot, id,
+           CAST(CASE WHEN dup_bp < {max_dup_bp} THEN 1 ELSE 0 END AS BIGINT)
+               AS accepted,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(dup_spans AS BIGINT) AS dup_spans,
+           CAST(dup_bp AS BIGINT) AS dup_bp
+    FROM adec
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), id,
+           CAST(CASE WHEN dup_bp < {max_dup_bp} THEN 1 ELSE 0 END AS BIGINT),
+           CAST(n_spans AS BIGINT), CAST(dup_spans AS BIGINT),
+           CAST(dup_bp AS BIGINT)
+    FROM bdec
+    ORDER BY snapshot, id
+    """
+
+
+@query("dedup_span_incremental", oracle=_span_incremental_oracle())
+def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup at ingest (operators.dedup.
+    incremental_span_dedup) — the span-granular member of the incremental
+    trio (MinHash r6, SemDeDup r6, spans r8): snapshot A (even doc_ids)
+    ingests into a fresh persisted TxTable span-digest index, then batch B
+    (doc_id%3 verbatim — the %6 overlap carries EVERY span of an index doc
+    and is rejected at 10000 bp — plus mutation-suffixed copies of doc_id%5
+    whose dup fraction depends on where the original landed) dedupes
+    against index ∪ lower-id batch without re-tokenizing the corpus.
+    Output: both snapshots' decision rows (accepted, span counts, integer
+    basis points). The oracle replays A's own keep-first ingest, the
+    accepted-docs digest index, and B end to end. Re-ingest idempotence
+    and append-only index growth are pytest-pinned (tests/test_dedup.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snapshot_a = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_b = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_span_inc_")
+    try:
+        index = TxTable(spark, os.path.join(scratch, "span_index"))
+        dec_a = dedup.incremental_span_dedup(index, snapshot_a)
+        out_a = dec_a.select(
+            F.lit(0).cast("long").alias("snapshot"),
+            "id",
+            F.when(F.col("accepted"), 1).otherwise(0).cast("long").alias("accepted"),
+            "n_spans",
+            "dup_spans",
+            "dup_bp",
+        )
+        a_rows = out_a.collect()  # pin A's decisions before B mutates the index
+        dec_b = dedup.incremental_span_dedup(index, batch_b)
+        out_b = dec_b.select(
+            F.lit(1).cast("long").alias("snapshot"),
+            "id",
+            F.when(F.col("accepted"), 1).otherwise(0).cast("long").alias("accepted"),
+            "n_spans",
+            "dup_spans",
+            "dup_bp",
+        )
+        rows = a_rows + out_b.collect()
+        return spark.createDataFrame(rows, out_a.schema).orderBy("snapshot", "id")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _prefix_filter_oracle(num: int = 7, den: int = 10) -> str:
     return f"""
     WITH corpus AS (

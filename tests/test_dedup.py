@@ -816,3 +816,61 @@ def test_remove_duplicate_spans_self_repeat_not_cross_doc(spark):
     out = {r.id: r for r in dedup.remove_duplicate_spans(df).collect()}
     assert out[1].text_clean == f"{s} {s}"
     assert out[1].kept_spans == 2
+
+
+# ---------------------------------------------------------------------------
+# round 8: incremental exact-substring (span) ingest — incremental trio
+# ---------------------------------------------------------------------------
+
+
+def _span_text(prefix, n=16):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_incremental_span_dedup_rejects_recycled_content(spark, tmp_path):
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    idx = TxTable(spark, str(tmp_path / "span_idx"))
+    snap_a = corpus(
+        spark, [(1, _span_text("a")), (2, _span_text("b")), (3, "tiny")]
+    )
+    dec_a = {r.id: r for r in dedup.incremental_span_dedup(idx, snap_a).collect()}
+    assert all(r.accepted for r in dec_a.values())
+    assert dec_a[3].n_spans == 0  # sub-window doc: accepted, appends nothing
+    v1 = idx.snapshot().count()
+    assert v1 == 4  # 2 distinct spans per 16-token doc
+
+    # batch B: a verbatim copy of doc 1 (100% dup -> rejected), a half-
+    # recycled doc (1 span from doc 2 + 1 fresh -> 5000 bp -> rejected at
+    # the default threshold), and a fresh doc (accepted)
+    half = " ".join(_span_text("b").split()[:8]) + " " + _span_text("c", 8)
+    snap_b = corpus(
+        spark,
+        [(10, _span_text("a")), (11, half), (12, _span_text("d"))],
+    )
+    dec_b = {r.id: r for r in dedup.incremental_span_dedup(idx, snap_b).collect()}
+    assert (dec_b[10].accepted, dec_b[10].dup_bp) == (False, 10000)
+    assert (dec_b[11].accepted, dec_b[11].dup_bp) == (False, 5000)
+    assert (dec_b[12].accepted, dec_b[12].dup_bp) == (True, 0)
+    # append-only growth: only doc 12's 2 distinct spans landed
+    assert idx.snapshot().count() == v1 + 2
+
+    # re-ingest idempotence: every spanful doc self-matches at 10000 bp
+    dec_c = {r.id: r for r in dedup.incremental_span_dedup(idx, snap_a).collect()}
+    assert not dec_c[1].accepted and not dec_c[2].accepted
+    assert dec_c[3].accepted  # span-less doc stays accepted, appends nothing
+    assert idx.snapshot().count() == v1 + 2
+
+
+def test_incremental_span_dedup_in_batch_keep_first(spark, tmp_path):
+    """Two copies in ONE batch: the lower id wins; the higher id's spans
+    all match a lower-id doc."""
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    idx = TxTable(spark, str(tmp_path / "span_idx2"))
+    batch = corpus(
+        spark, [(5, _span_text("x")), (9, _span_text("x")), (7, _span_text("y"))]
+    )
+    dec = {r.id: r for r in dedup.incremental_span_dedup(idx, batch).collect()}
+    assert dec[5].accepted and dec[7].accepted
+    assert (dec[9].accepted, dec[9].dup_bp) == (False, 10000)
