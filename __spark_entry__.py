@@ -161,7 +161,11 @@ _WINDOW: tuple[str, ...] = (
     "streaming_txcatalog_dual",
     "warclite_scan",
     "warclite_stream_rollup",
-    "txtable_data_skipping",
+    # ROUND-8 twelfth swap: the multi-probe LSH retrieval-quality gate
+    # (half-size index matching the full family's recall via query-side
+    # probes) takes this slot; txtable_data_skipping holds its r7
+    # driver-green row in _SECONDARY
+    "ann_lsh_multiprobe",
     # round-4 fifth-session batch
     # ROUND-8 eleventh swap: the incremental exact-substring (span) ingest
     # gate — completing the incremental-dedup trio — takes this slot;
@@ -238,6 +242,7 @@ _SECONDARY: tuple[str, ...] = (
     "streaming_enrich_dim",  # ceded its slot to corpus_chunk_overlap (r8); r7 driver-green
     "quality_observed_audit",  # ceded its slot to quality_l_diversity (r8); r7 driver-green
     "events_interval_merge",  # ceded its slot to dedup_span_incremental (r8); r7 driver-green
+    "txtable_data_skipping",  # ceded its slot to ann_lsh_multiprobe (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -164,6 +164,56 @@ def band_signatures(
     return sigs
 
 
+def probe_band_signatures(
+    vec_col: str, planes: list[list[float]], bands: int, n_flips: int
+) -> list[Column]:
+    """Multi-probe signature arrays, one array<int> per band: the base sign
+    signature FIRST, then ``n_flips`` single-bit flips at the bits whose
+    hyperplane dot is nearest zero (smallest |dot|, ties to the lower bit
+    index) — Lv et al. 2007 multi-probe LSH. A vector close to a band
+    boundary probably differs from its true neighbors in exactly the
+    near-boundary bit, so probing those flipped buckets recovers recall
+    that would otherwise require more hash tables (more bands = more
+    corpus-side rows). Query-side only — the corpus is hashed once with
+    the plain base signatures.
+
+    Same server-parsed fold construction as band_signatures (the dots are
+    bit-identical), so a SQL oracle replays the margins, the (m, i)
+    struct sort, and the XOR flips exactly."""
+    num_planes = len(planes)
+    rpb = num_planes // bands
+    if not 0 <= n_flips <= rpb:
+        raise ValueError(f"n_flips must be in [0, {rpb}], got {n_flips}")
+
+    def dot_sql(plane: list[float]) -> str:
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+        return (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    out = []
+    for b in range(bands):
+        terms = [
+            f"(CASE WHEN {dot_sql(planes[b * rpb + r])} >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(rpb)
+        ]
+        base = " + ".join(terms)
+        margs = ", ".join(
+            f"struct(abs({dot_sql(planes[b * rpb + r])}) AS m, {r} AS i)"
+            for r in range(rpb)
+        )
+        out.append(
+            F.expr(
+                f"concat(array({base}), "
+                f"transform(slice(array_sort(array({margs})), 1, {n_flips}), "
+                f"s -> CAST(({base}) AS INT) ^ CAST(shiftleft(1, s.i) AS INT)))"
+            )
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # operators
 # ---------------------------------------------------------------------------
@@ -435,6 +485,7 @@ def lsh_topk(
     dim: int = 64,
     num_planes: int = TOPK_PLANES,
     bands: int = TOPK_BANDS,
+    n_probe_flips: int = 0,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: candidates are corpus rows
     sharing ≥1 sign-bit band with the query; exact cosine re-ranks candidates.
@@ -447,7 +498,17 @@ def lsh_topk(
     4-bit bands: recall@10 0.915 vs 0.076 at the near-dup family's 8-bit
     bands — measured in tools/ann_recall.py, frontier in PLANS.md §ANN
     recall). Band width is the quality/candidate-fraction knob: widen bands
-    (more bits) as the target similarity rises."""
+    (more bits) as the target similarity rises.
+
+    ``n_probe_flips > 0`` enables MULTI-PROBE querying (Lv et al. 2007,
+    probe_band_signatures): each query band additionally probes the buckets
+    reached by flipping its n weakest sign bits — recall that would
+    otherwise need more bands (more corpus-side hash rows and index bytes)
+    comes from extra QUERY-side probes instead; the corpus hash pass is
+    byte-identical to the plain one. Measured at sf0.1 (50 queries): 32/8
+    plain 0.728 → 0.906/0.97/0.99 recall@10 at 1/2/3 flips — two flips
+    BEAT the 64/16 family's 0.926 with HALF the stored band rows
+    (tools/ann_recall.py frontier)."""
     corpus = floor_parallelism(corpus)
     planes = hyperplane_signs(num_planes, dim)
 
@@ -468,6 +529,23 @@ def lsh_topk(
             .select(id_alias, vec_alias, "bs.band", "bs.sig")
         )
 
+    def with_probe_bands(df: DataFrame, id_alias: str) -> DataFrame:
+        arrays = probe_band_signatures(vec_col, planes, bands, n_probe_flips)
+
+        # single-arg lambda via a factory: a two-arg lambda would be
+        # interpreted as transform's (element, INDEX) form, silently
+        # rebinding the band label to the element's position in the array
+        def tag(b: int):
+            return lambda s: F.struct(F.lit(b).alias("band"), s.alias("sig"))
+
+        entries = F.flatten(
+            F.array(*[F.transform(arr, tag(b)) for b, arr in enumerate(arrays)])
+        )
+        return (
+            df.select(F.col(id_col).alias(id_alias), F.explode(entries).alias("bs"))
+            .select(id_alias, "bs.band", "bs.sig")
+        )
+
     # Candidate generation runs on BARE IDS: the 64-double vectors would
     # otherwise ride the band explode (|corpus| x bands rows), the band join,
     # and the dedup exchange. Generating (query_id, neighbor_id) pairs first
@@ -476,7 +554,11 @@ def lsh_topk(
     # the corpus is scanned exactly twice (hash pass + fetch pass) with no
     # corpus-wide shuffle at all. A/B at sf0.1: 5.8s -> 2.3s, identical rows.
     qb = F.broadcast(
-        with_bands(queries, "query_id", "q_vec").select("query_id", "band", "sig")
+        with_probe_bands(queries, "query_id")
+        if n_probe_flips > 0
+        else with_bands(queries, "query_id", "q_vec").select(
+            "query_id", "band", "sig"
+        )
     )
     cb = with_bands(corpus, "neighbor_id", "c_vec").select("neighbor_id", "band", "sig")
     cand_ids = (

@@ -1244,6 +1244,178 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MP_PLANES = 32
+MP_BANDS = 8
+MP_FLIPS = 2
+
+
+def _sql_probe_bands_cte(
+    src: str,
+    dim: int = DIM,
+    num_planes: int = MP_PLANES,
+    bands: int = MP_BANDS,
+    flips: int = MP_FLIPS,
+) -> str:
+    """(vec_id, band, sig) probe rows — the SQL twin of
+    similarity.probe_band_signatures: per band, the base signature plus
+    the ``flips`` single-bit XOR flips at the smallest-|dot| bits (ties to
+    the lower bit index via the struct sort)."""
+    planes = sim.hyperplane_signs(num_planes, dim)
+    rpb = num_planes // bands
+    sigs = _sql_band_sigs("embedding", dim, num_planes, bands)
+    selects = []
+    for b in range(bands):
+        base = f"CAST(({sigs[b]}) AS INTEGER)"
+        margs = ", ".join(
+            "{'m': abs(%s), 'i': %d}"
+            % (_sql_plane_dot("embedding", planes[b * rpb + r], dim), r)
+            for r in range(rpb)
+        )
+        probes = (
+            f"list_concat([{base}], "
+            f"list_transform(list_slice(list_sort([{margs}]), 1, {flips}), "
+            f"s -> CAST(xor({base}, 1 << s.i) AS INTEGER)))"
+        )
+        selects.append(
+            f"        SELECT vec_id, {b} AS band, unnest({probes}) AS sig "
+            f"FROM {src}"
+        )
+    return "\n        UNION ALL\n".join(selects)
+
+
+@query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    qsrc AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    exact_ranked AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_sql_cosine('q.qv', 'e.embedding')} DESC, e.vec_id
+        ) <= {K}
+    ),
+    cbands AS (
+{_sql_bands_cte('embeddings', num_planes=MP_PLANES, bands=MP_BANDS)}
+    ),
+    base_qb AS (SELECT * FROM cbands WHERE vec_id < {N_QUERIES}),
+    probe_qb AS (
+{_sql_probe_bands_cte('qsrc')}
+    ),
+    base_cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM cbands c
+        JOIN base_qb qb ON c.band = qb.band AND c.sig = qb.sig
+                       AND c.vec_id != qb.vec_id
+    ),
+    probe_cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM cbands c
+        JOIN probe_qb qb ON c.band = qb.band AND c.sig = qb.sig
+                        AND c.vec_id != qb.vec_id
+    ),
+    base_ranked AS (
+        SELECT cand.query_id, cand.neighbor_id
+        FROM base_cand cand
+        JOIN embeddings qe ON cand.query_id = qe.vec_id
+        JOIN embeddings ce ON cand.neighbor_id = ce.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY cand.query_id
+            ORDER BY {_sql_cosine('qe.embedding', 'ce.embedding')} DESC,
+                     cand.neighbor_id
+        ) <= {K}
+    ),
+    probe_ranked AS (
+        SELECT cand.query_id, cand.neighbor_id
+        FROM probe_cand cand
+        JOIN embeddings qe ON cand.query_id = qe.vec_id
+        JOIN embeddings ce ON cand.neighbor_id = ce.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY cand.query_id
+            ORDER BY {_sql_cosine('qe.embedding', 'ce.embedding')} DESC,
+                     cand.neighbor_id
+        ) <= {K}
+    ),
+    bhits AS (
+        SELECT e.query_id, count(*) AS h
+        FROM exact_ranked e
+        JOIN base_ranked l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+        GROUP BY e.query_id
+    ),
+    phits AS (
+        SELECT e.query_id, count(*) AS h
+        FROM exact_ranked e
+        JOIN probe_ranked l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(bhits.h, 0) AS BIGINT) AS base_hits_at_10,
+           CAST(coalesce(phits.h, 0) AS BIGINT) AS probe_hits_at_10
+    FROM q
+    LEFT JOIN bhits ON q.query_id = bhits.query_id
+    LEFT JOIN phits ON q.query_id = phits.query_id
+    ORDER BY q.query_id
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH retrieval quality (operators.similarity
+    .probe_band_signatures / lsh_topk(n_probe_flips=2), Lv et al. 2007):
+    each query band additionally probes the buckets reached by flipping
+    its 2 weakest sign bits, so recall that would otherwise require more
+    hash tables (more stored corpus band rows) comes from query-side
+    probes instead. The gate emits base vs multi-probe hits@10 against
+    the exact cosine truth side by side on the HALF-SIZE 32/8 family —
+    measured 0.728 → 0.97 recall@10 at sf0.1 (50 queries), beating the
+    64/16 family's 0.926 with half the index. The oracle replays the
+    margins, the (|dot|, bit) struct sort, the XOR flips, both candidate
+    joins, both exact re-ranks, and both truth intersections."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = sim.cosine_topk(emb, queries, K).select("query_id", "neighbor_id")
+    base = sim.lsh_topk(
+        emb, queries, K, dim=DIM, num_planes=MP_PLANES, bands=MP_BANDS
+    ).select("query_id", "neighbor_id")
+    mp = sim.lsh_topk(
+        emb,
+        queries,
+        K,
+        dim=DIM,
+        num_planes=MP_PLANES,
+        bands=MP_BANDS,
+        n_probe_flips=MP_FLIPS,
+    ).select("query_id", "neighbor_id")
+    bhits = (
+        exact.join(base, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("bh"))
+    )
+    phits = (
+        exact.join(mp, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ph"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(bhits, "query_id", "left")
+        .join(phits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("bh"), F.lit(0)).cast("long").alias("base_hits_at_10"),
+            F.coalesce(F.col("ph"), F.lit(0)).cast("long").alias("probe_hits_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _sq8_oracle(n_q: int = 6, k: int = 5, dim: int = DIM) -> str:
     """SQL twin of the SQ8 pipeline: recompute per-dimension min/max bounds
     from the table (training IS one exact aggregate — no literals to pin),

@@ -576,3 +576,66 @@ def test_semantic_contamination_plan_bands(spark):
         sim.semantic_contamination(
             corpus, bench, 0.95, dim=8, plan_bands=True, bands=2
         )
+
+
+# ---------------------------------------------------------------------------
+# round 8: multi-probe LSH (Lv et al. 2007) — the ann_lsh_multiprobe gate
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_results_dominate_plain(spark, clustered_emb):
+    """The multi-probe candidate set is a SUPERSET of the plain one (the
+    base signature is probe 0), so recall@k is monotone in flips — the
+    invariant that catches a band-labeling bug (a mislabeled probe row
+    joins the wrong buckets and DROPS recall; found once during
+    development via exactly this property). Measured here: plain 32/8 vs
+    1 and 2 flips on the clustered corpus."""
+    df, V, qids = clustered_emb
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+
+    def recall(flips):
+        rows = sim.lsh_topk(
+            df, queries, 10, dim=64, num_planes=32, bands=8, n_probe_flips=flips
+        ).collect()
+        truth = {}
+        for q in qids:
+            d = ((V - V[q]) ** 2).sum(axis=1)
+            truth[q] = set(
+                sorted((i for i in range(len(V)) if i != q), key=lambda i: (d[i], i))[:10]
+            )
+        by = {}
+        for r in rows:
+            by.setdefault(r.query_id, []).append(r.neighbor_id)
+        return sum(len(set(by.get(q, [])) & truth[q]) / 10 for q in qids) / len(qids)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2
+    assert r2 >= 0.9  # measured 0.97+ on the clustered corpus
+
+
+def test_probe_band_signatures_shape_and_flip_bits(spark):
+    """Each band emits 1 + n_flips probes; probe 0 is the base signature;
+    every flip differs from the base in exactly one bit; flips out of
+    range raise."""
+    rng = np.random.default_rng(23)
+    V = rng.standard_normal((6, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(6)], SCHEMA
+    )
+    planes = sim.hyperplane_signs(16, 8)
+    base_cols = sim.band_signatures("embedding", planes, 4)
+    probe_cols = sim.probe_band_signatures("embedding", planes, 4, 2)
+    row = df.select(
+        *[b.alias(f"b{i}") for i, b in enumerate(base_cols)],
+        *[p.alias(f"p{i}") for i, p in enumerate(probe_cols)],
+    ).collect()
+    for r in row:
+        for band in range(4):
+            probes = r[f"p{band}"]
+            assert len(probes) == 3
+            assert probes[0] == r[f"b{band}"]
+            for flip in probes[1:]:
+                diff = flip ^ r[f"b{band}"]
+                assert diff != 0 and (diff & (diff - 1)) == 0  # one bit
+    with pytest.raises(ValueError, match="n_flips"):
+        sim.probe_band_signatures("embedding", planes, 4, 5)

@@ -196,6 +196,15 @@ def main() -> None:
         run("ivf_pq", f"nlist=8(t) m=8 k=16 RESID-trained nprobe={n_probe}{dflt}", l2t,
             lambda np_=n_probe: PQ.ivf_pq_topk(
                 emb, queries, km_cents, r_books, K, n_probe=np_))
+    # r8: multi-probe LSH (Lv et al. 2007) — recall from query-side probes
+    # instead of more stored hash tables; 32/8 at 2 flips is the
+    # ann_lsh_multiprobe gate config (half the 64/16 family's band rows)
+    for flips in [0, 1, 2, 3]:
+        dflt = " *gate*" if flips == 2 else ""
+        run("lsh_multiprobe", f"planes=32 bands=8 flips={flips}{dflt}", cos_truth,
+            lambda f=flips: sim.lsh_topk(
+                emb, queries, K, dim=DIM, num_planes=32, bands=8,
+                n_probe_flips=f))
     # r8: SQ8 scalar quantization (byte per dimension) — the storage-
     # compression endpoint of the frontier: near-exact recall at 4x
     # scan-width cut; the ann_sq8_topk gate config.
