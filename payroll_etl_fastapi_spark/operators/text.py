@@ -431,3 +431,77 @@ def pmi_collocations(
         .orderBy(F.desc("pmi_micro"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def compression_ratio_stats(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    min_bp: int = 2500,
+    max_bp: int = 11000,
+):
+    """Per-document zlib compression ratio in integer basis points — the
+    language-agnostic quality filter (CCNet / RedPajama / Gopher lineage):
+    highly repetitive or templated text compresses far below natural prose
+    (low ratio_bp), while random or binary-ish garbage barely compresses
+    (ratio_bp ≈ 10000+ with the zlib header overhead). ``flagged`` marks
+    docs OUTSIDE [min_bp, max_bp] — both tails are quality failures.
+
+    Output: (id, n_bytes, z_bytes, ratio_bp, flagged), empty docs emitting
+    n_bytes = 0 / ratio_bp = 0 / unflagged.
+
+    This is the module's documented Arrow-batched EXCEPTION to the
+    no-Python rule (the multimodal decode discipline): DEFLATE is not
+    expressible in SQL, so the pass runs as one mapInPandas projection —
+    no shuffle, binary-free input, integer outputs. zlib with a fixed
+    ``level`` is bit-deterministic for a given input (RFC 1950 stream,
+    same library everywhere in the cluster image), and the pytest pins the
+    operator against direct ``zlib.compress`` calls; no SQL oracle by
+    construction, so the operator is pytest-covered rather than
+    driver-gated."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", docs.schema[id_col].dataType),
+            StructField("n_bytes", LongType()),
+            StructField("z_bytes", LongType()),
+            StructField("ratio_bp", LongType()),
+            StructField("flagged", BooleanType()),
+        ]
+    )
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["t"].fillna("").map(lambda s: s.encode("utf-8"))
+            n = raw.map(len)
+            z = raw.map(lambda b: len(zlib.compress(b, level)) if b else 0)
+            ratio = pd.Series(
+                [
+                    (int(zz) * 10000) // int(nn) if nn else 0
+                    for nn, zz in zip(n, z)
+                ],
+                index=pdf.index,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": n.astype("int64"),
+                    "z_bytes": z.astype("int64"),
+                    "ratio_bp": ratio.astype("int64"),
+                    "flagged": (n > 0)
+                    & ((ratio < min_bp) | (ratio > max_bp)),
+                }
+            )
+
+    return src.mapInPandas(run, schema)

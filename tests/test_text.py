@@ -138,3 +138,39 @@ def test_pmi_min_count_prunes(spark):
     )
     got = {(r.w1, r.w2) for r in pmi_collocations(df, min_count=2, top_k=10).collect()}
     assert ("x", "y") in got and ("p", "q") not in got
+
+
+# ---------------------------------------------------------------------------
+# round 8: zlib compression-ratio quality signal (Arrow-batched exception)
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_matches_direct_zlib_and_flags_tails(spark):
+    import zlib
+
+    from payroll_etl_fastapi_spark.operators import text as T
+
+    repetitive = "spam ham " * 300                  # compresses hard -> low bp
+    prose = ("the quick brown fox jumps over the lazy dog while seventeen "
+             "unusual meadows stretch toward distant hills where farmers "
+             "gather ripe apples and children chase bright kites under a "
+             "warm autumn sky near the old stone bridge that crosses our "
+             "shallow winding river every single morning")
+    import random as _random
+
+    _rng = _random.Random(99)  # test-local; the operator itself is RNG-free
+    noise = "".join(chr(_rng.randint(33, 126)) for _ in range(1200))
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, prose), (3, noise), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in T.compression_ratio_stats(docs).collect()}
+    for i, txt in [(1, repetitive), (2, prose), (3, noise)]:
+        raw = txt.encode("utf-8")
+        assert out[i].n_bytes == len(raw)
+        assert out[i].z_bytes == len(zlib.compress(raw, 6))
+        assert out[i].ratio_bp == (out[i].z_bytes * 10000) // out[i].n_bytes
+    assert out[1].flagged and out[1].ratio_bp < 2500       # templated spam
+    assert not out[2].flagged                              # natural prose
+    assert out[3].ratio_bp > 8000                          # barely compresses
+    assert (out[4].n_bytes, out[4].ratio_bp, out[4].flagged) == (0, 0, False)
