@@ -147,7 +147,10 @@ _WINDOW: tuple[str, ...] = (
     "ann_pq_recall",
     # round-4 third-session batch
     "events_rolling_hll",
-    "graph_bfs_hops",
+    # ROUND-8 thirteenth swap: the IVF-SQ8 composed-index gate (completing
+    # the quantization matrix; both trainings replay in SQL) takes this
+    # slot; graph_bfs_hops holds its r7 driver-green row in _SECONDARY
+    "ann_ivf_sq8_topk",
     # ROUND-8 ninth swap: the overlapping-chunk retrieval-prep gate takes
     # this slot; streaming_enrich_dim holds its r7 driver-green row in
     # _SECONDARY
@@ -243,6 +246,7 @@ _SECONDARY: tuple[str, ...] = (
     "quality_observed_audit",  # ceded its slot to quality_l_diversity (r8); r7 driver-green
     "events_interval_merge",  # ceded its slot to dedup_span_incremental (r8); r7 driver-green
     "txtable_data_skipping",  # ceded its slot to ann_lsh_multiprobe (r8); r7 driver-green
+    "graph_bfs_hops",  # ceded its slot to ann_ivf_sq8_topk (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

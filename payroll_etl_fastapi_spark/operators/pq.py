@@ -55,6 +55,8 @@ __all__ = [
     "sq8_train_bounds",
     "sq8_encode_packed",
     "sq8_topk",
+    "ivf_sq8_encode_packed",
+    "ivf_sq8_topk",
 ]
 
 PQ_SEED = 77
@@ -750,6 +752,15 @@ def sq8_encode_packed(
     One projection (array-local transform -> hex pairs -> unhex), no
     shuffle, no Python — the pq_pack_codes storage discipline at byte-per-
     dimension granularity."""
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(_sq8_code_sql(bounds, vec_col)).alias("code"),
+    )
+
+
+def _sq8_code_sql(bounds: list[tuple[float, float]], vec_col: str) -> str:
+    """The encode expression shared by the flat and IVF SQ8 index builders:
+    packed binary of clamp(floor((x_i - lo_i) * 255 / span_i + 0.5))."""
     dim = len(bounds)
     lo, span = _sq8_arrays_sql(bounds)
     codes = (
@@ -759,12 +770,7 @@ def sq8_encode_packed(
         f"AS DOUBLE) - element_at({lo}, i)) * 255.0D / element_at({span}, i) "
         f"+ 0.5D) AS INT))) ELSE 0 END)"
     )
-    return corpus.select(
-        F.col(id_col).alias("id"),
-        F.expr(
-            f"unhex(array_join(transform({codes}, c -> lpad(hex(c), 2, '0')), ''))"
-        ).alias("code"),
-    )
+    return f"unhex(array_join(transform({codes}, c -> lpad(hex(c), 2, '0')), ''))"
 
 
 def sq8_topk(
@@ -786,14 +792,9 @@ def sq8_topk(
     this is a full-index scan per query batch — SQ8 is the storage-
     compression point on the frontier (near-exact recall), IVF-PQ the
     probe-bounded one; compose with ivf lists for both."""
-    dim = len(bounds)
-    lo, span = _sq8_arrays_sql(bounds)
-    dec = (
-        f"transform(sequence(1, {dim}), i -> element_at({lo}, i) + "
-        f"(CAST(conv(substring(hex(code), (i - 1) * 2 + 1, 2), 16, 10) "
-        f"AS DOUBLE) * element_at({span}, i)) / 255.0D)"
+    c = packed.select(
+        F.col("id").alias("neighbor_id"), F.expr(_sq8_dec_sql(bounds)).alias("dec")
     )
-    c = packed.select(F.col("id").alias("neighbor_id"), F.expr(dec).alias("dec"))
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -811,6 +812,105 @@ def sq8_topk(
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(dist * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("d_micros"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d_micros"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _sq8_dec_sql(bounds: list[tuple[float, float]]) -> str:
+    """The decode expression shared by every SQ8 search variant:
+    array<double> of lo_i + code_i * span_i / 255 from the packed binary
+    `code` column."""
+    dim = len(bounds)
+    lo, span = _sq8_arrays_sql(bounds)
+    return (
+        f"transform(sequence(1, {dim}), i -> element_at({lo}, i) + "
+        f"(CAST(conv(substring(hex(code), (i - 1) * 2 + 1, 2), 16, 10) "
+        f"AS DOUBLE) * element_at({span}, i)) / 255.0D)"
+    )
+
+
+def ivf_sq8_encode_packed(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, code): the IVF-SQ8 stored index — coarse list
+    assignment (the shared fold argmin, ties to the smaller list) plus the
+    RAW vector's per-dimension byte codes (FAISS IndexIVFScalarQuantizer
+    with by_residual=False: global bounds, so decode needs no centroid
+    add-back). One scan, no shuffle; dim bytes + an int per vector."""
+    vec = F.col(vec_col)
+    one_row, mapped = _coarse_assign(corpus.sparkSession, centroids, vec)
+    return corpus.crossJoin(one_row).select(
+        F.col(id_col).alias("id"),
+        F.element_at(F.array_sort(mapped), 1).getField("i").alias("list_id"),
+        F.expr(_sq8_code_sql(bounds, vec_col)).alias("code"),
+    )
+
+
+def ivf_sq8_topk(
+    packed: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    bounds: list[tuple[float, float]],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-bounded SQ8 search over the stored (id, list_id, code) index:
+    each query scans only its ``n_probe`` nearest inverted lists (the
+    ivf_pq_topk probe selection — array_sort over the shared fold
+    distances, no shuffle), decoding codes to exact-query asymmetric
+    squared-L2. Completes the quantization matrix: IVF x {PQ (8 bytes,
+    recall-bounded), SQ8 (dim bytes, near-exact)} — SQ8 keeps fine ranking
+    the 8-byte codes lose, IVF keeps the scan probe-bounded where plain
+    sq8_topk is a full-index pass.
+
+    Output: (query_id, neighbor_id, d_micros, rank), self excluded. The
+    probed join is one equality join of the index against the BROADCAST
+    |queries| x n_probe (query, list) pairs — only probed lists' rows
+    survive the join; the index never shuffles."""
+    vec = F.col(vec_col)
+    one_row, mapped = _coarse_assign(queries.sparkSession, centroids, vec)
+    probes = (
+        queries.crossJoin(one_row)
+        .select(
+            F.col(id_col).alias("query_id"),
+            vec.alias("q_vec"),
+            F.explode(F.slice(F.array_sort(mapped), 1, n_probe)).alias("p"),
+        )
+        .select("query_id", "q_vec", F.col("p.i").alias("list_id"))
+    )
+    cand = packed.select(
+        F.col("id").alias("neighbor_id"),
+        "list_id",
+        F.expr(_sq8_dec_sql(bounds)).alias("dec"),
+    ).join(F.broadcast(probes), "list_id")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("dec"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -1416,11 +1416,10 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sq8_oracle(n_q: int = 6, k: int = 5, dim: int = DIM) -> str:
-    """SQL twin of the SQ8 pipeline: recompute per-dimension min/max bounds
-    from the table (training IS one exact aggregate — no literals to pin),
-    replay encode (snap + clamp), decode, the asymmetric squared-L2 fold,
-    micro-snap, and the (micros, id) ranking."""
+def _sql_sq8_bounds_ctes(dim: int = DIM) -> str:
+    """CTE pair ``b``/``barr``: per-dimension min/max bounds recomputed
+    from the table (SQ8's entire training is one exact aggregate) as lo
+    and span arrays."""
     los = ", ".join(
         f"min(CAST(embedding[{i + 1}] AS DOUBLE)) AS lo{i}, "
         f"max(CAST(embedding[{i + 1}] AS DOUBLE)) AS hi{i}"
@@ -1428,17 +1427,32 @@ def _sq8_oracle(n_q: int = 6, k: int = 5, dim: int = DIM) -> str:
     )
     lo_arr = "[" + ", ".join(f"lo{i}" for i in range(dim)) + "]"
     span_arr = "[" + ", ".join(f"hi{i} - lo{i}" for i in range(dim)) + "]"
+    return (
+        f"b AS (SELECT {los} FROM embeddings),\n"
+        f"    barr AS (SELECT {lo_arr} AS lo, {span_arr} AS span FROM b)"
+    )
+
+
+def _sql_sq8_codes(vec: str, dim: int = DIM) -> str:
+    """Encode expression over a row joined with ``barr``."""
+    return (
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> CASE WHEN span[i] > 0.0 THEN "
+        f"least(255, greatest(0, "
+        f"CAST(floor((CAST(({vec})[i] AS DOUBLE) - lo[i]) "
+        f"* 255.0 / span[i] + 0.5) AS INTEGER))) ELSE 0 END)"
+    )
+
+
+def _sq8_oracle(n_q: int = 6, k: int = 5, dim: int = DIM) -> str:
+    """SQL twin of the SQ8 pipeline: recompute per-dimension min/max bounds
+    from the table (training IS one exact aggregate — no literals to pin),
+    replay encode (snap + clamp), decode, the asymmetric squared-L2 fold,
+    micro-snap, and the (micros, id) ranking."""
     return f"""
-    WITH b AS (SELECT {los} FROM embeddings),
-    barr AS (SELECT {lo_arr} AS lo, {span_arr} AS span FROM b),
+    WITH {_sql_sq8_bounds_ctes(dim)},
     enc AS (
-        SELECT e.vec_id,
-               list_transform(generate_series(1, {dim}),
-                   i -> CASE WHEN span[i] > 0.0 THEN
-                        least(255, greatest(0,
-                            CAST(floor((CAST(e.embedding[i] AS DOUBLE) - lo[i])
-                                       * 255.0 / span[i] + 0.5) AS INTEGER)))
-                        ELSE 0 END) AS codes
+        SELECT e.vec_id, {_sql_sq8_codes('e.embedding', dim)} AS codes
         FROM embeddings e CROSS JOIN barr
     ),
     dec AS (
@@ -1490,6 +1504,93 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = PQ.sq8_encode_packed(emb, bounds)
     queries = emb.filter(F.col("vec_id") < 6)
     return PQ.sq8_topk(packed, queries, bounds, k=5).orderBy("query_id", "rank")
+
+
+def _ivf_sq8_oracle(n_q: int = 6, n_probe: int = 2, k: int = 5, dim: int = DIM) -> str:
+    """SQL twin of ann_ivf_sq8_topk: kmeans coarse quantizer (the shared
+    training CTE chain), recomputed global SQ8 bounds, raw-vector encode
+    keyed by list, probe selection, decode, asymmetric L2, rank."""
+    return f"""
+    WITH {_KM_CTES},
+    {_sql_sq8_bounds_ctes(dim)},
+    casg AS (
+        SELECT e.vec_id, e.embedding, c.cent_id AS list_id
+        FROM embeddings e, {_KM_FINAL} c
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_sql_l2('e.embedding', 'c.cent_vec')}, c.cent_id
+        ) = 1
+    ),
+    enc AS (
+        SELECT vec_id, list_id, {_sql_sq8_codes('embedding', dim)} AS codes
+        FROM casg CROSS JOIN barr
+    ),
+    dec AS (
+        SELECT vec_id, list_id,
+               list_transform(generate_series(1, {dim}),
+                   i -> lo[i] + (codes[i] * span[i]) / 255.0) AS dec
+        FROM enc CROSS JOIN barr
+    ),
+    probes AS (
+        SELECT e.vec_id AS query_id, e.embedding, c.cent_id AS list_id
+        FROM embeddings e, {_KM_FINAL} c
+        WHERE e.vec_id < {n_q}
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_sql_l2('e.embedding', 'c.cent_vec')}, c.cent_id
+        ) <= {n_probe}
+    ),
+    scored AS (
+        SELECT p.query_id, d.vec_id AS neighbor_id,
+               CAST(floor(list_reduce(list_transform(generate_series(1, {dim}),
+                   i -> (CAST(p.embedding[i] AS DOUBLE) - d.dec[i])
+                      * (CAST(p.embedding[i] AS DOUBLE) - d.dec[i])),
+                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS d_micros
+        FROM dec d
+        JOIN probes p ON d.list_id = p.list_id
+        WHERE d.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, d_micros,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY d_micros, neighbor_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, d_micros, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_ivf_sq8_topk", oracle=_ivf_sq8_oracle())
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed index (operators.pq.ivf_sq8_encode_packed /
+    ivf_sq8_topk — FAISS IndexIVFScalarQuantizer, by_residual=False):
+    completes the quantization matrix — where IVF-PQ trades recall for
+    8-byte codes and flat SQ8 pays a full-index scan per query batch,
+    IVF-SQ8 keeps SQ8's near-exact fine ranking (byte per dimension)
+    while scanning only each query's 2 nearest of 8 kmeans lists via one
+    broadcast (query, list) join. Both trainings replay in SQL: the
+    coarse quantizer through the shared Lloyd CTE chain, the SQ8 bounds
+    as one exact min/max aggregate — the probe selection, raw-vector
+    encode, decode, asymmetric L2 fold, and micro-snapped ranking are all
+    inside the gate hash."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        c
+        for _, c in sim.train_centroids_kmeans(
+            emb, n_centroids=N_KM_CENTROIDS, n_iters=N_KM_ITERS
+        )
+    ]
+    bounds = PQ.sq8_train_bounds(emb, DIM)
+    packed = PQ.ivf_sq8_encode_packed(emb, cents, bounds)
+    queries = emb.filter(F.col("vec_id") < 6)
+    return PQ.ivf_sq8_topk(
+        packed, queries, cents, bounds, k=5, n_probe=2
+    ).orderBy("query_id", "rank")
 
 
 REFINE_MULT = 4  # shortlist over-fetch: ADC keeps k*4 candidates for re-rank

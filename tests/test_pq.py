@@ -514,3 +514,25 @@ def test_sq8_recall_floor_on_clustered_corpus(spark, clustered_emb):
     out = [r for r in got]
     # rows carry neighbor_id; reuse the file's recall helper
     assert _recall(out, _l2_truth(V, qids, 10), 10) >= 0.9
+
+
+def test_ivf_sq8_probe_restricts_and_full_probe_equals_flat(spark, clustered_emb):
+    """IVF-SQ8: with every list probed the ranking equals flat sq8_topk
+    (the IVF layer only restricts, never re-scores); with 2 of 8 probes
+    the clustered corpus still retrieves near-exactly (measured 0.97 —
+    cluster-mates share lists)."""
+    from payroll_etl_fastapi_spark.operators import similarity as sim
+
+    df, V, qids = clustered_emb
+    cents = [c for _, c in sim.train_centroids_kmeans(df, n_centroids=8, n_iters=2)]
+    bounds = PQ.sq8_train_bounds(df, 64)
+    packed = PQ.ivf_sq8_encode_packed(df, cents, bounds)
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+    full = PQ.ivf_sq8_topk(packed, queries, cents, bounds, 10, n_probe=8).collect()
+    flat = PQ.sq8_topk(
+        PQ.sq8_encode_packed(df, bounds), queries, bounds, 10
+    ).collect()
+    key = lambda rs: sorted((r.query_id, r.rank, r.neighbor_id, r.d_micros) for r in rs)  # noqa: E731
+    assert key(full) == key(flat)
+    probed = PQ.ivf_sq8_topk(packed, queries, cents, bounds, 10, n_probe=2).collect()
+    assert _recall(probed, _l2_truth(V, qids, 10), 10) >= 0.9
