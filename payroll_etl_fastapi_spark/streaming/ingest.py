@@ -115,3 +115,61 @@ def stream_ingest_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def stream_ingest_span_dedup(
+    stream_docs: DataFrame,
+    index: TxTable,
+    corpus: TxTable,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    max_dup_bp: int = 5000,
+):
+    """The exact-substring sibling of stream_ingest_dedup (round 8,
+    completing the streaming half of the incremental trio): each
+    micro-batch is decided by operators.dedup.incremental_span_decisions
+    against the persisted span-digest index — a doc is rejected when
+    ≥ max_dup_bp/10000 of its 8-token spans already exist in the corpus or
+    in a lower-id batch doc — and the admitted docs + their distinct span
+    digests commit under the SAME corpus-before-index epoch-guard argument
+    documented in the module header (the decisions function is
+    side-effect-free and idempotent on a committed batch: every spanful doc
+    self-matches at 10000 bp, so even a wiped checkpoint admits nothing
+    twice; span-less docs are accepted but append no digests, keeping the
+    replay harmless)."""
+    from payroll_etl_fastapi_spark.operators.dedup import incremental_span_decisions
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
+        corpus_done = epoch_key in _table_epoch_versions(corpus)
+        index_done = epoch_key in _table_epoch_versions(index)
+        if corpus_done and index_done:
+            return
+        decisions, accepted_spans = incremental_span_decisions(
+            index.snapshot() if index.exists() else None,
+            batch_df,
+            text_col,
+            id_col,
+            span_tokens,
+            max_dup_bp,
+        )
+        accepted_docs = batch_df.join(
+            decisions.filter("accepted").select(F.col("id").alias(id_col)),
+            id_col,
+        )
+        if not corpus_done:
+            _stream_append_commit(corpus, accepted_docs, epoch_key)
+        if not index_done:
+            _stream_append_commit(index, accepted_spans, epoch_key)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -222,3 +222,67 @@ def test_stream_ingest_threshold_planned_params(spark, tmp_path):
             stream, index, corpus, str(tmp_path / "ckpt2"),
             threshold=0.7, num_hashes=32, bands=8,
         )
+
+
+# ---------------------------------------------------------------------------
+# round 8: the span-dedup variant of the ingest loop
+# ---------------------------------------------------------------------------
+
+
+def _span8(prefix, n=16):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+@pytest.fixture()
+def span_chunks(tmp_path):
+    """Chunk 0: doc 1 + a fresh doc. Chunk 1: a verbatim copy of doc 1
+    (arrives later -> rejected at 10000 bp) and a half-recycled doc
+    (one span of doc 1 + one fresh -> 5000 bp -> rejected). Chunk 2: a
+    fresh doc and a sub-window doc (accepted, appends nothing)."""
+    d = str(tmp_path / "span_chunks")
+    half = " ".join(_span8("a").split()[:8]) + " " + _span8("c", 8)
+    _write_chunk(d, 0, [(1, _span8("a")), (2, _span8("b"))])
+    _write_chunk(d, 1, [(10, _span8("a")), (11, half)])
+    _write_chunk(d, 2, [(20, _span8("d")), (21, "tiny doc")])
+    return d
+
+
+def test_stream_ingest_span_dedup_loop(spark, tmp_path, span_chunks):
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_span_dedup
+
+    index = TxTable(spark, str(tmp_path / "sidx"))
+    corpus = TxTable(spark, str(tmp_path / "scorpus"))
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(span_chunks)
+    )
+    stream_ingest_span_dedup(stream, index, corpus, str(tmp_path / "sckpt"))
+    admitted = sorted(r.doc_id for r in corpus.snapshot().select("doc_id").collect())
+    assert admitted == [1, 2, 20, 21]
+    # index holds digests of the SPANFUL admitted docs only (21 has none)
+    assert sorted(
+        r.id for r in index.snapshot().select("id").distinct().collect()
+    ) == [1, 2, 20]
+
+    # batch-twin equivalence over the same chunk order
+    idx2 = TxTable(spark, str(tmp_path / "sidx2"))
+    got = []
+    for i in range(3):
+        batch = spark.read.schema(DOC_SCHEMA).parquet(
+            os.path.join(span_chunks, f"chunk_{i:03d}.parquet")
+        )
+        d = dedup.incremental_span_dedup(idx2, batch)
+        got.extend(r.id for r in d.collect() if r.accepted)
+    assert sorted(got) == admitted
+
+    # exactly-once: a second drain of the same checkpoint admits nothing new
+    stream2 = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(span_chunks)
+    )
+    stream_ingest_span_dedup(stream2, index, corpus, str(tmp_path / "sckpt"))
+    assert sorted(
+        r.doc_id for r in corpus.snapshot().select("doc_id").collect()
+    ) == admitted
