@@ -136,7 +136,11 @@ _WINDOW: tuple[str, ...] = (
     "search_bm25_known_item",
     "txtable_change_feed",
     "corpus_cluster_split",
-    "corpus_temperature_mix",
+    # ROUND-8 fourteenth swap: the composed pipeline-v2 gate (bigram-LM
+    # gate → span removal → chunking → shuffle shards, one oracle) takes
+    # this slot; corpus_temperature_mix holds its r7 driver-green row in
+    # _SECONDARY
+    "pipeline_training_data_v2",
     # ROUND-7 second swap (VERDICT r6 #1): the LSH retrieval-recall quality
     # gate takes this slot; events_rolling_distinct holds its r6 driver-green
     # row in _SECONDARY
@@ -247,6 +251,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_interval_merge",  # ceded its slot to dedup_span_incremental (r8); r7 driver-green
     "txtable_data_skipping",  # ceded its slot to ann_lsh_multiprobe (r8); r7 driver-green
     "graph_bfs_hops",  # ceded its slot to ann_ivf_sq8_topk (r8); r7 driver-green
+    "corpus_temperature_mix",  # ceded its slot to pipeline_training_data_v2 (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
