@@ -99,6 +99,14 @@ DEFAULT_GATES = [
     "dedup_span_removal",
     "text_bigram_lm",
     "corpus_semantic_decontamination",
+    # round-8 session additions, second batch: incremental span ingest
+    # (TxTable round trips + two snapshot ingests), the probe-bounded and
+    # full-scan quantized searches, multi-probe LSH, and the composed
+    # 4-stage pipeline
+    "dedup_span_incremental",
+    "ann_ivf_sq8_topk",
+    "ann_lsh_multiprobe",
+    "pipeline_training_data_v2",
     "kpi_summary_month",
     "kpi_anomalies_mad",
     "kpi_delta_months",
