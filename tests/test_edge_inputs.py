@@ -122,3 +122,81 @@ def test_rolling_hll_single_day(spark):
     assert len(rows) == 1
     # one day: the trailing window IS the day, estimates must coincide
     assert rows[0].dau_est == rows[0].wau_est
+
+
+# ---------------------------------------------------------------------------
+# round 8 (second session): the new operator families on degenerate input
+# ---------------------------------------------------------------------------
+
+
+def test_r8_text_ops_on_empty_and_degenerate_docs(spark, empty_docs):
+    from payroll_etl_fastapi_spark.operators import corpus as C
+
+    assert T.bigram_lm_scores(empty_docs).count() == 0
+    assert dedup.remove_duplicate_spans(empty_docs).count() == 0
+    assert C.chunk_documents(empty_docs).count() == 0
+    assert T.compression_ratio_stats(empty_docs).count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, " \t "), (3, "solo"), (4, "a b")], DOCS_SCHEMA
+    )
+    # bigram LM: only the 2-token doc emits a row
+    assert {r.id for r in T.bigram_lm_scores(docs).collect()} == {4}
+    # span removal: every doc appears; empty/whitespace normalize to ''
+    out = {r.id: r.text_clean for r in dedup.remove_duplicate_spans(docs).collect()}
+    assert out == {1: "", 2: "", 3: "solo", 4: "a b"}
+    # chunking: empty docs vanish, tiny docs are one whole-doc chunk
+    ch = {r.id: r.chunk_text for r in C.chunk_documents(docs).collect()}
+    assert ch == {3: "solo", 4: "a b"}
+    # compression: empty rows report zeros, unflagged
+    cr = {r.id: (r.n_bytes, r.flagged) for r in T.compression_ratio_stats(docs).collect()}
+    assert cr[1] == (0, False) and cr[2][0] == 3  # whitespace IS bytes
+
+
+def test_r8_shuffle_shards_single_row_and_empty(spark, empty_docs):
+    from payroll_etl_fastapi_spark.operators import corpus as C
+
+    assert C.shuffle_shards(empty_docs, 4).count() == 0
+    one = spark.createDataFrame([(42, "x")], DOCS_SCHEMA)
+    rows = C.shuffle_shards(one, 4, seed=3).collect()
+    assert len(rows) == 1 and rows[0].pos == 0 and 0 <= rows[0].shard < 4
+
+
+def test_r8_ann_ops_on_single_vector_corpus(spark):
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+    from payroll_etl_fastapi_spark.operators import similarity as s2
+
+    one = spark.createDataFrame([(0, [1.0, 2.0, 3.0, 4.0])], EMB_SCHEMA)
+    bounds = PQ.sq8_train_bounds(one, 4)
+    # every dimension degenerate (span 0) -> codes 0, search vs self empty
+    packed = PQ.sq8_encode_packed(one, bounds)
+    assert PQ.sq8_topk(packed, one, bounds, 3).count() == 0  # self excluded
+    # refine over an empty shortlist yields nothing
+    empty_short = spark.createDataFrame(
+        [], "query_id long, neighbor_id long"
+    )
+    assert s2.refine_topk(one, empty_short, one, 3).count() == 0
+
+
+def test_r8_semantic_contamination_empty_bench(spark):
+    from payroll_etl_fastapi_spark.operators import similarity as s2
+
+    corpus = spark.createDataFrame([(0, [1.0] * 8), (1, [0.5] * 8)], EMB_SCHEMA)
+    bench = spark.createDataFrame(
+        [], "bench_id long, embedding array<float>"
+    )
+    assert s2.semantic_contamination(corpus, bench, 0.8, dim=8).count() == 0
+
+
+def test_r8_incremental_span_dedup_empty_batch(spark, tmp_path, empty_docs):
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+
+    idx = TxTable(spark, str(tmp_path / "e_idx"))
+    dec = dedup.incremental_span_dedup(idx, empty_docs)
+    assert dec.count() == 0
+    # the empty append still committed a version; a following real batch works
+    real = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(8)))], DOCS_SCHEMA
+    )
+    dec2 = {r.id: r.accepted for r in dedup.incremental_span_dedup(idx, real).collect()}
+    assert dec2 == {1: True}
