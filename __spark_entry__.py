@@ -159,13 +159,17 @@ _WINDOW: tuple[str, ...] = (
     # this slot; streaming_enrich_dim holds its r7 driver-green row in
     # _SECONDARY
     "corpus_chunk_overlap",
-    "events_range_frame_totals",
     # ROUND-8 tenth swap: the l-diversity audit (homogeneity-attack
     # complement of k-anonymity, completing the privacy trio) takes this
     # slot; quality_observed_audit holds its r7 driver-green row in
     # _SECONDARY
     "quality_l_diversity",
     "streaming_txcatalog_dual",
+    # ROUND-8 fifteenth swap: the k-core decomposition gate (the density
+    # primitive CC can't express; 8 replayed peeling rounds) takes this
+    # slot; events_range_frame_totals holds its r7 driver-green row in
+    # _SECONDARY
+    "graph_kcore_parts",
     "warclite_scan",
     "warclite_stream_rollup",
     # ROUND-8 twelfth swap: the multi-probe LSH retrieval-quality gate
@@ -252,6 +256,7 @@ _SECONDARY: tuple[str, ...] = (
     "txtable_data_skipping",  # ceded its slot to ann_lsh_multiprobe (r8); r7 driver-green
     "graph_bfs_hops",  # ceded its slot to ann_ivf_sq8_topk (r8); r7 driver-green
     "corpus_temperature_mix",  # ceded its slot to pipeline_training_data_v2 (r8); r7 driver-green
+    "events_range_frame_totals",  # ceded its slot to graph_kcore_parts (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -294,3 +294,40 @@ def bfs_hops(
         visited = visited.unionByName(new)
         frontier = new.select("node")
     return visited
+
+
+def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Synchronous k-core peeling (Seidman 1983 / the Batagelj-Zaveršnik
+    goal run as bulk-synchronous rounds): each round simultaneously drops
+    EVERY node whose current degree is below ``k``, then recomputes degrees
+    over the surviving edges. After enough rounds the survivors are exactly
+    the k-core — the maximal subgraph where every node keeps ≥ k neighbors
+    (the density primitive behind spam-cluster and community filtering that
+    connected components can't express: CC keeps anything reachable, k-core
+    keeps only the mutually-dense part).
+
+    ``rounds`` is FIXED (the quantized-PageRank convention): synchronous
+    peeling is deterministic and each round is a replayable CTE level; a
+    caller that wants the exact fixed point picks rounds ≥ the peeling
+    depth (the gate pins convergence at its params with an extra-round
+    equality pytest).
+
+    Input: symmetric (src, dst) edges. Output: (node, core_degree) of the
+    survivors. Scale shape: per round ONE degree aggregate + two
+    semi-joins keyed on the endpoints; each level is lazily checkpointed
+    so round r+1 reads materialized survivors instead of replaying the
+    whole peeling lineage (the label_propagation discipline)."""
+    alive = edges
+    for _ in range(rounds):
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        alive = (
+            alive.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        alive.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )

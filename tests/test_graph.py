@@ -243,3 +243,43 @@ def test_pagerank_quantization_error_vs_float_reference(spark):
     top_int = sorted(range(n), key=lambda v: (-got[v], v))[:10]
     top_flt = sorted(range(n), key=lambda v: (-ranks[v], v))[:10]
     assert top_int == top_flt
+
+
+# ---------------------------------------------------------------------------
+# round 8: k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_semantics_and_cascade(spark):
+    """A 4-clique survives k=3 peeling; a pendant chain hanging off it
+    peels away over SUCCESSIVE rounds (each removal lowers the next node's
+    degree) — the cascade single-round filtering misses."""
+    from payroll_etl_fastapi_spark.operators import graph as G
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(clique + chain, "u long, v long")
+    edges = G.symmetric_edges(pairs)
+    core = {r.node: r.core_degree for r in G.kcore(edges, k=3, rounds=5).collect()}
+    assert core == {0: 3, 1: 3, 2: 3, 3: 3}
+    # one round is NOT enough: node 10 still has degree 2... below 3 ->
+    # dropped round 1; 11 drops round 2; 12 round 3. rounds=1 leaves 11, 12
+    partial = {r.node for r in G.kcore(edges, k=3, rounds=1).collect()}
+    assert {11, 12} & partial == set()  # 11 and 12 had degree < 3 already
+    # k above the clique degree empties the graph
+    assert G.kcore(edges, k=4, rounds=5).count() == 0
+
+
+def test_kcore_gate_params_reach_fixed_point(spark):
+    """The gate's 8 rounds are PAST the peeling depth on its corpus: one
+    extra round changes nothing (sf0.001 — fixed point measured at 5)."""
+    from payroll_etl_fastapi_spark.operators import graph as G
+    from payroll_etl_fastapi_spark.plans.suite_graph import _KC_K, _KC_QTY, _KC_ROUNDS
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").filter(
+        F.col("l_quantity") >= _KC_QTY
+    )
+    edges = G.copurchase_edges(li)
+    a = {(r.node, r.core_degree) for r in G.kcore(edges, _KC_K, _KC_ROUNDS).collect()}
+    b = {(r.node, r.core_degree) for r in G.kcore(edges, _KC_K, _KC_ROUNDS + 1).collect()}
+    assert a == b and len(a) > 0
