@@ -107,6 +107,7 @@ DEFAULT_GATES = [
     "ann_ivf_sq8_topk",
     "ann_lsh_multiprobe",
     "pipeline_training_data_v2",
+    "graph_kcore_parts",
     "kpi_summary_month",
     "kpi_anomalies_mad",
     "kpi_delta_months",
