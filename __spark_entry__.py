@@ -134,7 +134,10 @@ _WINDOW: tuple[str, ...] = (
     # member of the quality trilogy) takes this slot; search_hybrid_rrf
     # holds its r6 driver-green row in _SECONDARY
     "search_bm25_known_item",
-    "txtable_change_feed",
+    # ROUND-8 sixteenth swap: the WordPiece greedy-tokenization gate (the
+    # other subword runtime next to BPE) takes this slot;
+    # txtable_change_feed holds its r7 driver-green row in _SECONDARY
+    "vocab_wordpiece_apply",
     "corpus_cluster_split",
     # ROUND-8 fourteenth swap: the composed pipeline-v2 gate (bigram-LM
     # gate → span removal → chunking → shuffle shards, one oracle) takes
@@ -257,6 +260,7 @@ _SECONDARY: tuple[str, ...] = (
     "graph_bfs_hops",  # ceded its slot to ann_ivf_sq8_topk (r8); r7 driver-green
     "corpus_temperature_mix",  # ceded its slot to pipeline_training_data_v2 (r8); r7 driver-green
     "events_range_frame_totals",  # ceded its slot to graph_kcore_parts (r8); r7 driver-green
+    "txtable_change_feed",  # ceded its slot to vocab_wordpiece_apply (r8); r7 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -40,7 +40,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_counts", "train_bpe", "apply_merges"]
+__all__ = [
+    "word_counts",
+    "train_bpe",
+    "apply_merges",
+    "wordpiece_vocab",
+    "wordpiece_tokenize",
+]
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -131,3 +137,116 @@ def apply_merges(
             "word", "n", _apply_merge(F.col("seq"), lhs, rhs).alias("seq")
         )
     return df
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy longest-match tokenization (round 8) — the OTHER
+# classic subword runtime next to BPE's merge replay: BERT's tokenizer
+# segments each word by repeatedly taking the LONGEST vocabulary piece at
+# the current position (single characters as the implicit fallback). All
+# string/integer logic — no floats anywhere, so the SQL oracle replays the
+# vocabulary derivation and the greedy scan exactly.
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_vocab(
+    words: DataFrame,
+    vocab_size: int = 48,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+) -> list[str]:
+    """Frequency-derived multi-character piece vocabulary: every substring
+    of length 2..max_piece_len of every corpus word, weighted by the word's
+    occurrence count (each position counts), top ``vocab_size`` by
+    (weighted count desc, piece asc). Single characters are NOT stored —
+    the tokenizer falls back to them implicitly, exactly like WordPiece's
+    character-level base vocabulary.
+
+    ``words`` is word_counts' (word, n) table. One array-local substring
+    explode + one grouped sum + one driver-sized top-k collect (the vocab
+    is constant-size by definition — the train_bpe discipline)."""
+    # NB: Spark's sequence(1, 0) steps DOWNWARD to [1, 0] (DuckDB's is
+    # empty) — an unguarded end bound would leak truncated slices of
+    # sub-length words into the counts, so every position range is gated
+    # on end >= 1 (here and in the tokenizer's candidate probe)
+    def positions(l):
+        end = F.length("word") - l + 1
+        return F.when(end >= 1, F.sequence(F.lit(1), end)).otherwise(
+            F.expr("CAST(array() AS array<int>)")
+        )
+
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(max_piece_len)),
+            lambda l: F.transform(
+                positions(l), lambda i: F.substring(F.col("word"), i, l)
+            ),
+        )
+    )
+    counted = (
+        words.filter(F.length("word") >= 2)
+        .select(F.col("n"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .orderBy(F.col("c").desc(), F.col("piece"))
+        .limit(vocab_size)
+    )
+    return [r.piece for r in counted.collect()]
+
+
+def wordpiece_tokenize(
+    words: DataFrame, vocab: list[str], max_piece_len: int = 4
+) -> DataFrame:
+    """(word, n, pieces): greedy longest-match-first segmentation of each
+    distinct word against ``vocab`` — at every position take the longest
+    matching piece (ties impossible: lengths differ), else consume one
+    character. Deterministic by construction; the greedy choice is the
+    documented WordPiece behavior even where it is globally suboptimal
+    (pytest pins an example).
+
+    Scale shape: candidates are an array-local substring probe against the
+    BROADCAST vocab (a few dozen strings — one isin per position/length,
+    no join), and the scan is ONE aggregate fold of at most |word| steps
+    with a (pos, pieces) struct accumulator; each step either no-ops (the
+    index is inside an already-consumed piece) or appends a piece and
+    advances. No shuffle beyond word_counts' own aggregate."""
+    vocab_arr = F.array(*[F.lit(v) for v in sorted(vocab)])
+    # cands: array of (pos, len) pairs where a vocab piece starts at pos —
+    # longest-first within a position is resolved in the fold via max(len)
+    def positions(l):
+        end = F.length("word") - l + 1
+        return F.when(end >= 1, F.sequence(F.lit(1), end)).otherwise(
+            F.expr("CAST(array() AS array<int>)")
+        )
+
+    cands = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(2), F.lit(max_piece_len)),
+                lambda l: F.transform(
+                    positions(l),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        l.alias("len"),
+                        F.substring(F.col("word"), i, l).alias("s"),
+                    ),
+                ),
+            )
+        ),
+        lambda c: F.array_contains(vocab_arr, c["s"]),
+    )
+    scan = F.expr(
+        "aggregate(sequence(1, length(word)), "
+        "named_struct('pos', 1, 'pieces', CAST(array() AS array<string>)), "
+        "(acc, i) -> CASE WHEN i != acc.pos THEN acc ELSE named_struct("
+        "'pos', acc.pos + greatest(1, aggregate(filter(_cands, "
+        "c -> c.pos = i), 1, (m, c) -> greatest(m, c.len))), "
+        "'pieces', array_append(acc.pieces, substring(word, i, "
+        "greatest(1, aggregate(filter(_cands, c -> c.pos = i), 1, "
+        "(m, c) -> greatest(m, c.len)))))) END, "
+        "acc -> acc.pieces)"
+    )
+    return words.select(
+        "word", "n", cands.alias("_cands")
+    ).select("word", "n", scan.alias("pieces"))

@@ -842,3 +842,124 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf",
         F.expr("cum_tf * 10000 DIV n_total").alias("cum_bp"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy tokenization (round 8)
+# ---------------------------------------------------------------------------
+
+_WP_VOCAB = 24
+_WP_MAXLEN = 4
+_WP_MIN = 2
+
+
+def _wordpiece_oracle(
+    vocab_size: int = _WP_VOCAB, maxlen: int = _WP_MAXLEN, min_count: int = _WP_MIN
+) -> str:
+    """Replay vocabulary derivation AND the greedy longest-match scan.
+    The scan accumulator is STRING-ENCODED ('nextpos:piece piece …'):
+    DuckDB's list_reduce loses list-valued struct fields across iterations
+    (verified: a {'pos', 'pieces'} accumulator keeps only the last append),
+    so the oracle folds the identical recurrence over scalar strings —
+    same greedy choices, same pieces, value-exact output."""
+    subs = (
+        f"flatten(list_transform(generate_series(2, {maxlen}), "
+        f"l -> list_transform(generate_series(1, greatest(length(word) - l + 1, 0)), "
+        f"i -> substr(word, i, l))))"
+    )
+    cands = (
+        f"[c FOR c IN flatten(list_transform(generate_series(2, {maxlen}), "
+        f"l -> list_transform(generate_series(1, greatest(length(word) - l + 1, 0)), "
+        f"i -> {{'pos': i, 'len': l, 's': substr(word, i, l)}}))) "
+        f"IF list_contains(v, c.s)]"
+    )
+    best = (
+        "greatest(1, list_reduce(list_concat([1], "
+        "[c.len FOR c IN cands IF c.pos = CAST(x AS INTEGER)]), "
+        "(m, c2) -> greatest(m, c2)))"
+    )
+    return f"""
+    WITH words AS (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split({_SQL_NORM_TEXT}, ' ')) AS word
+              FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word
+    ),
+    vocab AS (
+        SELECT piece FROM (
+            SELECT piece, sum(n) AS c
+            FROM (SELECT n, unnest({subs}) AS piece
+                  FROM words WHERE length(word) >= 2)
+            GROUP BY piece
+            HAVING sum(n) >= {min_count}
+        )
+        ORDER BY c DESC, piece
+        LIMIT {vocab_size}
+    ),
+    varr AS (SELECT list(piece ORDER BY piece) AS v FROM vocab),
+    withc AS (
+        SELECT word, n, {cands} AS cands FROM words, varr
+    ),
+    scanned AS (
+        SELECT word, n, list_reduce(
+            list_concat(['1:'],
+                list_transform(generate_series(1, length(word)),
+                               i -> CAST(i AS VARCHAR))),
+            (acc, x) -> CASE
+              WHEN CAST(x AS INTEGER) != CAST(split_part(acc, ':', 1) AS INTEGER)
+              THEN acc ELSE
+                CAST(CAST(split_part(acc, ':', 1) AS INTEGER) + {best} AS VARCHAR)
+                || ':' || split_part(acc, ':', 2)
+                || CASE WHEN split_part(acc, ':', 2) = '' THEN '' ELSE ' ' END
+                || substr(word, CAST(x AS INTEGER), {best})
+            END) AS st
+        FROM withc
+    ),
+    pieces AS (
+        SELECT word, n, unnest(string_split(split_part(st, ':', 2), ' ')) AS piece
+        FROM scanned
+    )
+    SELECT piece,
+           CAST(sum(n) AS BIGINT) AS total_count,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM pieces
+    GROUP BY piece
+    ORDER BY piece
+    """
+
+
+@query("vocab_wordpiece_apply", oracle=_wordpiece_oracle())
+def vocab_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy tokenization (operators.bpe.wordpiece_vocab →
+    wordpiece_tokenize) — the OTHER classic subword runtime next to the BPE
+    merge replay: a frequency-derived multi-character piece vocabulary
+    (top-24 weighted substrings, single characters as the implicit
+    fallback) segments every corpus word by repeatedly taking the LONGEST
+    matching piece at the current position (BERT's runtime algorithm; the
+    greedy choice is pinned even where globally suboptimal). Output: the
+    tokenized corpus as per-piece totals (occurrence-weighted count +
+    distinct words using the piece) — every greedy decision on every word
+    is inside the driver hash. All string/integer logic, no floats. The
+    oracle re-derives the vocabulary and folds the identical greedy
+    recurrence (string-encoded accumulator — see _wordpiece_oracle);
+    candidate probing runs against the BROADCAST two-dozen-string vocab
+    array, no join, and the scan is one array-local fold per distinct
+    word."""
+    from payroll_etl_fastapi_spark.operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    words = B.word_counts(docs).localCheckpoint(eager=False)
+    vocab = B.wordpiece_vocab(
+        words, vocab_size=_WP_VOCAB, max_piece_len=_WP_MAXLEN, min_count=_WP_MIN
+    )
+    tok = B.wordpiece_tokenize(words, vocab, max_piece_len=_WP_MAXLEN)
+    return (
+        tok.select("word", "n", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("n").cast("long").alias("total_count"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy("piece")
+    )

@@ -88,3 +88,50 @@ def test_apply_merges_matches_trainer_state(spark):
         return seqs
 
     assert got == replica_seqs(wc, merges)
+
+
+# ---------------------------------------------------------------------------
+# round 8: WordPiece-style greedy longest-match tokenization
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_greedy_semantics_and_coverage(spark):
+    from payroll_etl_fastapi_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "spark sparkle park parking sparks"), (2, "spark park dark")],
+        "doc_id long, text string",
+    )
+    words = B.word_counts(docs)
+    vocab = B.wordpiece_vocab(words, vocab_size=8, min_count=2)
+    assert "park" in vocab and "spa" in vocab
+    out = {r.word: list(r.pieces) for r in B.wordpiece_tokenize(words, vocab).collect()}
+    # greedy takes the LONGEST piece at each position even when globally
+    # suboptimal: 'spa' (3) wins over 'sp' at pos 1, leaving 'rk' — never
+    # the 2-piece 's'+'park' split a shortest-path tokenizer would find
+    assert out["spark"] == ["spa", "rk"]
+    assert out["park"] == ["park"]
+    # single-character fallback covers unmatched positions
+    assert out["dark"] == ["d", "ark"]
+    assert out["parking"] == ["park", "i", "n", "g"]
+    # the segmentation always reconstructs the word exactly
+    for w, pieces in out.items():
+        assert "".join(pieces) == w
+
+
+def test_wordpiece_short_words_and_vocab_bounds(spark):
+    from payroll_etl_fastapi_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "a a a ab ab abc")], "doc_id long, text string"
+    )
+    words = B.word_counts(docs)
+    vocab = B.wordpiece_vocab(words, vocab_size=4, min_count=2)
+    # single chars never enter the stored vocab; sub-length words emit no
+    # truncated slices (the Spark sequence(1,0) descending-range guard)
+    assert all(len(v) >= 2 for v in vocab)
+    assert "ab" in vocab and "abc" not in vocab  # abc count 1 < min_count
+    out = {r.word: list(r.pieces) for r in B.wordpiece_tokenize(words, vocab).collect()}
+    assert out["a"] == ["a"]
+    assert out["ab"] == ["ab"]
+    assert out["abc"] == ["ab", "c"]
