@@ -108,6 +108,7 @@ DEFAULT_GATES = [
     "ann_lsh_multiprobe",
     "pipeline_training_data_v2",
     "graph_kcore_parts",
+    "vocab_wordpiece_apply",
     "kpi_summary_month",
     "kpi_anomalies_mad",
     "kpi_delta_months",
