@@ -152,8 +152,13 @@ def write_shuffle_shards(
     keyed = shuffle_shards(docs, n_shards, seed, id_col).select(
         "id", "skey", "shard"
     )
-    payload = docs.select(F.col(id_col).alias("id"), *
-        [c for c in docs.columns if c != id_col])
+    # the output key column is named 'id'; a pre-existing payload column
+    # literally named 'id' that is NOT id_col would make the join binding
+    # ambiguous (ADVICE r8) — it is excluded, the key survives as 'id'
+    payload = docs.select(
+        F.col(id_col).alias("id"),
+        *[c for c in docs.columns if c != id_col and c != "id"],
+    )
     # the sort LEADS with the partition column: FileFormatWriter requires
     # task rows ordered by partition columns and injects its own
     # shard-only sort (not key-stable) when they are not — sorting
@@ -196,6 +201,14 @@ def chunk_documents(
     w, s = int(chunk_tokens), int(stride)
     if w <= 0 or s <= 0:
         raise ValueError(f"chunk_tokens ({w}) and stride ({s}) must be positive")
+    if s > w:
+        # the n_chunks formula assumes every chunk start <= size(t); a
+        # stride past the window would emit a phantom trailing chunk with
+        # empty text and NEGATIVE n_tokens (ADVICE r8)
+        raise ValueError(
+            f"stride ({s}) must be <= chunk_tokens ({w}): chunks are "
+            "overlapping-or-adjacent windows, gaps are not supported"
+        )
     t = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
     ).filter(F.size("t") >= 1)

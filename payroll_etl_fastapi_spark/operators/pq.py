@@ -730,6 +730,10 @@ def sq8_train_bounds(
         aggs.append(F.min(x).alias(f"lo{i}"))
         aggs.append(F.max(x).alias(f"hi{i}"))
     row = corpus.agg(*aggs).first()
+    if row is None or row["lo0"] is None:
+        # min/max over zero rows is NULL in every dimension; float(None)
+        # would raise an unhelpful TypeError downstream (ADVICE r8)
+        raise ValueError("cannot train SQ8 bounds on an empty corpus")
     return [(float(row[f"lo{i}"]), float(row[f"hi{i}"])) for i in range(dim)]
 
 

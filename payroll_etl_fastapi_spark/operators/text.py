@@ -332,7 +332,11 @@ def bigram_lm_scores(
     shifted slices zipped — the bigram_counts shape, no positional
     self-join); ONE (w1, w2)-keyed aggregate builds the transition table;
     context counts derive from THAT table (a groupBy over distinct bigrams,
-    not a second corpus pass); V rides in as a broadcast 1-row aggregate.
+    not a second corpus pass); V is the one quantity that does NOT derive
+    from the transition table (single-token docs contribute vocabulary but
+    no bigram), so it costs one extra COLUMN-PRUNED corpus pass — a
+    text-only scan feeding a countDistinct — broadcast in as a 1-row
+    aggregate (ADVICE r8: this pass is deliberate, not shared).
     The two probability attaches are plain shuffle joins on (w1, w2) and
     w1 — 1 row per key on the model side, AQE skew-split hot contexts. No
     Python anywhere.

@@ -417,6 +417,29 @@ def test_chunk_documents_short_last_chunk_and_coverage(spark):
     assert covered == set(toks)
 
 
+def test_chunk_documents_rejects_stride_past_window(spark):
+    """stride > chunk_tokens would emit a phantom trailing chunk with empty
+    text and negative n_tokens (ADVICE r8) — rejected loudly instead."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        C.chunk_documents(docs, chunk_tokens=2, stride=8)
+
+
+def test_write_shuffle_shards_tolerates_conflicting_id_column(spark, tmp_path):
+    """A payload column literally named 'id' that is NOT id_col must not make
+    the internal join ambiguous (ADVICE r8); the key wins the 'id' name."""
+    docs = spark.createDataFrame(
+        [(i, f"conflict-{i}", f"payload {i}") for i in range(30)],
+        "doc_id long, id string, text string",
+    )
+    out = str(tmp_path / "shards_conflict")
+    C.write_shuffle_shards(docs, out, n_shards=2, seed=3)
+    back = spark.read.parquet(out)
+    assert back.columns.count("id") == 1
+    assert {r.id for r in back.select("id").collect()} == set(range(30))
+    assert back.count() == 30 and "text" in back.columns
+
+
 def test_write_shuffle_shards_readback_order_matches_pos(spark, tmp_path):
     """The materialized shards must stream back in exactly shuffle_shards'
     deterministic order: for each shard dir, parquet row order (its

@@ -502,6 +502,14 @@ def test_sq8_reconstruction_error_within_half_step(spark):
                 assert abs(dec - Xf[i][d]) <= (hi - lo) / 510.0 + 1e-12
 
 
+def test_sq8_train_bounds_rejects_empty_corpus(spark):
+    """min/max over zero rows is NULL everywhere — raise a clear error
+    instead of a TypeError from float(None) (ADVICE r8)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        PQ.sq8_train_bounds(empty, 4)
+
+
 def test_sq8_recall_floor_on_clustered_corpus(spark, clustered_emb):
     """SQ8 at 64 bytes/vector: measured 0.97 recall@10 on the clustered
     corpus (vs 0.44 for 8-byte IVF-PQ) — the storage-compression endpoint
