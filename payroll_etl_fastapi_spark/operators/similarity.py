@@ -1525,3 +1525,327 @@ def semantic_dedup(
             F.coalesce(F.col("is_dropped"), F.lit(0)).alias("is_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN planner (round 9, VERDICT r8 #1): route a caller's (target_recall,
+# memory_budget) across the MEASURED retrieval frontier — the retrieval
+# mirror of dedup.lsh_params_for. The engine holds nine committed recall
+# points (tools/quality_baseline.json floors, asserted by
+# tools/quality_assert.py; measured values in .ann_recall.json, sf0.1
+# harness, r8); until now a caller had to read PLANS.md to learn "at
+# recall 0.9 use multiprobe-32/8-f2 or SQ8, never bare ADC". ann_plan
+# encodes that routing as data, ann_topk executes the pick.
+# ---------------------------------------------------------------------------
+
+# One row per committed frontier point. ``floor`` MUST mirror
+# tools/quality_baseline.json ann_recall_floors (pinned by
+# tests/test_similarity.py::test_ann_plan_floors_match_committed_baseline):
+# the planner promises only what quality_assert enforces — measured values
+# are reported for context and used solely as a tiebreak.
+#
+# Byte accounting at dimension d (parquet float32 raw vectors = 4d bytes):
+#   stored(d) = bytes/vector the index keeps resident (including the raw
+#               vectors when the family re-ranks or refines against them);
+#   scan(d)   = bytes/vector a query batch actually reads — the 100 TB
+#               cost axis (a 1000-executor scan is width x rows; probe-
+#               bounded families multiply by n_probe/nlist).
+# LSH band rows are ~20 B each (band int, sig long, id long); the refine
+# tail's shortlist fetch is |q|*k' random reads, amortized to ~1 B/vec.
+_BAND_ROW_BYTES = 20
+_REFINE_FETCH_BYTES = 1.0
+
+ANN_FRONTIER: tuple[dict, ...] = (
+    {
+        "family": "sq8",
+        "config": "8bit per-dim",
+        "params": {},
+        "floor": 0.90,
+        "measured_recall": 0.984,
+        "measured_secs": 1.976,
+        "metric": "l2",
+        "stored": lambda d: float(d),
+        "scan": lambda d: float(d),
+    },
+    {
+        "family": "lsh_multiprobe",
+        "config": "planes=32 bands=8 flips=2",
+        "params": {"num_planes": 32, "bands": 8, "n_probe_flips": 2},
+        "floor": 0.90,
+        "measured_recall": 0.974,
+        "measured_secs": 2.628,
+        "metric": "cosine",
+        "stored": lambda d: 4.0 * d + 8 * _BAND_ROW_BYTES,
+        "scan": lambda d: float(8 * _BAND_ROW_BYTES),
+    },
+    {
+        "family": "lsh",
+        "config": "planes=64 bands=16",
+        "params": {"num_planes": 64, "bands": 16, "n_probe_flips": 0},
+        "floor": 0.85,
+        "measured_recall": 0.915,
+        "measured_secs": 2.422,
+        "metric": "cosine",
+        "stored": lambda d: 4.0 * d + 16 * _BAND_ROW_BYTES,
+        "scan": lambda d: float(16 * _BAND_ROW_BYTES),
+    },
+    {
+        "family": "ivf",
+        "config": "nlist=16 nprobe=4",
+        "params": {"n_centroids": 16, "n_probe": 4},
+        "floor": 0.45,
+        "measured_recall": 0.558,
+        "measured_secs": 4.488,
+        "metric": "cosine",
+        "stored": lambda d: 4.0 * d + 8,
+        "scan": lambda d: 4.0 * d * 4 / 16,
+    },
+    {
+        "family": "ivf_kmeans",
+        "config": "nlist=8(t) nprobe=2",
+        "params": {"n_centroids": 8, "n_iters": 2, "n_probe": 2},
+        "floor": 0.38,
+        "measured_recall": 0.469,
+        "measured_secs": 3.549,
+        "metric": "cosine",
+        "stored": lambda d: 4.0 * d + 8,
+        "scan": lambda d: 4.0 * d * 2 / 8,
+    },
+    {
+        "family": "ivf_pq_refined",
+        "config": "nlist=8(t) RESID-trained nprobe=4 mult=4",
+        "params": {"nlist": 8, "m": 8, "kc": 16, "n_probe": 4, "refine_mult": 4},
+        "floor": 0.30,
+        "measured_recall": 0.373,
+        "measured_secs": 4.544,
+        "metric": "l2",
+        "stored": lambda d: 4.0 * d + 9,  # raw vectors retained for the refine tail
+        "scan": lambda d: 9.0 * 4 / 8 + _REFINE_FETCH_BYTES,
+    },
+    {
+        "family": "pq_adc",
+        "config": "m=8 k=16 trained",
+        "params": {"m": 8, "kc": 16},
+        "floor": 0.12,
+        "measured_recall": 0.167,
+        "measured_secs": 2.552,
+        "metric": "l2",
+        "stored": lambda d: 8.0,
+        "scan": lambda d: 8.0,
+    },
+    {
+        "family": "ivf_pq",
+        "config": "nlist=8(t) m=8 k=16 RESID-trained nprobe=4",
+        "params": {"nlist": 8, "m": 8, "kc": 16, "n_probe": 4},
+        "floor": 0.11,
+        "measured_recall": 0.158,
+        "measured_secs": 3.633,
+        "metric": "l2",
+        "stored": lambda d: 9.0,
+        "scan": lambda d: 9.0 * 4 / 8,
+    },
+    {
+        "family": "ivf_pq",
+        "config": "nlist=8(t) m=8 k=16 RESID-trained nprobe=2",
+        "params": {"nlist": 8, "m": 8, "kc": 16, "n_probe": 2},
+        "floor": 0.09,
+        "measured_recall": 0.137,
+        "measured_secs": 3.488,
+        "metric": "l2",
+        "stored": lambda d: 9.0,
+        "scan": lambda d: 9.0 * 2 / 8,
+    },
+)
+
+
+def ann_plan(
+    target_recall: float,
+    memory_budget: float | None = None,
+    dim: int = 64,
+    metric: str | None = None,
+    allow_exact: bool = False,
+) -> dict:
+    """Pick the cheapest committed ANN config meeting ``target_recall`` —
+    the retrieval mirror of ``dedup.lsh_params_for`` (VERDICT r8 #1).
+
+    A config QUALIFIES when its committed recall floor (the value
+    tools/quality_assert.py enforces, NOT the higher measured point) is
+    >= target_recall, its resident index fits ``memory_budget`` bytes per
+    corpus vector (None = unbounded; raw float32 vectors cost 4*dim), and
+    it ranks by the requested ``metric`` ("cosine" for the LSH/IVF-flat
+    families, "l2" for the quantizers; None = either). Among qualifiers
+    the pick minimizes (scan bytes/vector, measured secs, family) — scan
+    width is THE 100 TB cost axis; the harness seconds only break ties.
+
+    ``allow_exact=True`` adds the exact brute-force scan (recall 1.0,
+    scan = 4*dim, all-pairs-guarded at execution) as a last resort;
+    without it an unreachable target raises, naming the frontier's
+    ceiling — impossible asks fail loudly, they never silently degrade.
+
+    Returns a plan dict: family, config, params, floor, measured_recall,
+    measured_secs, metric, stored_bytes_per_vec, scan_bytes_per_vec.
+    Execute it with ``ann_topk``. Example picks (pinned in
+    tests/test_similarity.py, the lsh_params_for (36,9)@0.7 precedent):
+    0.9 -> sq8; 0.9 + metric=cosine -> multiprobe 32/8-f2; 0.3 ->
+    ivf_pq_refined (refine-over-ADC, never bare ADC); 0.12 + 8 B budget
+    -> pq_adc; 0.95 -> raises (or exact when allowed)."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    if metric not in (None, "cosine", "l2"):
+        raise ValueError(f"metric must be cosine|l2|None, got {metric!r}")
+    feasible = []
+    for c in ANN_FRONTIER:
+        if c["floor"] < target_recall:
+            continue
+        if metric is not None and c["metric"] != metric:
+            continue
+        stored = c["stored"](dim)
+        if memory_budget is not None and stored > memory_budget:
+            continue
+        feasible.append((c["scan"](dim), c["measured_secs"], c["family"], c))
+    if not feasible:
+        raw = 4.0 * dim
+        if allow_exact and (memory_budget is None or raw <= memory_budget):
+            return {
+                "family": "exact",
+                "config": "brute-force (all-pairs-guarded)",
+                "params": {},
+                "floor": 1.0,
+                "measured_recall": 1.0,
+                "measured_secs": None,
+                "metric": metric or "l2",
+                "stored_bytes_per_vec": raw,
+                "scan_bytes_per_vec": raw,
+            }
+        best_floor = max(
+            (c["floor"] for c in ANN_FRONTIER
+             if metric is None or c["metric"] == metric),
+            default=0.0,
+        )
+        raise ValueError(
+            f"no committed ANN config reaches recall {target_recall}"
+            + (f" at metric {metric!r}" if metric else "")
+            + (f" within {memory_budget} bytes/vector" if memory_budget is not None else "")
+            + f"; the frontier's highest committed floor is {best_floor} "
+            "(tools/quality_baseline.json). Pass allow_exact=True for the "
+            "guarded brute-force scan, or relax the ask."
+        )
+    scan, secs, _fam, chosen = min(feasible, key=lambda t: (t[0], t[1], t[2]))
+    return {
+        "family": chosen["family"],
+        "config": chosen["config"],
+        "params": dict(chosen["params"]),
+        "floor": chosen["floor"],
+        "measured_recall": chosen["measured_recall"],
+        "measured_secs": chosen["measured_secs"],
+        "metric": chosen["metric"],
+        "stored_bytes_per_vec": chosen["stored"](dim),
+        "scan_bytes_per_vec": scan,
+    }
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    target_recall: float,
+    memory_budget: float | None = None,
+    dim: int = 64,
+    metric: str | None = None,
+    allow_exact: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plan: dict | None = None,
+) -> DataFrame:
+    """Single recall-contract entry point for approximate nearest-neighbor
+    search: plan with ``ann_plan`` (or accept a precomputed ``plan``), then
+    train whatever the chosen family needs in-call (SQ8 bounds, k-means
+    coarse quantizers, residual PQ codebooks — the same deterministic
+    trainers the driver gates replay in SQL) and execute the search.
+
+    Output is normalized to (query_id, neighbor_id, rank) — the family-
+    specific score columns (cosine, adc_micros, d_micros, l2_micros) carry
+    different semantics, so the routed surface exposes only the ranking;
+    call the family operator directly for scores.
+
+    Scale: every dispatched path is the documented probe-bounded /
+    broadcast-table shape of its operator; training is driver-tiny
+    (centroids, codebooks, bounds) by construction."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+
+    p = plan or ann_plan(
+        target_recall,
+        memory_budget=memory_budget,
+        dim=dim,
+        metric=metric,
+        allow_exact=allow_exact,
+    )
+    fam, prm = p["family"], p["params"]
+    if fam == "sq8":
+        bounds = PQ.sq8_train_bounds(corpus, dim, vec_col)
+        packed = PQ.sq8_encode_packed(corpus, bounds, id_col, vec_col)
+        out = PQ.sq8_topk(packed, queries, bounds, k, id_col, vec_col)
+    elif fam in ("lsh", "lsh_multiprobe"):
+        out = lsh_topk(
+            corpus,
+            queries,
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            num_planes=prm["num_planes"],
+            bands=prm["bands"],
+            n_probe_flips=prm["n_probe_flips"],
+        )
+    elif fam == "ivf":
+        out = ivf_topk(
+            corpus,
+            queries,
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=prm["n_centroids"],
+            n_probe=prm["n_probe"],
+        )
+    elif fam == "ivf_kmeans":
+        cents = train_centroids_kmeans(
+            corpus,
+            n_centroids=prm["n_centroids"],
+            n_iters=prm["n_iters"],
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        out = ivf_topk(
+            corpus,
+            queries,
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_probe=prm["n_probe"],
+            centroids=cents,
+        )
+    elif fam == "pq_adc":
+        books = PQ.pq_train_codebooks(
+            corpus, prm["m"], prm["kc"], dim, id_col=id_col, vec_col=vec_col
+        )
+        out = PQ.pq_adc_topk(corpus, queries, books, k, id_col, vec_col)
+    elif fam in ("ivf_pq", "ivf_pq_refined"):
+        kcents = train_centroids_kmeans(
+            corpus, n_centroids=prm["nlist"], n_iters=2, id_col=id_col, vec_col=vec_col
+        )
+        cents = [v for _, v in kcents]
+        res = PQ.ivf_residuals(corpus, cents, id_col, vec_col).localCheckpoint()
+        books = PQ.pq_train_codebooks(
+            res, prm["m"], prm["kc"], dim, id_col=id_col, vec_col="res"
+        )
+        fn = PQ.ivf_pq_topk_refined if fam == "ivf_pq_refined" else PQ.ivf_pq_topk
+        kwargs = {"n_probe": prm["n_probe"], "id_col": id_col, "vec_col": vec_col}
+        if fam == "ivf_pq_refined":
+            kwargs["refine_mult"] = prm["refine_mult"]
+        out = fn(corpus, queries, cents, books, k, **kwargs)
+    elif fam == "exact":
+        fn = cosine_topk if p["metric"] == "cosine" else l2_topk
+        out = fn(corpus, queries, k, id_col=id_col, vec_col=vec_col)
+    else:  # pragma: no cover - ANN_FRONTIER and this dispatch move together
+        raise ValueError(f"ann_topk cannot dispatch family {fam!r}")
+    return out.select("query_id", "neighbor_id", "rank")

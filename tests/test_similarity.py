@@ -639,3 +639,125 @@ def test_probe_band_signatures_shape_and_flip_bits(spark):
                 assert diff != 0 and (diff & (diff - 1)) == 0  # one bit
     with pytest.raises(ValueError, match="n_flips"):
         sim.probe_band_signatures("embedding", planes, 4, 5)
+
+
+# ---------------------------------------------------------------------------
+# ANN planner (round 9, VERDICT r8 #1): ann_plan routes (target_recall,
+# memory_budget, metric) across the committed frontier; ann_topk executes.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_plan_pick_table():
+    """The routing table, pinned like lsh_params_for's (36,9)@0.7: these
+    picks ARE the planner's contract — 'at recall 0.9 use SQ8 (or
+    multiprobe when you need cosine), at 0.3 use refine-over-ADC, never
+    bare ADC'."""
+    assert sim.ann_plan(0.9)["family"] == "sq8"
+    assert sim.ann_plan(0.9, metric="cosine")["config"] == "planes=32 bands=8 flips=2"
+    # at 0.85+cosine the half-index multiprobe family still beats lsh 64/16
+    assert sim.ann_plan(0.85, metric="cosine")["family"] == "lsh_multiprobe"
+    # 0.45+cosine: the probe-bounded flat-IVF scan (d bytes/vec) undercuts
+    # the band indexes
+    assert sim.ann_plan(0.45, metric="cosine")["family"] == "ivf"
+    # refine-over-ADC at 0.3 — the 100 TB scan stays ~5.5 B/vec
+    assert sim.ann_plan(0.3)["family"] == "ivf_pq_refined"
+    # byte-budgeted asks route into the pure-code indexes
+    assert sim.ann_plan(0.12, memory_budget=8)["family"] == "pq_adc"
+    p = sim.ann_plan(0.11, memory_budget=16)
+    assert (p["family"], p["params"]["n_probe"]) == ("ivf_pq", 4)
+    p = sim.ann_plan(0.09, memory_budget=16)
+    assert (p["family"], p["params"]["n_probe"]) == ("ivf_pq", 2)
+
+
+def test_ann_plan_impossible_asks_raise_or_go_exact():
+    with pytest.raises(ValueError, match="highest committed floor"):
+        sim.ann_plan(0.95)
+    with pytest.raises(ValueError, match="bytes/vector"):
+        sim.ann_plan(0.9, memory_budget=32)
+    exact = sim.ann_plan(0.95, allow_exact=True)
+    assert exact["family"] == "exact" and exact["floor"] == 1.0
+    # exact also respects the budget: raw float32 vectors cost 4*dim
+    with pytest.raises(ValueError):
+        sim.ann_plan(0.95, memory_budget=32, allow_exact=True)
+    with pytest.raises(ValueError, match="target_recall"):
+        sim.ann_plan(1.5)
+    with pytest.raises(ValueError, match="metric"):
+        sim.ann_plan(0.5, metric="dot")
+
+
+def test_ann_plan_floors_match_committed_baseline():
+    """The in-code frontier floors MUST mirror tools/quality_baseline.json
+    ann_recall_floors (what quality_assert enforces) — the planner may
+    never promise recall no instrument guards. Every committed floor is
+    routed (no orphan contracts) and every frontier row is committed."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "quality_baseline.json"
+    )
+    with open(path) as fh:
+        floors = json.load(fh)["ann_recall_floors"]
+    frontier_keys = {}
+    for c in sim.ANN_FRONTIER:
+        frontier_keys[f"{c['family']}|{c['config']}"] = c["floor"]
+    assert frontier_keys == floors
+
+
+def test_ann_topk_routed_sq8_meets_target_on_clustered(spark, clustered_emb):
+    """End-to-end: target 0.9 routes to SQ8; retrieval on the clustered
+    corpus clears the target against metric-matched (L2) truth."""
+    df, V, qids = clustered_emb
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+    got = sim.ann_topk(df, queries, K_FLOOR, target_recall=0.9).collect()
+    truth = {}
+    for q in qids:
+        d2 = ((V - V[q]) ** 2).sum(axis=1)
+        order = sorted((i for i in range(len(V)) if i != q), key=lambda i: (d2[i], i))
+        truth[q] = set(order[:K_FLOOR])
+    assert _recall(got, truth, K_FLOOR) >= 0.9
+    assert {c for c in sim.ann_topk(
+        df, queries, K_FLOOR, target_recall=0.9
+    ).columns} == {"query_id", "neighbor_id", "rank"}
+
+
+def test_ann_topk_routed_cosine_pick_meets_target(spark, clustered_emb):
+    """target 0.9 + metric=cosine routes to multiprobe 32/8-f2 and clears
+    the target against cosine truth."""
+    df, V, qids = clustered_emb
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+    got = sim.ann_topk(
+        df, queries, K_FLOOR, target_recall=0.9, metric="cosine"
+    ).collect()
+    assert _recall(got, _cosine_truth(V, qids, K_FLOOR), K_FLOOR) >= 0.9
+
+
+def test_ann_topk_exact_fallback_is_exact(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 3)
+    got = sim.ann_topk(
+        df, queries, 5, target_recall=1.0, metric="cosine", allow_exact=True
+    ).collect()
+    want = _numpy_topk(vecs, [0, 1, 2], 5)
+    by = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by == want
+
+
+def test_ann_topk_routed_refined_dispatch_and_floor(spark, clustered_emb):
+    """target 0.3 routes to ivf_pq_refined — the full dispatch (kmeans
+    coarse training, residual codebooks, refine tail) runs end-to-end and
+    the clustered-corpus recall clears the committed floor with room (the
+    refine tail measured >=0.95 here in r8)."""
+    df, V, qids = clustered_emb
+    queries = df.filter(F.col("vec_id") % 30 == 0)
+    p = sim.ann_plan(0.3)
+    assert p["family"] == "ivf_pq_refined"
+    got = sim.ann_topk(df, queries, K_FLOOR, target_recall=0.3, plan=p).collect()
+    truth = {}
+    for q in qids:
+        d2 = ((V - V[q]) ** 2).sum(axis=1)
+        order = sorted((i for i in range(len(V)) if i != q), key=lambda i: (d2[i], i))
+        truth[q] = set(order[:K_FLOOR])
+    assert _recall(got, truth, K_FLOOR) >= 0.9
