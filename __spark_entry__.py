@@ -108,8 +108,12 @@ _WINDOW: tuple[str, ...] = (
     "bucketed_join_rollup",
     "graph_pagerank_parts",
     # --- the 35 never-driver-verified gates (VERDICT r4 #1), rotated in ---
-    # round-4 late additions
-    "vocab_bpe_apply",
+    # ROUND-9 swap (VERDICT r8 #2): the unigram-LM (SentencePiece-style)
+    # tokenizer gate — the third classic subword algorithm, full EM-round
+    # SQL re-training — takes the tokenizer-family slot; vocab_bpe_apply
+    # holds its r8 driver-green row in _SECONDARY (its training twin
+    # vocab_bpe_merges keeps the BPE anchor)
+    "vocab_unigram_apply",
     "streaming_sketch_hdr",
     # ROUND-8 second swap: the byte-packed PQ index search gate (storage-
     # format parity contract) takes this slot; events_transition_matrix
@@ -261,6 +265,7 @@ _SECONDARY: tuple[str, ...] = (
     "corpus_temperature_mix",  # ceded its slot to pipeline_training_data_v2 (r8); r7 driver-green
     "events_range_frame_totals",  # ceded its slot to graph_kcore_parts (r8); r7 driver-green
     "txtable_change_feed",  # ceded its slot to vocab_wordpiece_apply (r8); r7 driver-green
+    "vocab_bpe_apply",  # ceded its slot to vocab_unigram_apply (r9); r8 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -250,3 +250,210 @@ def wordpiece_tokenize(
     return words.select(
         "word", "n", cands.alias("_cands")
     ).select("word", "n", scan.alias("pieces"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer (round 9, VERDICT r8 #2) — the
+# THIRD classic subword algorithm next to BPE's merge replay and WordPiece's
+# greedy scan (Kudo 2018, hard-EM variant): a seeded piece vocabulary with
+# micro-snapped negative-log-prob costs, a fixed number of EM prune rounds
+# (Viterbi-segment the word table -> usage counts -> keep the top pieces ->
+# re-derive costs), and Viterbi segmentation as the apply half. Every round
+# is a FIXED replayable level (the kmeans/PageRank convention): counts are
+# exact integers, costs snap to integer micros before any comparison, and
+# the Viterbi argmin uses a total (cost, longer-piece, segmentation) tie
+# order — so the SQL oracle RE-TRAINS the whole thing end to end.
+#
+# The sub-length guards WordPiece needed apply here too: Spark's
+# sequence(1, 0) steps DOWNWARD (DuckDB's is empty), so every position
+# range is gated on end >= 1; and DuckDB's list_reduce drops list-valued
+# struct fields across iterations, so the oracle folds a STRING-ENCODED
+# dp table ('cost:seg|cost:seg|...') while the engine uses a real
+# array<struct<c,s>> accumulator — same recurrence, value-exact output.
+# ---------------------------------------------------------------------------
+
+
+def unigram_seed(
+    words: DataFrame,
+    seed_multi: int = 40,
+    max_piece_len: int = 4,
+    min_count: int = 3,
+) -> list[tuple[str, int]]:
+    """Seed (piece, weighted-count) inventory: every substring of length
+    1..max_piece_len of every corpus word, weighted by word count (each
+    position counts). ALL observed single characters are kept (they are the
+    coverage guarantee — Viterbi always has an l=1 step); multi-character
+    pieces keep the top ``seed_multi`` by (count desc, piece asc) among
+    those with count >= min_count. One array-local substring explode + one
+    grouped sum + a driver-sized collect (the vocabulary is constant-size
+    by definition — the train_bpe discipline)."""
+
+    def positions(l):
+        end = F.length("word") - l + 1
+        return F.when(end >= 1, F.sequence(F.lit(1), end)).otherwise(
+            F.expr("CAST(array() AS array<int>)")
+        )
+
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_piece_len)),
+            lambda l: F.transform(
+                positions(l), lambda i: F.substring(F.col("word"), i, l)
+            ),
+        )
+    )
+    counted = (
+        words.select(F.col("n"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("c"))
+        .collect()
+    )
+    singles = sorted(
+        (r.piece, int(r.c)) for r in counted if len(r.piece) == 1
+    )
+    multi = sorted(
+        ((r.piece, int(r.c)) for r in counted
+         if len(r.piece) > 1 and int(r.c) >= min_count),
+        key=lambda t: (-t[1], t[0]),
+    )[:seed_multi]
+    return singles + sorted(multi)
+
+
+def unigram_costs(counts: list[tuple[str, int]]) -> list[tuple[str, int]]:
+    """(piece, cost_micros) from exact integer counts: cost =
+    floor(-ln(c / total) * 1e6 + 0.5) — ONE division of exact-integer
+    doubles then one libm log, the identical op order the oracle's
+    ln() replays (the text_lm_score snapping convention). Sorted by piece
+    (the order is presentation-only; costs are per-piece lookups)."""
+    import math
+
+    total = sum(c for _, c in counts)
+    return sorted(
+        (p, int(math.floor(-math.log(c / total) * 1e6 + 0.5)))
+        for p, c in counts
+    )
+
+
+def unigram_viterbi_tokenize(
+    words: DataFrame, costs: list[tuple[str, int]], max_piece_len: int = 4
+) -> DataFrame:
+    """(word, n, pieces, cost_micros): minimum-cost segmentation of each
+    distinct word under the trained piece costs — exact Viterbi dp, the
+    unigram-LM encode half. Tie order at each dp cell: (total cost asc,
+    LONGER piece first, segmentation string asc) — total, so the chosen
+    segmentation is a pure function of the cost table.
+
+    Scale shape: candidate pieces are an array-local substring probe
+    against the BROADCAST cost map (a literal map of ~vocab entries, no
+    join); the dp is ONE aggregate fold of |word| steps whose accumulator
+    is the array of per-position (cost, segmentation) bests. No shuffle
+    beyond word_counts' own aggregate; no Python in the fold."""
+    pieces_arr = F.array(*[F.lit(p) for p, _ in costs])
+    cost_map = F.create_map(
+        *[x for p, c in costs for x in (F.lit(p), F.lit(int(c)))]
+    )
+
+    def positions(l):
+        end = F.length("word") - l + 1
+        return F.when(end >= 1, F.sequence(F.lit(1), end)).otherwise(
+            F.expr("CAST(array() AS array<int>)")
+        )
+
+    cands = F.transform(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_piece_len)),
+                    lambda l: F.transform(
+                        positions(l),
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            l.alias("len"),
+                            F.substring(F.col("word"), i, l).alias("s"),
+                        ),
+                    ),
+                )
+            ),
+            lambda c: F.array_contains(pieces_arr, c["s"]),
+        ),
+        lambda c: F.struct(
+            c["pos"].alias("pos"),
+            c["len"].alias("len"),
+            F.element_at(cost_map, c["s"]).alias("cost"),
+        ),
+    )
+    # dp fold: acc[j] holds position j-1's best (cost, segmentation); each
+    # step appends the min over pieces ENDING at i of (acc[start].c +
+    # piece cost, -len, extended segmentation) — struct comparison gives
+    # the total tie order. Single-char coverage guarantees a candidate at
+    # every position, so the inner fold never stays NULL.
+    scan = F.expr(
+        "aggregate(sequence(1, length(word)), "
+        "array(named_struct('c', CAST(0 AS BIGINT), 's', '')), "
+        "(acc, i) -> array_append(acc, aggregate("
+        "  transform(filter(_cands, c -> c.pos + c.len - 1 = i), "
+        "    c -> named_struct("
+        "      'c', element_at(acc, c.pos).c + c.cost, "
+        "      'negl', -c.len, "
+        "      's', concat(element_at(acc, c.pos).s, "
+        "                  CASE WHEN element_at(acc, c.pos).s = '' "
+        "                       THEN '' ELSE ' ' END, "
+        "                  substring(word, c.pos, c.len)))), "
+        "  CAST(NULL AS struct<c: BIGINT, negl: INT, s: STRING>), "
+        "  (m, x) -> CASE WHEN m IS NULL OR x < m THEN x ELSE m END, "
+        "  m -> named_struct('c', m.c, 's', m.s))), "
+        "acc -> element_at(acc, -1))"
+    )
+    return (
+        words.select("word", "n", cands.alias("_cands"))
+        .select("word", "n", scan.alias("_best"))
+        .select(
+            "word",
+            "n",
+            F.split(F.col("_best.s"), " ").alias("pieces"),
+            F.col("_best.c").alias("cost_micros"),
+        )
+    )
+
+
+def train_unigram(
+    words: DataFrame,
+    vocab_multi: int = 24,
+    seed_multi: int = 40,
+    max_piece_len: int = 4,
+    min_count: int = 3,
+    n_rounds: int = 2,
+) -> list[tuple[str, int]]:
+    """Hard-EM unigram-LM training over the (word, n) table: seed ->
+    ``n_rounds`` x (Viterbi-segment -> usage counts -> prune to the top
+    ``vocab_multi`` multi-char pieces by (usage desc, piece asc), single
+    characters always kept -> re-derive costs from ADD-ONE-smoothed usage).
+    Add-one keeps never-used single characters finite (they must stay
+    segmentable for coverage); multi-char pieces with zero usage drop out
+    entirely. Returns the trained (piece, cost_micros) table — apply it
+    with unigram_viterbi_tokenize.
+
+    Each round is one distributed Viterbi pass over the DISTINCT-WORD
+    table plus one vocabulary-sized usage aggregate collected to the
+    driver (the train_bpe transfer discipline: constant rows per round)."""
+    seed = unigram_seed(words, seed_multi, max_piece_len, min_count)
+    chars = sorted(p for p, _ in seed if len(p) == 1)
+    costs = unigram_costs(seed)
+    for _ in range(n_rounds):
+        tok = unigram_viterbi_tokenize(words, costs, max_piece_len)
+        usage = {
+            r.piece: int(r.u)
+            for r in tok.select(F.explode("pieces").alias("piece"), "n")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("u"))
+            .collect()
+        }
+        multi = sorted(
+            ((p, u) for p, u in usage.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:vocab_multi]
+        kept = [(c, usage.get(c, 0) + 1) for c in chars] + [
+            (p, u + 1) for p, u in multi
+        ]
+        costs = unigram_costs(kept)
+    return costs

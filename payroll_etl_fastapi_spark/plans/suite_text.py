@@ -963,3 +963,197 @@ def vocab_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("piece")
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (round 9, VERDICT r8 #2) — the third classic subword
+# algorithm. Gate params mirror operators.bpe.train_unigram defaults.
+# ---------------------------------------------------------------------------
+
+_UG_MAXLEN = 4
+_UG_SEED = 40
+_UG_MIN = 3
+_UG_MULTI = 24
+_UG_ROUNDS = 2
+
+
+def _unigram_oracle(
+    maxlen: int = _UG_MAXLEN,
+    seed_multi: int = _UG_SEED,
+    min_count: int = _UG_MIN,
+    vocab_multi: int = _UG_MULTI,
+    n_rounds: int = _UG_ROUNDS,
+) -> str:
+    """RE-TRAIN the unigram-LM end to end in SQL: seed substring counts ->
+    micro-snapped -ln(c/total) costs -> n_rounds x (Viterbi dp fold ->
+    usage counts -> prune -> add-one re-costs) -> final segmentation
+    histogram. The dp accumulator is STRING-ENCODED ('cost:seg|...') —
+    DuckDB's list_reduce drops list-valued struct state (the WordPiece
+    divergence), so the oracle folds the identical recurrence over scalar
+    strings; the struct argmin inside each step compares (cost, -len, seg)
+    exactly like the engine's array_min tie order."""
+    all_structs = (
+        f"flatten(list_transform(generate_series(1, {maxlen}), "
+        f"l -> list_transform(generate_series(1, greatest(length(word) - l + 1, 0)), "
+        f"i -> {{'pos': i, 'len': l, 's': substr(word, i, l)}})))"
+    )
+    entry = "string_split(acc, '|')[c.pos]"
+    # THIRD documented Spark/DuckDB divergence in the tokenizer family
+    # (after sequence(1,0)-descends and list-in-struct accumulator drops):
+    # DuckDB 1.0.0 mis-evaluates a STRUCT-list list_reduce nested inside
+    # another list_reduce lambda once the outer fold runs over a multi-row
+    # table — the same expression returns the right argmin on a 1-row
+    # input and a WRONG (higher-cost) one over the full word table
+    # (reproduced on 'batch': 9484170 chosen over 9184706). An INT-list
+    # inner reduce is fine (the WordPiece oracle uses one); the struct
+    # argmin here therefore rides list_sort(...)[1], which is
+    # value-identical (same lexicographic (cost, -len, seg) order).
+    best = (
+        f"list_sort("
+        f"[{{'c': CAST(split_part({entry}, ':', 1) AS BIGINT) + c.cost, "
+        f"'negl': -c.len, "
+        f"'s': CASE WHEN split_part({entry}, ':', 2) = '' "
+        f"THEN substr(word, c.pos, c.len) "
+        f"ELSE split_part({entry}, ':', 2) || ' ' || substr(word, c.pos, c.len) END}} "
+        f"FOR c IN cands IF c.pos + c.len - 1 = CAST(x AS INTEGER)])[1]"
+    )
+    dp = (
+        f"list_reduce("
+        f"list_concat(['0:'], list_transform(generate_series(1, length(word)), "
+        f"i -> CAST(i AS VARCHAR))), "
+        f"(acc, x) -> acc || '|' || "
+        f"(CAST(({best}).c AS VARCHAR) || ':' || ({best}).s))"
+    )
+    cost_expr = (
+        "CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 "
+        "+ 0.5) AS BIGINT)"
+    )
+
+    def vlist_cte(name: str, src: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (\n"
+            f"        SELECT list({{'s': piece, 'cost': {cost_expr}}} ORDER BY piece) AS vl\n"
+            f"        FROM {src}, (SELECT sum(c) AS t FROM {src})\n"
+            f"    )"
+        )
+
+    def seg_ctes(r: int, vname: str) -> str:
+        return (
+            f"wc{r} AS (\n"
+            f"        SELECT word, n,\n"
+            f"          [{{'pos': c.pos, 'len': c.len,\n"
+            f"             'cost': [v.cost FOR v IN vl IF v.s = c.s][1]}}\n"
+            f"           FOR c IN {all_structs}\n"
+            f"           IF list_contains([v.s FOR v IN vl], c.s)] AS cands\n"
+            f"        FROM words, {vname}\n"
+            f"    ),\n"
+            f"    seg{r} AS MATERIALIZED (\n"
+            f"        SELECT word, n,\n"
+            f"          split_part(string_split({dp}, '|')[length(word) + 1], ':', 2) AS seg\n"
+            f"        FROM wc{r}\n"
+            f"    )"
+        )
+
+    parts = [
+        f"""words AS MATERIALIZED (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split({_SQL_NORM_TEXT}, ' ')) AS word
+              FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word
+    ),
+    sub0 AS MATERIALIZED (
+        SELECT piece, sum(n) AS c
+        FROM (SELECT n, unnest(flatten(list_transform(
+                  generate_series(1, {maxlen}),
+                  l -> list_transform(
+                      generate_series(1, greatest(length(word) - l + 1, 0)),
+                      i -> substr(word, i, l))))) AS piece
+              FROM words)
+        GROUP BY piece
+    ),
+    chars AS (SELECT piece FROM sub0 WHERE length(piece) = 1),
+    seed AS MATERIALIZED (
+        SELECT piece, c FROM sub0 WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, c FROM (
+            SELECT piece, c FROM sub0
+            WHERE length(piece) > 1 AND c >= {min_count}
+            ORDER BY c DESC, piece LIMIT {seed_multi})
+    ),
+    {vlist_cte("v0", "seed")}"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(seg_ctes(r, f"v{r - 1}"))
+        parts.append(
+            f"""use{r} AS MATERIALIZED (
+        SELECT piece, sum(n) AS u
+        FROM (SELECT n, unnest(string_split(seg, ' ')) AS piece FROM seg{r})
+        GROUP BY piece
+    ),
+    kept{r} AS MATERIALIZED (
+        SELECT ch.piece, COALESCE(u.u, 0) + 1 AS c
+        FROM chars ch LEFT JOIN use{r} u ON u.piece = ch.piece
+        UNION ALL
+        SELECT piece, u + 1 AS c FROM (
+            SELECT piece, u FROM use{r} WHERE length(piece) > 1
+            ORDER BY u DESC, piece LIMIT {vocab_multi})
+    ),
+    {vlist_cte(f"v{r}", f"kept{r}")}"""
+        )
+    parts.append(seg_ctes(n_rounds + 1, f"v{n_rounds}"))
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT piece,
+           CAST(sum(n) AS BIGINT) AS total_count,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM (SELECT word, n, unnest(string_split(seg, ' ')) AS piece
+          FROM seg{n_rounds + 1})
+    GROUP BY piece
+    ORDER BY piece
+    """
+    )
+
+
+@query("vocab_unigram_apply", oracle=_unigram_oracle())
+def vocab_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword tokenization (operators.bpe
+    .train_unigram -> unigram_viterbi_tokenize, Kudo 2018 hard-EM variant)
+    — the THIRD classic subword algorithm next to the BPE merge replay and
+    WordPiece's greedy scan: a seeded substring vocabulary with
+    micro-snapped -ln(c/total) costs, two EM prune rounds (Viterbi-segment
+    the distinct-word table, usage-count, keep the top multi-char pieces
+    with single characters always retained, re-derive costs from add-one
+    usage), then exact minimum-cost Viterbi segmentation as the apply
+    half. Output: the tokenized corpus as per-piece totals — every dp
+    decision of every round on every word is inside the driver hash. The
+    oracle RE-TRAINS all rounds in SQL: the dp fold rides a string-encoded
+    accumulator (DuckDB's list_reduce drops list-in-struct state — the
+    WordPiece divergence) and every position range carries the
+    sequence(1, 0)-descends guard. Costs snap to integer micros before
+    any comparison, so the argmin tie order (cost, longer piece,
+    segmentation) is total and engine-portable."""
+    from payroll_etl_fastapi_spark.operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    words = B.word_counts(docs).localCheckpoint(eager=False)
+    costs = B.train_unigram(
+        words,
+        vocab_multi=_UG_MULTI,
+        seed_multi=_UG_SEED,
+        max_piece_len=_UG_MAXLEN,
+        min_count=_UG_MIN,
+        n_rounds=_UG_ROUNDS,
+    )
+    tok = B.unigram_viterbi_tokenize(words, costs, max_piece_len=_UG_MAXLEN)
+    return (
+        tok.select("word", "n", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("n").cast("long").alias("total_count"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy("piece")
+    )

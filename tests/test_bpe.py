@@ -135,3 +135,96 @@ def test_wordpiece_short_words_and_vocab_bounds(spark):
     assert out["a"] == ["a"]
     assert out["ab"] == ["ab"]
     assert out["abc"] == ["ab", "c"]
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (round 9): Viterbi exactness vs a python dp replica, tie order,
+# coverage, and the EM prune/smoothing rules
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_replica(word: str, costs: dict[str, int], maxlen: int = 4):
+    """Exact dp twin of unigram_viterbi_tokenize's fold: (cost, -len, seg)
+    argmin per position."""
+    INF = float("inf")
+    dp: list[tuple[float, str]] = [(0, "")] + [(INF, "")] * len(word)
+    for i in range(1, len(word) + 1):
+        best = None
+        for l in range(1, min(maxlen, i) + 1):
+            piece = word[i - l : i]
+            if piece not in costs or dp[i - l][0] == INF:
+                continue
+            seg = (dp[i - l][1] + " " + piece).strip()
+            cand = (dp[i - l][0] + costs[piece], -l, seg)
+            if best is None or cand < best:
+                best = cand
+        assert best is not None
+        dp[i] = (best[0], best[2])
+    return dp[len(word)][1].split(" "), dp[len(word)][0]
+
+
+def test_unigram_viterbi_matches_python_replica(spark):
+    words = spark.createDataFrame(
+        [("batch", 3), ("tata", 5), ("a", 2), ("catch", 1)], "word string, n long"
+    )
+    costs = [
+        ("a", 100), ("b", 900), ("t", 500), ("c", 800), ("h", 700),
+        ("at", 450), ("ta", 300), ("tat", 900), ("atch", 1200), ("batc", 1100),
+    ]
+    got = {
+        r.word: (list(r.pieces), int(r.cost_micros))
+        for r in bpe.unigram_viterbi_tokenize(words, costs).collect()
+    }
+    cd = dict(costs)
+    for w in ("batch", "tata", "a", "catch"):
+        assert got[w] == _viterbi_replica(w, cd), w
+    # viterbi beats greedy longest-match where greedy commits early:
+    # 'tata' -> ta+ta (600) not tat+a (1000)
+    assert got["tata"][0] == ["ta", "ta"]
+
+
+def test_unigram_viterbi_tie_prefers_longer_piece(spark):
+    words = spark.createDataFrame([("ab", 1)], "word string, n long")
+    # a+b == ab == 200: the longer piece wins the (cost, -len, seg) order
+    costs = [("a", 100), ("b", 100), ("ab", 200)]
+    rows = bpe.unigram_viterbi_tokenize(words, costs).collect()
+    assert list(rows[0].pieces) == ["ab"]
+
+
+def test_unigram_seed_keeps_all_chars_and_caps_multis(spark):
+    words = spark.createDataFrame(
+        [("aaab", 10), ("zq", 1)], "word string, n long"
+    )
+    seed = bpe.unigram_seed(words, seed_multi=2, max_piece_len=3, min_count=2)
+    singles = {p for p, _ in seed if len(p) == 1}
+    multis = [p for p, _ in seed if len(p) > 1]
+    assert singles == {"a", "b", "z", "q"}  # every observed char, rare or not
+    assert len(multis) == 2  # capped at seed_multi
+    # weighted counts: 'aa' occurs at 2 positions x n=10 = 20, top multi
+    assert multis[0] == "aa" and dict(seed)["aa"] == 20
+
+
+def test_train_unigram_prunes_and_smooths(spark):
+    words = spark.createDataFrame(
+        [("abab", 50), ("cd", 1)], "word string, n long"
+    )
+    costs = dict(
+        bpe.train_unigram(
+            words, vocab_multi=1, seed_multi=8, max_piece_len=3, min_count=1,
+            n_rounds=2,
+        )
+    )
+    # all chars survive with finite costs even at zero usage (add-one)
+    assert {"a", "b", "c", "d"} <= set(costs)
+    # exactly one multi-char piece survives the prune
+    assert len([p for p in costs if len(p) > 1]) == 1
+    # and the survivor is the dominant 'ab'
+    assert "ab" in costs
+
+
+def test_unigram_costs_formula():
+    import math
+
+    got = dict(bpe.unigram_costs([("a", 3), ("b", 1)]))
+    assert got["a"] == int(math.floor(-math.log(3 / 4) * 1e6 + 0.5))
+    assert got["b"] == int(math.floor(-math.log(1 / 4) * 1e6 + 0.5))
