@@ -171,7 +171,11 @@ _WINDOW: tuple[str, ...] = (
     # slot; quality_observed_audit holds its r7 driver-green row in
     # _SECONDARY
     "quality_l_diversity",
-    "streaming_txcatalog_dual",
+    # ROUND-9 second swap (VERDICT r8 #5): the streaming exact-substring
+    # ingest gate — the pytest-only r8 loop gated, completing the streaming
+    # half of the span trio — takes this streaming-family slot;
+    # streaming_txcatalog_dual holds its r8 driver-green row in _SECONDARY
+    "dedup_span_ingest_stream",
     # ROUND-8 fifteenth swap: the k-core decomposition gate (the density
     # primitive CC can't express; 8 replayed peeling rounds) takes this
     # slot; events_range_frame_totals holds its r7 driver-green row in
@@ -266,6 +270,7 @@ _SECONDARY: tuple[str, ...] = (
     "events_range_frame_totals",  # ceded its slot to graph_kcore_parts (r8); r7 driver-green
     "txtable_change_feed",  # ceded its slot to vocab_wordpiece_apply (r8); r7 driver-green
     "vocab_bpe_apply",  # ceded its slot to vocab_unigram_apply (r9); r8 driver-green
+    "streaming_txcatalog_dual",  # ceded its slot to dedup_span_ingest_stream (r9); r8 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -1331,6 +1331,163 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _span_ingest_stream_oracle(max_dup_bp: int = 5000) -> str:
+    """Sequential 3-batch replay of the STREAMING span ingest — the
+    exact-substring twin of _incremental_stream_oracle: per level k, a doc's
+    dup_spans counts windows already in the accepted-docs digest index
+    (levels < k) or held by a lower-id doc of the same chunk; the index
+    then grows by the accepted docs' distinct digests."""
+    levels = []
+    for k in range(3):
+        idx_join = (
+            "" if k == 0 else f"LEFT JOIN i{k - 1} i ON s.fp = i.fp"
+        )
+        dup_case = (
+            "CASE WHEN m.first_id < s.id THEN 1 ELSE 0 END"
+            if k == 0
+            else "CASE WHEN i.fp IS NOT NULL OR m.first_id < s.id THEN 1 ELSE 0 END"
+        )
+        prev_idx = (
+            f"SELECT fp FROM i{k - 1} UNION " if k > 0 else ""
+        )
+        levels.append(
+            f"""{_sql_span_fps(f'c{k}', f's{k}')},
+    f{k} AS (SELECT fp, min(id) AS first_id FROM s{k} GROUP BY fp),
+    p{k} AS (
+        SELECT s.id, count(*) AS n_spans,
+               sum({dup_case}) AS dup_spans
+        FROM s{k} s
+        JOIN f{k} m USING (fp)
+        {idx_join}
+        GROUP BY s.id
+    ),
+    d{k} AS (
+        SELECT c.id,
+               CASE WHEN coalesce(p.n_spans, 0) > 0
+                    THEN coalesce(p.dup_spans, 0) * 10000 // p.n_spans
+                    ELSE 0 END AS dup_bp
+        FROM c{k} c LEFT JOIN p{k} p ON c.id = p.id
+    ),
+    i{k} AS (
+        {prev_idx}SELECT DISTINCT s.fp
+        FROM s{k} s JOIN d{k} d USING (id)
+        WHERE d.dup_bp < {max_dup_bp}
+    )"""
+        )
+    body = ",\n    ".join(levels)
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS chunk, id, "
+        f"CAST(CASE WHEN dup_bp < {max_dup_bp} THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS accepted FROM d{k}"
+        for k in range(3)
+    )
+    return f"""
+    WITH chunks AS (
+        SELECT doc_id AS id, doc_id % 3 AS chunk, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COPY_OFFSET} AS id, (doc_id % 3 + 2) % 3 AS chunk,
+               text || '{_MUTATION}' AS text
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    c0 AS (SELECT id, text FROM chunks WHERE chunk = 0),
+    c1 AS (SELECT id, text FROM chunks WHERE chunk = 1),
+    c2 AS (SELECT id, text FROM chunks WHERE chunk = 2),
+    {body}
+    SELECT chunk, id, accepted FROM (
+    {finals}
+    ) ORDER BY chunk, id
+    """
+
+
+@query("dedup_span_ingest_stream", oracle=_span_ingest_stream_oracle())
+def dedup_span_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-substring ingest (streaming/ingest.
+    stream_ingest_span_dedup, round 9 — gating the pytest-only r8 loop,
+    VERDICT r8 #5): documents arrive as three ts-ordered micro-batches
+    (chunk k = originals doc_id%3==k + mutation-suffixed copies of the NEXT
+    chunk's even originals), each batch span-deduped against the persisted
+    digest index and the admissions committed to an ACID corpus table + the
+    index under the corpus-before-index epoch guard. ARRIVAL order decides
+    survivors: a copy landing one batch before its original carries every
+    complete 8-token window of the original (windows align from position
+    0), so the ORIGINAL is the one rejected at 10000 bp — the positive
+    path — while chunk 2's copies lose to their already-indexed originals.
+    Output: per-doc (chunk, id, accepted). The oracle replays the three
+    batches as sequential digest-index CTE levels. Exactly-once /
+    crash-replay semantics are pytest-pinned (tests/test_stream_ingest.py)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_span_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_MUTATION)).alias("text"),
+        ((F.col("doc_id") % 3 + 2) % 3).alias("chunk"),
+    )
+    allc = docs.withColumn("chunk", F.col("doc_id") % 3).unionByName(mut)
+
+    # the 3 ts-ordered chunk files are the stream's INPUT — materialized
+    # once per sf_dir (read-only, shared across runs); the ingest itself
+    # (3 triggers, decisions, dual epoch-guarded commits) stays timed
+    def _build_chunks() -> str:
+        import atexit
+
+        fx = tempfile.mkdtemp(prefix="spark_span_ingsfix_")
+        atexit.register(shutil.rmtree, fx, ignore_errors=True)
+        src_dir = os.path.join(fx, "chunks")
+        os.makedirs(src_dir)
+        now = _time.time()
+        for k in range(3):
+            pdf = (
+                allc.filter(F.col("chunk") == k)
+                .select("doc_id", "text")
+                .orderBy("doc_id")
+                .toPandas()
+            )
+            path = os.path.join(src_dir, f"chunk_{k}.parquet")
+            pdf.to_parquet(path, index=False)
+            os.utime(path, (now + k, now + k))
+        return src_dir
+
+    from payroll_etl_fastapi_spark.plans.suite import fixture
+
+    src = fixture(sf_dir, "span_ingest_stream_chunks", _build_chunks)
+    scratch = tempfile.mkdtemp(prefix="spark_span_ings_")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        index = TxTable(spark, os.path.join(scratch, "idx"))
+        corpus = TxTable(spark, os.path.join(scratch, "corpus"))
+        stream_ingest_span_dedup(
+            stream, index, corpus, os.path.join(scratch, "ckpt")
+        )
+        admitted = corpus.snapshot().select(F.col("doc_id").alias("id"))
+        out = (
+            allc.select(
+                F.col("chunk").cast("long").alias("chunk"),
+                F.col("doc_id").alias("id"),
+            )
+            .join(admitted.withColumn("_a", F.lit(1)), "id", "left")
+            .select(
+                "chunk",
+                "id",
+                F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("accepted"),
+            )
+            .orderBy("chunk", "id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # LSH pair-recall quality gate (round 7)
 # ---------------------------------------------------------------------------
