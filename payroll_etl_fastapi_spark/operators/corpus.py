@@ -461,3 +461,267 @@ def dsir_resample(
         ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), "id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# corpus.Pipeline (round 9, VERDICT r8 #6): the user-facing composable
+# surface over the gated corpus-prep operators. pipeline_training_data_v2
+# proved the stages COMPOSE (one plan, one end-to-end oracle); this is the
+# product shape a caller wires them with — each stage factory validates its
+# config at CONSTRUCTION time against the same planners/guards the
+# operators use (lsh_params_for's S-curve for near-dedup thresholds, the
+# stride<=window chunking rule, shard/seed sanity), so a bad config fails
+# before any cluster time is spent. Pipeline.run is a pure plan fold: no
+# stage materializes, the composed job stays one lazy DataFrame.
+#
+# Frame contract: stages consume and produce a DOCUMENT frame with at
+# least (id_col, text_col); metadata columns pass through stages that
+# filter rows and are dropped by stages that rebuild text or re-key
+# (span_removal, chunk), which is each underlying operator's documented
+# behavior. chunk re-keys rows to chunk_key = doc_id * key_mult +
+# chunk_id; shuffle_shard appends (skey, shard, pos) and must come last.
+# ---------------------------------------------------------------------------
+
+
+class Stage:
+    """One named pipeline step: ``apply(docs) -> docs``. Construct via the
+    ``stage_*`` factories, which validate configs eagerly."""
+
+    def __init__(self, name: str, fn, terminal: bool = False):
+        self.name = name
+        self._fn = fn
+        self.terminal = terminal
+
+    def apply(self, docs: DataFrame) -> DataFrame:
+        return self._fn(docs)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug nicety
+        return f"Stage({self.name!r})"
+
+
+def stage_bigram_quality_gate(
+    max_avg_nll: float,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Stage:
+    """Keep documents whose mean bigram surprise (text.bigram_lm_scores,
+    snap_micros — the oracle-replayable mode) is <= max_avg_nll nats."""
+    if max_avg_nll <= 0:
+        raise ValueError(f"max_avg_nll must be positive, got {max_avg_nll}")
+
+    def fn(docs: DataFrame) -> DataFrame:
+        from payroll_etl_fastapi_spark.operators import text as T
+
+        lm = T.bigram_lm_scores(docs, text_col, id_col, alpha=alpha, snap_micros=True)
+        keep = lm.filter(F.col("avg_neg_log_prob") <= max_avg_nll).select(
+            F.col("id").alias(id_col)
+        )
+        return docs.join(keep, id_col)
+
+    return Stage(f"bigram_quality_gate(<={max_avg_nll})", fn)
+
+
+def stage_language_gate(langs: list[str], lang_col: str = "lang") -> Stage:
+    """Keep documents whose language column is in the allowlist."""
+    if not langs:
+        raise ValueError("langs allowlist must be non-empty")
+    return Stage(
+        f"language_gate({sorted(langs)})",
+        lambda docs: docs.filter(F.col(lang_col).isin(*langs)),
+    )
+
+
+def stage_exact_dedup(text_col: str = "text", id_col: str = "doc_id") -> Stage:
+    """Exact dedup on the md5 of whitespace-normalized text, keep-lowest-id
+    (the pipeline_training_data rule)."""
+    from pyspark.sql import Window as W
+
+    def fn(docs: DataFrame) -> DataFrame:
+        from payroll_etl_fastapi_spark.operators.text import normalize_text
+
+        fp = F.md5(normalize_text(F.col(text_col)))
+        w = W.partitionBy(fp).orderBy(id_col)
+        return (
+            docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    return Stage("exact_dedup", fn)
+
+
+def stage_near_dedup(
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> Stage:
+    """MinHash-LSH near-dedup at a measured-recall threshold, keep-lowest-id.
+    The band structure derives from dedup.lsh_params_for's S-curve AT
+    CONSTRUCTION — an unreachable threshold raises here, not mid-job."""
+    from payroll_etl_fastapi_spark.operators.dedup import lsh_params_for
+
+    lsh_params_for(threshold)  # eager validation; apply re-derives via threshold=
+
+    def fn(docs: DataFrame) -> DataFrame:
+        from payroll_etl_fastapi_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            docs.select(id_col, text_col), text_col, id_col, n=n, threshold=threshold
+        )
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return docs.join(drop, id_col, "left_anti")
+
+    return Stage(f"near_dedup(j>={threshold})", fn)
+
+
+def stage_decontaminate(
+    bench: DataFrame,
+    max_overlap_bp: int = 8000,
+    shingle_n: int = 5,
+    min_common: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> Stage:
+    """Drop corpus documents whose shingle overlap with any benchmark item
+    reaches max_overlap_bp basis points of that item's shingles (the
+    corpus_contamination rule; the benchmark side broadcasts)."""
+    if not 0 < max_overlap_bp <= 10000:
+        raise ValueError(f"max_overlap_bp must be in (0, 10000], got {max_overlap_bp}")
+
+    def fn(docs: DataFrame) -> DataFrame:
+        from payroll_etl_fastapi_spark.operators import dedup as D
+
+        corpus_sh = D.shingles(docs, text_col, id_col, n=shingle_n).withColumnRenamed(
+            "id", id_col
+        )
+        bench_sh = D.shingles(
+            bench, bench_text_col, bench_id_col, n=shingle_n
+        ).withColumnRenamed("id", bench_id_col)
+        bn = bench_sh.groupBy(bench_id_col).agg(
+            F.count(F.lit(1)).alias("__n_bench")
+        )
+        flagged = (
+            corpus_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy(id_col, bench_id_col)
+            .agg(F.count(F.lit(1)).alias("__n_common"))
+            .filter(F.col("__n_common") >= min_common)
+            .join(F.broadcast(bn), bench_id_col)
+            .filter(
+                F.expr(f"CAST((__n_common * 10000) div __n_bench AS BIGINT)")
+                >= max_overlap_bp
+            )
+            .select(id_col)
+            .distinct()
+        )
+        return docs.join(flagged, id_col, "left_anti")
+
+    return Stage(f"decontaminate(>={max_overlap_bp}bp)", fn)
+
+
+def stage_span_removal(
+    span_tokens: int = 8,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Stage:
+    """Cut cross-document duplicated spans (dedup.remove_duplicate_spans);
+    rebuilds text, so metadata columns do not pass through."""
+    if span_tokens < 2:
+        raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
+
+    def fn(docs: DataFrame) -> DataFrame:
+        from payroll_etl_fastapi_spark.operators.dedup import remove_duplicate_spans
+
+        out = remove_duplicate_spans(
+            docs, text_col, id_col, span_tokens=span_tokens, keep_first=keep_first
+        )
+        return out.select(
+            F.col("id").alias(id_col), F.col("text_clean").alias(text_col)
+        )
+
+    return Stage(f"span_removal(w={span_tokens})", fn)
+
+
+def stage_chunk(
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    key_mult: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Stage:
+    """Overlapping-window chunking (corpus.chunk_documents); re-keys rows to
+    chunk_key = doc_id * key_mult + chunk_id and carries (text, n_tokens).
+    The stride<=window rule is enforced here, at construction."""
+    w, s = int(chunk_tokens), int(stride)
+    if w <= 0 or s <= 0 or s > w:
+        raise ValueError(
+            f"need 0 < stride ({s}) <= chunk_tokens ({w}): chunks are "
+            "overlapping-or-adjacent windows"
+        )
+
+    def fn(docs: DataFrame) -> DataFrame:
+        out = chunk_documents(
+            docs, chunk_tokens=w, stride=s, text_col=text_col, id_col=id_col
+        )
+        return out.select(
+            (F.col("id") * key_mult + F.col("chunk_id")).alias(id_col),
+            F.col("chunk_text").alias(text_col),
+            "n_tokens",
+        )
+
+    return Stage(f"chunk({w}/{s})", fn)
+
+
+def stage_shuffle_shard(
+    n_shards: int, seed: int = 0, id_col: str = "doc_id"
+) -> Stage:
+    """Deterministic shuffle-shard layout (corpus.shuffle_shards) joined
+    back onto the payload: appends (skey, shard, pos). Terminal — the
+    output is a training-export layout, not a document frame."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    def fn(docs: DataFrame) -> DataFrame:
+        layout = shuffle_shards(docs, n_shards, seed, id_col).withColumnRenamed(
+            "id", id_col
+        )
+        return docs.join(layout, id_col)
+
+    return Stage(f"shuffle_shard({n_shards}@{seed})", fn, terminal=True)
+
+
+class Pipeline:
+    """Composable corpus-preparation pipeline: ``Pipeline([...stages]).
+    run(docs)`` folds the stages into ONE lazy DataFrame plan — nothing
+    executes until the caller acts on the result, so Catalyst optimizes
+    the composition exactly as it does the hand-wired
+    pipeline_training_data_v2 gate (hash-equality pytest-pinned).
+
+    Construction validates the composition: at most one terminal stage
+    (shuffle_shard), and only in final position."""
+
+    def __init__(self, stages: list[Stage]):
+        if not stages:
+            raise ValueError("Pipeline needs at least one stage")
+        bad = [s for s in stages if not isinstance(s, Stage)]
+        if bad:
+            raise TypeError(f"not Stage instances: {bad!r} — use the stage_* factories")
+        for i, s in enumerate(stages[:-1]):
+            if s.terminal:
+                raise ValueError(
+                    f"terminal stage {s.name!r} at position {i} must come last"
+                )
+        self.stages = list(stages)
+
+    def run(self, docs: DataFrame) -> DataFrame:
+        out = docs
+        for s in self.stages:
+            out = s.apply(out)
+        return out
+
+    def describe(self) -> list[str]:
+        return [s.name for s in self.stages]

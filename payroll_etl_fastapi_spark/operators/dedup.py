@@ -1260,9 +1260,12 @@ def lsh_params_for(
         # smallest band count that clears min_recall at this row width:
         # 1-(1-t^r)^b >= R  ⟺  b >= log(1-R) / log(1-t^r)
         p = threshold**rows
-        if p >= 1.0:
+        if p >= 1.0 or p <= 0.0:
             continue
-        bands = math.ceil(math.log(1.0 - min_recall) / math.log(1.0 - p))
+        # log1p keeps the denominator nonzero for tiny p (threshold**rows
+        # underflows 1.0 - p to 1.0 at low thresholds — found by the r9
+        # Pipeline facade's eager validation test at t=0.05)
+        bands = math.ceil(math.log(1.0 - min_recall) / math.log1p(-p))
         if bands < 1 or rows * bands > max_hashes:
             continue
         fp = 1.0 - (1.0 - (threshold / 2.0) ** rows) ** bands

@@ -874,3 +874,16 @@ def test_incremental_span_dedup_in_batch_keep_first(spark, tmp_path):
     dec = {r.id: r for r in dedup.incremental_span_dedup(idx, batch).collect()}
     assert dec[5].accepted and dec[7].accepted
     assert (dec[9].accepted, dec[9].dup_bp) == (False, 10000)
+
+
+def test_lsh_params_for_low_thresholds_raise_cleanly():
+    """threshold**rows underflows 1-p to 1.0 at low thresholds; the log1p
+    form must reject them with the planner's ValueError, never a
+    ZeroDivisionError (found by the r9 Pipeline facade validation)."""
+    import pytest as _pytest
+
+    for t in (0.05, 0.1, 0.2, 0.3):
+        with _pytest.raises(ValueError, match="no config"):
+            dedup.lsh_params_for(t)
+    # the pinned pick is unchanged by the numeric fix
+    assert dedup.lsh_params_for(0.7) == (36, 9)
