@@ -142,7 +142,11 @@ _WINDOW: tuple[str, ...] = (
     # other subword runtime next to BPE) takes this slot;
     # txtable_change_feed holds its r7 driver-green row in _SECONDARY
     "vocab_wordpiece_apply",
-    "corpus_cluster_split",
+    # ROUND-9 third swap (VERDICT r8 #7): the perceptual (dHash) near-dup
+    # gate — pixel-level complement of the content-defined-chunking byte
+    # path — takes this slot; corpus_cluster_split holds its r8
+    # driver-green row in _SECONDARY
+    "multimodal_dhash_neardup",
     # ROUND-8 fourteenth swap: the composed pipeline-v2 gate (bigram-LM
     # gate → span removal → chunking → shuffle shards, one oracle) takes
     # this slot; corpus_temperature_mix holds its r7 driver-green row in
@@ -271,6 +275,7 @@ _SECONDARY: tuple[str, ...] = (
     "txtable_change_feed",  # ceded its slot to vocab_wordpiece_apply (r8); r7 driver-green
     "vocab_bpe_apply",  # ceded its slot to vocab_unigram_apply (r9); r8 driver-green
     "streaming_txcatalog_dual",  # ceded its slot to dedup_span_ingest_stream (r9); r8 driver-green
+    "corpus_cluster_split",  # ceded its slot to multimodal_dhash_neardup (r9); r8 driver-green
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

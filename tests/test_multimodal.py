@@ -467,3 +467,104 @@ def test_warclite_stream_offset_compaction_and_migration(tmp_path):
         999,
         100,
     ]
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup (round 9): dHash fingerprints + Hamming bands
+# ---------------------------------------------------------------------------
+
+
+def _gray(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, "image", payload, ("raw", w, h, None))
+            for i, payload, w, h in rows
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+
+
+def test_dhash_planted_neardup_found_unrelated_not(spark):
+    """A copy with two flipped pixels sits within a couple of bits; an
+    unrelated image does not pair — and recall for hamming < 4 is
+    guaranteed by the 4-band pigeonhole."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] ^= 255
+    near[9, 13] ^= 200
+    far = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    df = _gray(
+        spark,
+        [
+            (1, bytes(base.tobytes()), 16, 16),
+            (2, bytes(near.tobytes()), 16, 16),
+            (3, bytes(far.tobytes()), 16, 16),
+        ],
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in MM.dhash_neardup_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dhash_invariant_under_exact_nearest_upscale(spark):
+    """The defining perceptual property: a 2x nearest-neighbor upscale
+    changes every byte offset yet samples to the IDENTICAL 64 bits
+    (floor(floor(2a)/2) == floor(a)), so the re-scaled copy hashes equal —
+    the case byte-level CDC dedup cannot catch."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    up = base[np.repeat(np.arange(16), 2)][:, np.repeat(np.arange(16), 2)]
+    df = _gray(
+        spark,
+        [(1, bytes(base.tobytes()), 16, 16), (2, bytes(up.tobytes()), 32, 32)],
+    )
+    sig = {r.id: (r.b0, r.b1, r.b2, r.b3) for r in MM.dhash_signatures(df).collect()}
+    assert sig[1] == sig[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in MM.dhash_neardup_pairs(df).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_dhash_poisons_undecodable_rows(spark):
+    """Null payloads and payloads contradicting meta dimensions yield NULL
+    bands (the resize_images poison convention) and never enter the join."""
+    df = _gray(
+        spark,
+        [
+            (1, None, 16, 16),
+            (2, b"short", 16, 16),
+            (3, bytes(range(256)), 16, 16),
+            (4, bytes(256), 0, 16),
+        ],
+    )
+    sig = {r.id: r.b0 for r in MM.dhash_signatures(df).collect()}
+    assert sig[1] is None and sig[2] is None and sig[4] is None
+    assert sig[3] is not None
+    assert MM.dhash_neardup_pairs(df).count() == 0
+
+
+def test_dhash_matches_python_replica(spark):
+    """Bit-for-bit against a straightforward numpy dHash (same grid, same
+    comparisons, same MSB band fold)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)  # non-square
+    df = _gray(spark, [(1, bytes(img.tobytes()), 40, 24)])
+    r = MM.dhash_signatures(df).collect()[0]
+    got = (r.b0, r.b1, r.b2, r.b3)
+    bits = []
+    for b in range(64):
+        rr, cc = b // 8, b % 8
+        sr = (rr * 24) // 8
+        cl = (cc * 40) // 9
+        cr = ((cc + 1) * 40) // 9
+        bits.append(1 if img[sr, cl] < img[sr, cr] else 0)
+    want = tuple(
+        int("".join(map(str, bits[j * 16 : (j + 1) * 16])), 2) for j in range(4)
+    )
+    assert got == want
