@@ -795,7 +795,13 @@ def sq8_topk(
     BROADCAST query side, one (query, micros) rank window. Like l2_topk
     this is a full-index scan per query batch — SQ8 is the storage-
     compression point on the frontier (near-exact recall), IVF-PQ the
-    probe-bounded one; compose with ivf lists for both."""
+    probe-bounded one; compose with ivf lists for both.
+
+    ``packed`` should be a STORED/materialized index (a parquet table or
+    a checkpointed frame — production always stores it): passing the
+    lazy sq8_encode_packed projection straight in lets CollapseProject
+    merge the per-dimension encode under the query cross join, where it
+    re-evaluates once per (row, query) PAIR (measured 6.6x at sf0.1)."""
     c = packed.select(
         F.col("id").alias("neighbor_id"), F.expr(_sq8_dec_sql(bounds)).alias("dec")
     )

@@ -1783,7 +1783,12 @@ def ann_topk(
     fam, prm = p["family"], p["params"]
     if fam == "sq8":
         bounds = PQ.sq8_train_bounds(corpus, dim, vec_col)
-        packed = PQ.sq8_encode_packed(corpus, bounds, id_col, vec_col)
+        # materialize the byte index before searching (the stored-index
+        # contract): a lazy encode collapses under the query cross join and
+        # re-evaluates per (row, query) pair — 6.6x at sf0.1
+        packed = PQ.sq8_encode_packed(
+            corpus, bounds, id_col, vec_col
+        ).localCheckpoint()
         out = PQ.sq8_topk(packed, queries, bounds, k, id_col, vec_col)
     elif fam in ("lsh", "lsh_multiprobe"):
         out = lsh_topk(
