@@ -523,7 +523,7 @@ def test_dhash_invariant_under_exact_nearest_upscale(spark):
         spark,
         [(1, bytes(base.tobytes()), 16, 16), (2, bytes(up.tobytes()), 32, 32)],
     )
-    sig = {r.id: (r.b0, r.b1, r.b2, r.b3) for r in MM.dhash_signatures(df).collect()}
+    sig = {r.id: tuple(r.bands) for r in MM.dhash_signatures(df).collect()}
     assert sig[1] == sig[2]
     pairs = {(r.id_a, r.id_b): r.hamming for r in MM.dhash_neardup_pairs(df).collect()}
     assert pairs == {(1, 2): 0}
@@ -541,7 +541,7 @@ def test_dhash_poisons_undecodable_rows(spark):
             (4, bytes(256), 0, 16),
         ],
     )
-    sig = {r.id: r.b0 for r in MM.dhash_signatures(df).collect()}
+    sig = {r.id: r.bands for r in MM.dhash_signatures(df).collect()}
     assert sig[1] is None and sig[2] is None and sig[4] is None
     assert sig[3] is not None
     assert MM.dhash_neardup_pairs(df).count() == 0
@@ -556,7 +556,7 @@ def test_dhash_matches_python_replica(spark):
     img = rng.integers(0, 256, (24, 40), dtype=np.uint8)  # non-square
     df = _gray(spark, [(1, bytes(img.tobytes()), 40, 24)])
     r = MM.dhash_signatures(df).collect()[0]
-    got = (r.b0, r.b1, r.b2, r.b3)
+    got = tuple(r.bands)
     bits = []
     for b in range(64):
         rr, cc = b // 8, b % 8
