@@ -500,3 +500,58 @@ def dhash_neardup_pairs(
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dhash_signatures_arrow(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """numpy fast-path twin of dhash_signatures: identical (id, bands)
+    output — pure integer comparisons, so the two paths agree BIT-FOR-BIT
+    (pytest-pinned) — at vectorized-decode speed. This is the production
+    shape for real media (the Arrow batch is where the JPEG→RAW_GRAY8
+    codec runs anyway; the SQL path remains the oracle-replayable
+    reference). Poison rules identical: null/contradictory payloads yield
+    a NULL band array."""
+    import numpy as np
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("bands", ArrayType(IntegerType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            bands_out: list = []
+            for mid, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["meta"]
+            ):
+                ids.append(mid)
+                w0 = meta.get("width") if meta is not None else None
+                h0 = meta.get("height") if meta is not None else None
+                if (
+                    payload is None
+                    or w0 is None
+                    or h0 is None
+                    or w0 <= 0
+                    or h0 <= 0
+                    or len(payload) != w0 * h0
+                ):
+                    bands_out.append(None)
+                    continue
+                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                    h0, w0
+                )
+                rr = (np.arange(gh) * h0) // gh
+                cc = (np.arange(gw) * w0) // gw
+                grid = img[np.ix_(rr, cc)].astype(np.int32)
+                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64).ravel()
+                weights = 1 << np.arange(15, -1, -1, dtype=np.int64)
+                bands_out.append(
+                    [int(bits[j * 16 : (j + 1) * 16] @ weights) for j in range(DHASH_BANDS)]
+                )
+            if ids:
+                yield pd.DataFrame({"id": ids, "bands": bands_out})
+
+    return media.select(id_col, "payload", "meta").mapInPandas(run, out_schema)

@@ -568,3 +568,21 @@ def test_dhash_matches_python_replica(spark):
         int("".join(map(str, bits[j * 16 : (j + 1) * 16])), 2) for j in range(4)
     )
     assert got == want
+
+
+def test_dhash_arrow_twin_bit_identical(spark):
+    """The numpy fast path and the SQL reference path are the SAME integer
+    function — bands agree bit-for-bit, poison rules included."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (1, bytes(rng.integers(0, 256, 16 * 16, dtype=np.uint8)), 16, 16),
+        (2, bytes(rng.integers(0, 256, 24 * 40, dtype=np.uint8)), 40, 24),
+        (3, None, 16, 16),
+        (4, b"bad", 16, 16),
+    ]
+    df = _gray(spark, rows)
+    sql_sig = {r.id: r.bands for r in MM.dhash_signatures(df).collect()}
+    arrow_sig = {r.id: r.bands for r in MM.dhash_signatures_arrow(df).collect()}
+    assert sql_sig == arrow_sig and sql_sig[3] is None and sql_sig[2] is not None
