@@ -226,7 +226,11 @@ _WINDOW: tuple[str, ...] = (
     # embedding complement of corpus_contamination) takes this slot;
     # profile_table_fingerprint holds its r7 driver-green row in _SECONDARY
     "corpus_semantic_decontamination",
-    "dedup_keep_best",
+    # ROUND-9 fourth swap: the streaming SQ8 vector-index ingest gate (the
+    # ANN member of the incremental family; frozen-quantizer contract)
+    # takes this slot; dedup_keep_best holds its r8 driver-green row in
+    # _SECONDARY
+    "ann_sq8_ingest_stream",
     # ROUND-8 third swap: the exact-re-rank refinement gate (FAISS
     # IndexRefineFlat shape — base vs refined hits@10 in one row) takes this
     # slot; events_decayed_popularity holds its r7 driver-green row in
@@ -286,6 +290,7 @@ _SECONDARY: tuple[str, ...] = (
     "vocab_bpe_apply",  # ceded its slot to vocab_unigram_apply (r9); r8 driver-green
     "streaming_txcatalog_dual",  # ceded its slot to dedup_span_ingest_stream (r9); r8 driver-green
     "corpus_cluster_split",  # ceded its slot to multimodal_dhash_neardup (r9); r8 driver-green
+    "dedup_keep_best",  # ceded its slot to ann_sq8_ingest_stream (r9); r8 driver-green
     "multimodal_binary_stats",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "multimodal_cdc_neardup",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "streaming_cdc_txtable",  # ceded its slot in the r9 freshness rotation; r8 driver-green

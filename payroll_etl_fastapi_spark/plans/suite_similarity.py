@@ -1416,10 +1416,11 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sq8_bounds_ctes(dim: int = DIM) -> str:
+def _sql_sq8_bounds_ctes(dim: int = DIM, where: str = "") -> str:
     """CTE pair ``b``/``barr``: per-dimension min/max bounds recomputed
     from the table (SQ8's entire training is one exact aggregate) as lo
-    and span arrays."""
+    and span arrays. ``where`` restricts the training slice (the frozen-
+    quantizer stream-ingest gate trains on the first chunk only)."""
     los = ", ".join(
         f"min(CAST(embedding[{i + 1}] AS DOUBLE)) AS lo{i}, "
         f"max(CAST(embedding[{i + 1}] AS DOUBLE)) AS hi{i}"
@@ -1428,7 +1429,7 @@ def _sql_sq8_bounds_ctes(dim: int = DIM) -> str:
     lo_arr = "[" + ", ".join(f"lo{i}" for i in range(dim)) + "]"
     span_arr = "[" + ", ".join(f"hi{i} - lo{i}" for i in range(dim)) + "]"
     return (
-        f"b AS (SELECT {los} FROM embeddings),\n"
+        f"b AS (SELECT {los} FROM embeddings{' ' + where if where else ''}),\n"
         f"    barr AS (SELECT {lo_arr} AS lo, {span_arr} AS span FROM b)"
     )
 
@@ -2076,3 +2077,121 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+
+
+# ---------------------------------------------------------------------------
+# streaming SQ8 vector-index ingest (round 9) — the ANN member of the
+# incremental-ingest family (MinHash r6, SemDeDup r6, spans r8, vectors r9)
+# ---------------------------------------------------------------------------
+
+
+def _sq8_ingest_oracle(n_q: int = 6, k: int = 5, dim: int = DIM) -> str:
+    """SQL twin of ann_sq8_ingest_stream: bounds trained on the FIRST chunk
+    only (vec_id % 3 = 0 — the frozen-quantizer contract), every vector
+    encoded under those bounds (later chunks clamp), decode + asymmetric
+    L2 + rank. Because encoding has no cross-batch state beyond the frozen
+    bounds, the streamed index's contents replay as one level — the
+    exactly-once commit mechanics carry fault-injection pytests instead."""
+    return f"""
+    WITH {_sql_sq8_bounds_ctes(dim, where="WHERE vec_id % 3 = 0")},
+    enc AS (
+        SELECT e.vec_id, {_sql_sq8_codes('e.embedding', dim)} AS codes
+        FROM embeddings e CROSS JOIN barr
+    ),
+    dec AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {dim}),
+                   i -> lo[i] + (codes[i] * span[i]) / 255.0) AS dec
+        FROM enc CROSS JOIN barr
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(floor(list_reduce(list_transform(generate_series(1, {dim}),
+                   i -> (CAST(q.embedding[i] AS DOUBLE) - d.dec[i])
+                      * (CAST(q.embedding[i] AS DOUBLE) - d.dec[i])),
+                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS d_micros
+        FROM dec d, embeddings q
+        WHERE q.vec_id < {n_q} AND d.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, d_micros,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY d_micros, neighbor_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, d_micros, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_sq8_ingest_stream", oracle=_sq8_ingest_oracle())
+def ann_sq8_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SQ8 vector-index ingest (streaming/ingest.
+    stream_ingest_vectors, round 9) — the ANN member of the incremental
+    family: embeddings arrive as three ts-ordered micro-batches
+    (chunk = vec_id % 3), each encoded under a quantizer FROZEN on the
+    first chunk (the production vector-store contract — retraining would
+    invalidate stored codes; later vectors clamp, exactly like a trained
+    FAISS ScalarQuantizer) and appended to an ACID index table under the
+    epoch guard. The gate then serves a top-k search straight off the
+    streamed index snapshot. The oracle trains bounds on the chunk-0
+    slice and replays encode/decode/L2/rank over all vectors in one
+    level (index contents are arrival-order-independent by design);
+    exactly-once re-drain + clamp behavior are pytest-pinned
+    (tests/test_stream_ingest.py)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+    from payroll_etl_fastapi_spark.plans.suite import fixture
+    from payroll_etl_fastapi_spark.sources.txtable import TxTable
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _build_chunks() -> str:
+        import atexit
+
+        fx = tempfile.mkdtemp(prefix="spark_sq8_ingfix_")
+        atexit.register(shutil.rmtree, fx, ignore_errors=True)
+        src_dir = os.path.join(fx, "chunks")
+        os.makedirs(src_dir)
+        now = _time.time()
+        for kchunk in range(3):
+            pdf = (
+                emb.filter(F.col("vec_id") % 3 == kchunk)
+                .orderBy("vec_id")
+                .toPandas()
+            )
+            path = os.path.join(src_dir, f"chunk_{kchunk}.parquet")
+            pdf.to_parquet(path, index=False)
+            os.utime(path, (now + kchunk, now + kchunk))
+        return src_dir
+
+    src = fixture(sf_dir, "sq8_ingest_stream_chunks", _build_chunks)
+    scratch = tempfile.mkdtemp(prefix="spark_sq8_ings_")
+    try:
+        # frozen quantizer: trained ONCE on the first chunk, before ingest
+        bounds = PQ.sq8_train_bounds(
+            emb.filter(F.col("vec_id") % 3 == 0), DIM
+        )
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        index = TxTable(spark, os.path.join(scratch, "vec_index"))
+        stream_ingest_vectors(
+            stream, index, os.path.join(scratch, "ckpt"), bounds
+        )
+        queries = emb.filter(F.col("vec_id") < 6)
+        out = PQ.sq8_topk(
+            index.snapshot().localCheckpoint(), queries, bounds, k=5
+        ).orderBy("query_id", "rank")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

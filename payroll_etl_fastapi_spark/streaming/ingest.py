@@ -173,3 +173,51 @@ def stream_ingest_span_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def stream_ingest_vectors(
+    stream_vecs: DataFrame,
+    index: TxTable,
+    checkpoint: str,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming VECTOR-INDEX ingest (round 9) — the ANN side of the
+    incremental family: embedding batches arrive, each is SQ8-encoded
+    under a FROZEN quantizer (``bounds`` trained once, before ingest —
+    the production vector-store contract: retraining would silently
+    invalidate every stored code; later vectors outside the trained range
+    CLAMP, exactly like FAISS's trained ScalarQuantizer) and appended to
+    the ACID index table under the same epoch-guard used by the dedup
+    ingests (exactly-once under at-least-once replay; a committed batch
+    replays as one epoch-key skip).
+
+    The stored rows are the searchable artifact: ``pq.sq8_topk(
+    index.snapshot(), queries, bounds, k)`` serves queries at any point,
+    and because encoding has NO cross-batch state beyond the frozen
+    bounds, the index contents are arrival-order-independent — the gate's
+    oracle replays bounds + encode + search in one SQL level while the
+    exactly-once commit mechanics carry their own fault-injection pytests.
+
+    Scale shape: per-trigger cost is batch-linear (one projection to
+    dim-byte codes, one append); the index grows append-only and search
+    scans bytes, never the raw embeddings."""
+    from payroll_etl_fastapi_spark.operators.pq import sq8_encode_packed
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
+        if epoch_key in _table_epoch_versions(index):
+            return  # fully committed batch replayed
+        packed = sq8_encode_packed(batch_df, bounds, id_col, vec_col)
+        _stream_append_commit(index, packed, epoch_key)
+
+    q = (
+        stream_vecs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

