@@ -646,6 +646,39 @@ def stage_span_removal(
     return Stage(f"span_removal(w={span_tokens})", fn)
 
 
+def stage_pii_scrub(text_col: str = "text") -> Stage:
+    """Redact emails/phones in place (corpus.scrub_pii) — a pure projection
+    stage; all other columns pass through."""
+
+    def fn(docs: DataFrame) -> DataFrame:
+        return docs.withColumn(text_col, scrub_pii(F.col(text_col)))
+
+    return Stage("pii_scrub", fn)
+
+
+def stage_stratified_sample(
+    rates_per_mille: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> Stage:
+    """Deterministic stratified keep-filter (corpus.stratified_sample):
+    content-hash sampling on the id, reproducible under repartitioning;
+    strata without a configured rate drop entirely."""
+    if not rates_per_mille:
+        raise ValueError("rates_per_mille must be non-empty")
+    bad = {k: v for k, v in rates_per_mille.items() if not 0 <= int(v) <= 1000}
+    if bad:
+        raise ValueError(f"rates are per-mille (0..1000); bad entries: {bad}")
+
+    def fn(docs: DataFrame) -> DataFrame:
+        keep = stratified_sample(
+            F.col(id_col).cast("string"), rates_per_mille, stratum_col
+        )
+        return docs.filter(keep)
+
+    return Stage(f"stratified_sample({sorted(rates_per_mille)})", fn)
+
+
 def stage_chunk(
     chunk_tokens: int = 64,
     stride: int = 48,

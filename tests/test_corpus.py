@@ -591,3 +591,25 @@ def test_pipeline_exact_dedup_and_language_stages(spark):
         [C.stage_language_gate(["en", "de"]), C.stage_exact_dedup()]
     ).run(docs)
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_pipeline_pii_and_sample_stages(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane@example.org now", "en"),
+            (2, "nothing sensitive", "en"),
+            (3, "auf deutsch bitte", "de"),
+            (4, "dropped stratum", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = C.Pipeline(
+        [C.stage_pii_scrub(), C.stage_stratified_sample({"en": 1000, "de": 1000})]
+    ).run(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # 'xx' stratum has no rate -> dropped
+    assert "<EMAIL>" in rows[1].text
+    with pytest.raises(ValueError, match="per-mille"):
+        C.stage_stratified_sample({"en": 5000})
+    with pytest.raises(ValueError, match="non-empty"):
+        C.stage_stratified_sample({})
