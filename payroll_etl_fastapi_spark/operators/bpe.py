@@ -457,3 +457,57 @@ def train_unigram(
         ]
         costs = unigram_costs(kept)
     return costs
+
+
+def unigram_tokenize_docs(
+    docs: DataFrame,
+    costs: list[tuple[str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """(id, pieces, n_pieces, cost_micros): document-level apply of a
+    trained unigram-LM — tokenize each doc's words through ONE Viterbi
+    pass over the distinct-word table (vocabulary-bounded, the word_counts
+    discipline) and reassemble per document in word order. Words outside
+    the trainer's alphabet ([a-z]+) pass through as single whole-word
+    pieces with zero cost, the SentencePiece unknown-handling analog."""
+    from payroll_etl_fastapi_spark.operators.text import tokens
+
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .distinct()
+        .withColumn("n", F.lit(1))
+    )
+    seg = unigram_viterbi_tokenize(words, costs, max_piece_len).select(
+        "word", "pieces", "cost_micros"
+    )
+    doc_words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    joined = doc_words.join(seg, "word", "left").select(
+        "id",
+        "pos",
+        F.coalesce(F.col("pieces"), F.array(F.col("word"))).alias("pieces"),
+        F.coalesce(F.col("cost_micros"), F.lit(0)).alias("cost_micros"),
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pieces"))
+                    ),
+                    lambda s: s["pieces"],
+                )
+            ).alias("pieces"),
+            F.sum("cost_micros").cast("long").alias("cost_micros"),
+        )
+        .select(
+            "id", "pieces", F.size("pieces").cast("long").alias("n_pieces"),
+            "cost_micros",
+        )
+    )

@@ -1854,3 +1854,24 @@ def ann_topk(
     else:  # pragma: no cover - ANN_FRONTIER and this dispatch move together
         raise ValueError(f"ann_topk cannot dispatch family {fam!r}")
     return out.select("query_id", "neighbor_id", "rank")
+
+
+def ann_frontier(dim: int = 64) -> list[dict]:
+    """The committed ANN frontier as plain data — one row per config with
+    its floor, measured point, metric, and byte costs at ``dim`` — for
+    notebooks/UIs that want to SHOW the tradeoff ann_plan routes over.
+    Sorted by scan bytes (the planner's primary key)."""
+    rows = [
+        {
+            "family": c["family"],
+            "config": c["config"],
+            "floor": c["floor"],
+            "measured_recall": c["measured_recall"],
+            "measured_secs": c["measured_secs"],
+            "metric": c["metric"],
+            "stored_bytes_per_vec": c["stored"](dim),
+            "scan_bytes_per_vec": c["scan"](dim),
+        }
+        for c in ANN_FRONTIER
+    ]
+    return sorted(rows, key=lambda r: (r["scan_bytes_per_vec"], r["family"]))

@@ -228,3 +228,22 @@ def test_unigram_costs_formula():
     got = dict(bpe.unigram_costs([("a", 3), ("b", 1)]))
     assert got["a"] == int(math.floor(-math.log(3 / 4) * 1e6 + 0.5))
     assert got["b"] == int(math.floor(-math.log(1 / 4) * 1e6 + 0.5))
+
+
+def test_unigram_tokenize_docs_reassembles_in_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "tata batch"), (2, "A1-mixed tata")], "doc_id long, text string"
+    )
+    costs = [
+        ("a", 100), ("b", 900), ("t", 500), ("c", 800), ("h", 700),
+        ("at", 450), ("ta", 300), ("batc", 1100),
+    ]
+    out = {r.id: r for r in bpe.unigram_tokenize_docs(docs, costs).collect()}
+    # doc 1: 'tata' -> ta ta (600), 'batch' -> ... viterbi; word order kept
+    assert list(out[1].pieces)[:2] == ["ta", "ta"]
+    assert out[1].n_pieces == len(out[1].pieces)
+    # non-alpha token passes through whole at zero cost
+    p2 = list(out[2].pieces)
+    assert "a1-mixed" in p2  # normalized lowercase token, outside [a-z]+
+    assert p2[-2:] == ["ta", "ta"]
+    assert out[2].cost_micros == 600  # only 'tata' carries trained cost
