@@ -184,7 +184,10 @@ _WINDOW: tuple[str, ...] = (
     # complement of k-anonymity, completing the privacy trio) takes this
     # slot; quality_observed_audit holds its r7 driver-green row in
     # _SECONDARY
-    "quality_l_diversity",
+    # ROUND-9 fifth swap: the t-closeness audit (skewness-attack member,
+    # completing the privacy QUARTET) takes the privacy-family slot;
+    # quality_l_diversity holds its r8 driver-green row in _SECONDARY
+    "quality_t_closeness",
     # ROUND-9 second swap (VERDICT r8 #5): the streaming exact-substring
     # ingest gate — the pytest-only r8 loop gated, completing the streaming
     # half of the span trio — takes this streaming-family slot;
@@ -291,6 +294,7 @@ _SECONDARY: tuple[str, ...] = (
     "streaming_txcatalog_dual",  # ceded its slot to dedup_span_ingest_stream (r9); r8 driver-green
     "corpus_cluster_split",  # ceded its slot to multimodal_dhash_neardup (r9); r8 driver-green
     "dedup_keep_best",  # ceded its slot to ann_sq8_ingest_stream (r9); r8 driver-green
+    "quality_l_diversity",  # ceded its slot to quality_t_closeness (r9); r8 driver-green
     "multimodal_binary_stats",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "multimodal_cdc_neardup",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "streaming_cdc_txtable",  # ceded its slot in the r9 freshness rotation; r8 driver-green

@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -194,3 +194,87 @@ def l_diversity(
         )
         .filter(F.col("n_sensitive") < l)
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t_micro: int | None = None,
+) -> DataFrame:
+    """(quasi..., class_size, emd_micro, tvd_micro): per-equivalence-class
+    distance between the class's SENSITIVE-value distribution and the
+    corpus-global one — the skewness-attack gap l-diversity leaves open
+    (Li, Li & Venkatasubramanian 2007): a class can hold l distinct
+    sensitive values yet still leak (90% of one disease in a class vs 1%
+    globally shifts an attacker's prior enormously). Completes the privacy
+    quartet: PII scrub → k-anonymity → l-diversity → t-closeness.
+
+    Two metrics per class, both integer-exact end to end so the SQL oracle
+    replays them bit-for-bit:
+    - ``emd_micro``: ordered earth-mover's distance in micro-units — each
+      per-value probability gap snaps to integer micros FIRST
+      (floor(x*1e6 + 0.5), one exact-int division per side), then the
+      running prefix sum over the GLOBAL value order accumulates exact
+      integers and Σ|cumulative| div (m−1) normalizes. The right metric
+      for ordered sensitives (salary bins, ages).
+    - ``tvd_micro``: total variation distance Σ|gap| div 2 — ordered EMD
+      with a uniform ground distance, the categorical-sensitive metric.
+
+    ``t_micro`` filters to classes whose EMD exceeds it (None = report
+    every class — audit mode).
+
+    Scale shape (100 TB): one (quasi, value) grouped count (map-side
+    combine), one per-value global rollup (m rows — broadcast), a dense
+    class x value grid built by cross-joining the CLASS rollup with the
+    broadcast value list (absent combinations must contribute their full
+    negative gap — a join-only formulation would silently skip them), and
+    one per-class window prefix sum over m rows. No corpus-sized shuffle
+    beyond the first rollup."""
+    q = list(quasi_cols)
+    counts = df.groupBy(*q, sensitive_col).agg(F.count(F.lit(1)).alias("n_cv"))
+    classes = counts.groupBy(*q).agg(F.sum("n_cv").alias("class_size"))
+    glob = (
+        df.groupBy(sensitive_col)
+        .agg(F.count(F.lit(1)).alias("g_v"))
+        .crossJoin(F.broadcast(df.select(F.count(F.lit(1)).alias("n_total"))))
+    )
+    m_vals = glob.count()
+    grid = classes.crossJoin(F.broadcast(glob))
+    joined = grid.join(counts, [*q, sensitive_col], "left").select(
+        *q,
+        "class_size",
+        F.col(sensitive_col).alias("__v"),
+        F.coalesce(F.col("n_cv"), F.lit(0)).alias("n_cv"),
+        "g_v",
+        "n_total",
+    )
+    gap = (
+        F.col("n_cv").cast("double") / F.col("class_size").cast("double")
+        - F.col("g_v").cast("double") / F.col("n_total").cast("double")
+    )
+    snapped = joined.withColumn(
+        "gap_micro", F.floor(gap * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    w = (
+        Window.partitionBy(*q)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = snapped.withColumn("cum_micro", F.sum("gap_micro").over(w))
+    # integer `div` keeps both engines exact: a double division + CAST
+    # would truncate in Spark but ROUND in DuckDB
+    out = (
+        cum.groupBy(*q, "class_size")
+        .agg(
+            F.expr(
+                f"CAST(sum(abs(cum_micro)) div {max(m_vals - 1, 1)} AS BIGINT)"
+            ).alias("emd_micro"),
+            F.expr("CAST(sum(abs(gap_micro)) div 2 AS BIGINT)").alias(
+                "tvd_micro"
+            ),
+        )
+    )
+    if t_micro is not None:
+        out = out.filter(F.col("emd_micro") > int(t_micro))
+    return out

@@ -445,3 +445,88 @@ def quality_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("w0")).alias("w0"),
         _r6(F.col("r2")).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (round 9) — the skewness-attack member of the privacy family
+# ---------------------------------------------------------------------------
+
+_T_BIN = 3000  # balance-bin width for the ordered sensitive attribute
+
+
+def _t_closeness_oracle(bin_width: int = _T_BIN) -> str:
+    return f"""
+    WITH src AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / {bin_width}) AS BIGINT) AS bal_bin
+        FROM customer
+    ),
+    counts AS (
+        SELECT c_nationkey, bal_bin, count(*) AS n_cv
+        FROM src GROUP BY 1, 2
+    ),
+    classes AS (
+        SELECT c_nationkey, sum(n_cv) AS class_size FROM counts GROUP BY 1
+    ),
+    gdist AS (SELECT bal_bin, count(*) AS g_v FROM src GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM src),
+    m AS (SELECT greatest(count(*) - 1, 1) AS denom FROM gdist),
+    grid AS (
+        SELECT c.c_nationkey, c.class_size, g.bal_bin, g.g_v, t.n_total
+        FROM classes c, gdist g, tot t
+    ),
+    j AS (
+        SELECT grid.*, coalesce(cn.n_cv, 0) AS n_cv
+        FROM grid LEFT JOIN counts cn USING (c_nationkey, bal_bin)
+    ),
+    snapped AS (
+        SELECT *,
+               CAST(floor((CAST(n_cv AS DOUBLE) / CAST(class_size AS DOUBLE)
+                         - CAST(g_v AS DOUBLE) / CAST(n_total AS DOUBLE))
+                         * 1000000 + 0.5) AS BIGINT) AS gap_micro
+        FROM j
+    ),
+    cum AS (
+        SELECT *, sum(gap_micro) OVER (
+                   PARTITION BY c_nationkey ORDER BY bal_bin
+                   ROWS UNBOUNDED PRECEDING) AS cum_micro
+        FROM snapped
+    )
+    SELECT c_nationkey,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(sum(abs(cum_micro)) // m.denom AS BIGINT) AS emd_micro,
+           CAST(sum(abs(gap_micro)) // 2 AS BIGINT) AS tvd_micro
+    FROM cum, m
+    GROUP BY c_nationkey, class_size, m.denom
+    ORDER BY c_nationkey
+    """
+
+
+@query("quality_t_closeness", oracle=_t_closeness_oracle())
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators.quality.t_closeness, Li/Li/
+    Venkatasubramanian 2007) — the skewness-attack gap l-diversity leaves
+    open: a class can hold l distinct sensitive values yet still leak
+    when its DISTRIBUTION diverges from the corpus global (90% of one
+    value in-class vs 1% globally). Completes the privacy quartet: PII
+    scrub → k-anonymity → l-diversity → t-closeness. Per nation, the
+    ordered earth-mover's distance AND total-variation distance between
+    the class's balance-bin distribution and the global one — per-value
+    probability gaps snap to integer micros first (one exact-int division
+    per side), the ordered prefix sum accumulates exact integers, and
+    both normalizations are integer div, so every arithmetic step replays
+    bit-for-bit. Audit mode (no threshold): one row per nation at every
+    scale — no parameter saturation to tune (the l-diversity lesson).
+    One (quasi, value) rollup + a broadcast dense value grid + a per-class
+    m-row prefix window; no corpus-sized shuffle past the first rollup."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / _T_BIN).cast("long").alias("bal_bin"),
+    )
+    out = Q.t_closeness(c, ["c_nationkey"], "bal_bin")
+    return out.select(
+        "c_nationkey",
+        F.col("class_size").cast("long").alias("class_size"),
+        "emd_micro",
+        "tvd_micro",
+    ).orderBy("c_nationkey")

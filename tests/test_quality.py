@@ -124,3 +124,54 @@ def test_l_diversity_catches_homogeneous_class_k_anonymity_passes(spark):
         for r in Q.l_diversity(df, ["quasi"], "diag", 3).collect()
     }
     assert l_risky == {(1, 10, 1), (3, 2, 2)}  # class 1 passes k, fails l
+
+
+# ---------------------------------------------------------------------------
+# round 9: t-closeness (the skewness-attack member of the privacy quartet)
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_flags_skewed_class_l_diversity_misses(spark):
+    """Class A holds 3 distinct sensitive values (l-diverse at l=3) but 90%
+    mass on value 0 vs a uniform global — t-closeness flags it while a
+    balanced class scores near zero."""
+    rows = []
+    # class A: 18x v0, 1x v1, 1x v2  (skewed but l-diverse)
+    rows += [("A", 0)] * 18 + [("A", 1), ("A", 2)]
+    # class B: balanced 10/10/10 - but global is NOT uniform, so compute
+    rows += [("B", 0)] * 10 + [("B", 1)] * 10 + [("B", 2)] * 10
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in Q.t_closeness(df, ["grp"], "v").collect()}
+    assert out["A"].emd_micro > out["B"].emd_micro
+    assert out["A"].tvd_micro > out["B"].tvd_micro
+    # threshold mode filters
+    flagged = Q.t_closeness(df, ["grp"], "v", t_micro=out["B"].emd_micro).collect()
+    assert [r.grp for r in flagged] == ["A"]
+
+
+def test_t_closeness_absent_value_counts_full_gap(spark):
+    """A class missing a global value entirely must charge that value's
+    whole global probability — a join-only (non-dense-grid) formulation
+    would skip it."""
+    rows = [("A", 0)] * 10 + [("B", 0)] * 5 + [("B", 1)] * 5
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in Q.t_closeness(df, ["grp"], "v").collect()}
+    # global: v0=15/20, v1=5/20. A: v0=1.0, v1=0 -> gaps +0.25 / -0.25
+    assert out["A"].tvd_micro == 250000
+    assert out["A"].emd_micro == 250000  # m-1 = 1, |cum| = 250000
+
+
+def test_t_closeness_emd_is_order_sensitive_tvd_is_not(spark):
+    """Mass displaced FAR along the value order costs more EMD than mass
+    displaced to an adjacent value; TVD cannot see the difference."""
+    # class 'adj' moves 25% of its mass from v0 to the ADJACENT v1
+    # relative to 'base'; class 'jmp' moves the same 25% from v0 all the
+    # way to v2 — identical per-value |gap| multiset (same TVD), but the
+    # jump crosses two cumulative boundaries (double the EMD).
+    base = [("base", 0)] * 8 + [("base", 1)] * 6 + [("base", 2)] * 6
+    adj = [("adj", 0)] * 4 + [("adj", 1)] * 10 + [("adj", 2)] * 6
+    jmp = [("jmp", 0)] * 4 + [("jmp", 1)] * 6 + [("jmp", 2)] * 10
+    df2 = spark.createDataFrame(base + adj + jmp, "grp string, v long")
+    o2 = {r.grp: r for r in Q.t_closeness(df2, ["grp"], "v").collect()}
+    assert o2["adj"].tvd_micro == o2["jmp"].tvd_micro
+    assert o2["jmp"].emd_micro > o2["adj"].emd_micro
