@@ -143,7 +143,11 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-8 seventh swap: the deterministic shuffle-shard export gate
     # (training-order reproducibility contract) takes this slot;
     # graph_triangle_counts holds its r7 driver-green row in _SECONDARY
-    "corpus_shuffle_shards",
+    # ROUND-9 sixth swap: the classical seasonal-decomposition gate
+    # (trend/seasonal/remainder, the timeseries family's missing split)
+    # takes this slot; corpus_shuffle_shards holds its r8 driver-green row
+    # in _SECONDARY
+    "events_seasonal_decompose",
     # ROUND-7 fifth swap: the known-item retrieval-quality gate (search
     # member of the quality trilogy) takes this slot; search_hybrid_rrf
     # holds its r6 driver-green row in _SECONDARY
@@ -295,6 +299,7 @@ _SECONDARY: tuple[str, ...] = (
     "corpus_cluster_split",  # ceded its slot to multimodal_dhash_neardup (r9); r8 driver-green
     "dedup_keep_best",  # ceded its slot to ann_sq8_ingest_stream (r9); r8 driver-green
     "quality_l_diversity",  # ceded its slot to quality_t_closeness (r9); r8 driver-green
+    "corpus_shuffle_shards",  # ceded its slot to events_seasonal_decompose (r9); r8 driver-green
     "multimodal_binary_stats",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "multimodal_cdc_neardup",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "streaming_cdc_txtable",  # ceded its slot in the r9 freshness rotation; r8 driver-green

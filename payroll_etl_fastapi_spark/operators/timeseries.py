@@ -315,3 +315,86 @@ def ewma_fold(
     return g.select(
         *key_cols, F.size("a").cast("long").alias("n_obs"), ewma.alias("ewma")
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    key_col: str = "key",
+    idx_col: str = "t",
+    val_col: str = "y",
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method STL refines; statsmodels' seasonal_decompose) over a DENSE
+    integer series — trend via the centered 2xP moving average, seasonal
+    via mean-centered per-phase averages of the detrended values,
+    remainder as what's left. INTEGER-EXACT throughout so the SQL oracle
+    replays every cell: quantities carry a fixed denominator of 2*period
+    ("q-units") — trend_q = the two staggered P-window sums added
+    (exactly the 2xP MA numerator), detrended_q = 2P*y - trend_q,
+    per-phase means and the seasonal centering use integral division
+    (truncation toward zero — verified identical in Spark `div` and
+    DuckDB `//` for negatives). Rows whose centered window is incomplete
+    (the first/last P/2 points) carry NULL trend/remainder, the classical
+    edge behavior.
+
+    ``series`` must be gap-free per key with consecutive integer
+    ``idx_col`` (resample_locf / a dense grid produces it) and integer
+    ``val_col`` — feed counts or micro-snapped values.
+
+    Output: (key, t, y, trend_q, seasonal_q, remainder_q) — divide
+    q-columns by 2*period for display.
+
+    Scale shape (100 TB): ONE exchange on the series key feeds both
+    staggered window sums AND the phase rollup (the events_sessionization
+    partitioning-reuse discipline); the per-(key, phase) seasonal table is
+    period rows per key, broadcast back. No global sort, no driver loop."""
+    if period < 2 or period % 2:
+        raise ValueError(f"period must be an even integer >= 2, got {period}")
+    half = period // 2
+    w = Window.partitionBy(key_col).orderBy(idx_col)
+    s1 = w.rowsBetween(-half, half - 1)
+    s2 = w.rowsBetween(-half + 1, half)
+    y = F.col(val_col).cast("long")
+    base = series.select(
+        F.col(key_col).alias("key"),
+        F.col(idx_col).cast("long").alias("t"),
+        y.alias("y"),
+        F.when(
+            (F.count(F.lit(1)).over(s1) == period)
+            & (F.count(F.lit(1)).over(s2) == period),
+            F.sum(y).over(s1) + F.sum(y).over(s2),
+        ).alias("trend_q"),
+    ).withColumn(
+        "detr_q",
+        F.when(
+            F.col("trend_q").isNotNull(),
+            F.lit(2 * period) * F.col("y") - F.col("trend_q"),
+        ),
+    ).withColumn("phase", F.col("t") % period)
+    raw = (
+        base.filter(F.col("detr_q").isNotNull())
+        .groupBy("key", "phase")
+        .agg(
+            F.expr("CAST(sum(detr_q) div count(1) AS BIGINT)").alias("raw_q")
+        )
+    )
+    adjust = raw.groupBy("key").agg(
+        F.expr(f"CAST(sum(raw_q) div {period} AS BIGINT)").alias("adj_q")
+    )
+    seasonal = raw.join(adjust, "key").select(
+        "key", "phase", (F.col("raw_q") - F.col("adj_q")).alias("seasonal_q")
+    )
+    return (
+        base.join(F.broadcast(seasonal), ["key", "phase"], "left")
+        .select(
+            "key",
+            "t",
+            "y",
+            "trend_q",
+            F.coalesce(F.col("seasonal_q"), F.lit(0)).alias("seasonal_q"),
+            (F.col("detr_q") - F.coalesce(F.col("seasonal_q"), F.lit(0))).alias(
+                "remainder_q"
+            ),
+        )
+    )

@@ -841,3 +841,101 @@ def window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition (round 9) — the timeseries family's
+# trend/seasonal/remainder split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH b AS (
+        SELECT event_type AS key,
+               CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+               count(*) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT key, min(t) AS lo, max(t) AS hi FROM b GROUP BY 1),
+    grid AS (SELECT key, unnest(generate_series(lo, hi)) AS t FROM span),
+    s AS (
+        SELECT g.key, g.t, coalesce(b.y, 0) AS y
+        FROM grid g LEFT JOIN b USING (key, t)
+    ),
+    tw AS (
+        SELECT key, t, y,
+               CASE WHEN count(*) OVER w1 = 24 AND count(*) OVER w2 = 24
+                    THEN sum(y) OVER w1 + sum(y) OVER w2 END AS trend_q
+        FROM s
+        WINDOW w1 AS (PARTITION BY key ORDER BY t
+                      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+               w2 AS (PARTITION BY key ORDER BY t
+                      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+        SELECT *,
+               CASE WHEN trend_q IS NOT NULL THEN 48 * y - trend_q END AS detr_q,
+               t % 24 AS phase
+        FROM tw
+    ),
+    raw AS (
+        SELECT key, phase, CAST(sum(detr_q) // count(*) AS BIGINT) AS raw_q
+        FROM d WHERE detr_q IS NOT NULL GROUP BY 1, 2
+    ),
+    adj AS (SELECT key, CAST(sum(raw_q) // 24 AS BIGINT) AS adj_q FROM raw GROUP BY 1),
+    sea AS (
+        SELECT r.key, r.phase, r.raw_q - a.adj_q AS seasonal_q
+        FROM raw r JOIN adj a USING (key)
+    )
+    SELECT d.key AS event_type, d.t, CAST(d.y AS BIGINT) AS y,
+           CAST(d.trend_q AS BIGINT) AS trend_q,
+           CAST(coalesce(sea.seasonal_q, 0) AS BIGINT) AS seasonal_q,
+           CAST(d.detr_q - coalesce(sea.seasonal_q, 0) AS BIGINT) AS remainder_q
+    FROM d LEFT JOIN sea USING (key, phase)
+    ORDER BY event_type, t
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (operators.timeseries.
+    seasonal_decompose) — the trend/seasonal/remainder split (statsmodels
+    seasonal_decompose; the moving-average method STL refines) over each
+    event type's dense hourly count series at period 24. Integer-exact in
+    q-units (denominator 2x24): the trend is the two staggered 24-window
+    sums added (the 2xP centered MA numerator), per-phase seasonal means
+    and the centering adjustment use integral division (Spark `div` ==
+    DuckDB `//` on negatives — verified), and edge rows with incomplete
+    windows carry NULL trend/remainder, the classical behavior. The
+    oracle replays grid densification, both staggered windows, the phase
+    rollup, centering, and every remainder cell. ONE exchange on the key
+    feeds both window sums and the phase rollup."""
+    from payroll_etl_fastapi_spark.operators import timeseries as TS
+
+    events = _t(spark, sf_dir, "events")
+    b = (
+        events.select(
+            F.col("event_type").alias("key"),
+            (F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")).alias(
+                "t"
+            ),
+        )
+        .groupBy("key", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    span = b.groupBy("key").agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    grid = span.select(
+        "key", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("t")
+    )
+    dense = grid.join(b, ["key", "t"], "left").select(
+        "key", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    out = TS.seasonal_decompose(dense, "key", "t", "y", period=24)
+    return out.select(
+        F.col("key").alias("event_type"),
+        "t",
+        F.col("y").cast("long").alias("y"),
+        F.col("trend_q").cast("long").alias("trend_q"),
+        F.col("seasonal_q").cast("long").alias("seasonal_q"),
+        F.col("remainder_q").cast("long").alias("remainder_q"),
+    ).orderBy("event_type", "t")

@@ -138,3 +138,58 @@ def test_ewma_fold_partition_layout_independent(spark):
     for _, _, v in rows[1:]:
         s = (s + v) // 2
     assert a == b == s
+
+
+# ---------------------------------------------------------------------------
+# round 9: classical seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """A pure period-4 cycle on a flat level: trend ~= level, seasonal
+    recovers the cycle shape (mean-centered), remainder ~= 0 away from
+    the edges; the additive identity holds exactly in q-units."""
+    from payroll_etl_fastapi_spark.operators.timeseries import seasonal_decompose
+
+    cycle = [10, 2, 6, 2]  # mean 5
+    rows = [("a", t, 100 + cycle[t % 4]) for t in range(24)]
+    df = spark.createDataFrame(rows, "key string, t long, y long")
+    out = {r.t: r for r in seasonal_decompose(df, period=4).collect()}
+    p2 = 8  # 2 * period
+    # edges: first/last half-period rows have NULL trend and remainder
+    assert out[0].trend_q is None and out[23].remainder_q is None
+    mid = out[10]
+    assert mid.trend_q is not None
+    # additive identity: 2p*y = trend + seasonal + remainder
+    for t in range(2, 22):
+        r = out[t]
+        assert p2 * r.y == r.trend_q + r.seasonal_q + r.remainder_q, t
+    # trend over a constant-level cycle is the level itself (105 * 2p)
+    assert mid.trend_q == 105 * p2
+    # seasonal is the mean-centered cycle in q-units
+    got_cycle = sorted({(t % 4, out[t].seasonal_q) for t in range(2, 22)})
+    assert got_cycle == [(0, 5 * p2), (1, -3 * p2), (2, 1 * p2), (3, -3 * p2)]
+    # remainder vanishes on the pure signal
+    assert all(out[t].remainder_q == 0 for t in range(2, 22))
+
+
+def test_seasonal_decompose_validation_and_spike(spark):
+    import pytest
+    from payroll_etl_fastapi_spark.operators.timeseries import seasonal_decompose
+
+    df = spark.createDataFrame([("a", 0, 1)], "key string, t long, y long")
+    with pytest.raises(ValueError, match="even"):
+        seasonal_decompose(df, period=5)
+    with pytest.raises(ValueError, match="even"):
+        seasonal_decompose(df, period=1)
+    # a one-off spike lands in the remainder, not the seasonal table
+    cycle = [4, 0]
+    rows = [("a", t, 50 + cycle[t % 2] + (40 if t == 9 else 0)) for t in range(20)]
+    out = {
+        r.t: r
+        for r in seasonal_decompose(
+            spark.createDataFrame(rows, "key string, t long, y long"), period=2
+        ).collect()
+    }
+    spikes = [t for t in range(1, 19) if abs(out[t].remainder_q) >= 40]
+    assert 9 in spikes
