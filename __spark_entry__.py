@@ -151,7 +151,11 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-7 fifth swap: the known-item retrieval-quality gate (search
     # member of the quality trilogy) takes this slot; search_hybrid_rrf
     # holds its r6 driver-green row in _SECONDARY
-    "search_bm25_known_item",
+    # ROUND-9 seventh swap: the exact-integer two-sample KS drift monitor
+    # takes this slot (search_bm25_topk keeps the search family in-window
+    # via the freshness rotation); search_bm25_known_item holds its r8
+    # driver-green row in _SECONDARY
+    "quality_ks_drift",
     # ROUND-8 sixteenth swap: the WordPiece greedy-tokenization gate (the
     # other subword runtime next to BPE) takes this slot;
     # txtable_change_feed holds its r7 driver-green row in _SECONDARY
@@ -300,6 +304,7 @@ _SECONDARY: tuple[str, ...] = (
     "dedup_keep_best",  # ceded its slot to ann_sq8_ingest_stream (r9); r8 driver-green
     "quality_l_diversity",  # ceded its slot to quality_t_closeness (r9); r8 driver-green
     "corpus_shuffle_shards",  # ceded its slot to events_seasonal_decompose (r9); r8 driver-green
+    "search_bm25_known_item",  # ceded its slot to quality_ks_drift (r9); r8 driver-green
     "multimodal_binary_stats",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "multimodal_cdc_neardup",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "streaming_cdc_txtable",  # ceded its slot in the r9 freshness rotation; r8 driver-green

@@ -278,3 +278,77 @@ def t_closeness(
     if t_micro is not None:
         out = out.filter(F.col("emd_micro") > int(t_micro))
     return out
+
+
+def ks_drift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    side_col: str,
+    bin_col: str,
+) -> DataFrame:
+    """(key..., n_a, n_b, ks_micro): per-key two-sample Kolmogorov-Smirnov
+    distance between the value distributions of the two SIDES (side_col
+    boolean: true = snapshot A, false = B) — the drift monitor a training
+    pipeline runs between ingestion waves before a shifted corpus
+    poisons a run. EXACT-INTEGER KS: with cumulative counts cumA/cumB
+    over the ordered bins, max |cumA*nB - cumB*nA| is computed in exact
+    int64 and reported as ks_micro = that maximum * 1e6 div (nA*nB) — no
+    float CDFs, no snapping compromise, bit-replayable in SQL. (int64
+    headroom: nA*nB*1e6 must stay under 2^63 — fine through ~3e6 rows
+    per side per key; shard larger keys by time first.)
+
+    Keys where either side is EMPTY are reported with ks_micro = -1
+    (sentinel: drift undefined, not zero — a vanished side IS a drift
+    signal a caller must handle explicitly).
+
+    Scale shape (100 TB): one (key, bin, side) grouped count (map-side
+    combine), a per-(key, bin) pivot to (a, b) counts, one per-key window
+    prefix sum over the observed bins, one per-key max. No dense grid is
+    needed: the CDF gap is constant between observed bins, so scanning
+    only observed bins finds the same maximum."""
+    q = list(key_cols)
+    counts = (
+        df.groupBy(*q, bin_col)
+        .agg(
+            F.sum(F.when(F.col(side_col), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col(side_col), 0).otherwise(1)).alias("b"),
+        )
+    )
+    totals = counts.groupBy(*q).agg(
+        F.sum("a").alias("n_a"), F.sum("b").alias("n_b")
+    )
+    w = (
+        Window.partitionBy(*q)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        *q,
+        F.col(bin_col),
+        F.sum("a").over(w).alias("cum_a"),
+        F.sum("b").over(w).alias("cum_b"),
+    )
+    gap = cum.join(totals, q).select(
+        *q,
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("g"),
+    )
+    return (
+        gap.groupBy(*q, "n_a", "n_b")
+        .agg(F.max("g").alias("ks_num"))
+        .select(
+            *q,
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.expr("CAST(ks_num * 1000000 div (n_a * n_b) AS BIGINT)"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("ks_micro"),
+        )
+    )

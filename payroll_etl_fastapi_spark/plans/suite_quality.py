@@ -530,3 +530,82 @@ def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emd_micro",
         "tvd_micro",
     ).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# two-sample KS drift (round 9) — the ingestion-wave distribution monitor
+# ---------------------------------------------------------------------------
+
+_KS_BIN_CENTS = 500  # 5-currency-unit value bins
+
+
+@query(
+    "quality_ks_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, CAST(epoch(ts) AS BIGINT) AS es,
+               CAST(floor(abs(coalesce(value, 0)) * 100 + 0.5) AS BIGINT)
+                   // {_KS_BIN_CENTS} AS bin
+        FROM events
+    ),
+    mid AS (SELECT (min(es) + max(es)) // 2 AS m FROM base),
+    sided AS (SELECT event_type, bin, es <= m AS is_a FROM base, mid),
+    counts AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
+        FROM sided GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(a) AS n_a, sum(b) AS n_b FROM counts GROUP BY 1),
+    cum AS (
+        SELECT event_type, bin,
+               sum(a) OVER w AS cum_a, sum(b) OVER w AS cum_b
+        FROM counts
+        WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    gap AS (
+        SELECT c.event_type, t.n_a, t.n_b,
+               abs(c.cum_a * t.n_b - c.cum_b * t.n_a) AS g
+        FROM cum c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN n_a > 0 AND n_b > 0
+                     THEN max(g) * 1000000 // (n_a * n_b)
+                     ELSE -1 END AS BIGINT) AS ks_micro
+    FROM gap
+    GROUP BY event_type, n_a, n_b
+    ORDER BY event_type
+    """,
+)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift monitor (operators.quality.
+    ks_drift) — the distribution-shift check a training pipeline runs
+    between ingestion waves: per event type, the KS distance between the
+    value distributions of the time-range halves (events at/before the
+    (min+max)/2 epoch midpoint vs after). EXACT-INTEGER KS: cumulative
+    bin counts stay int64 and max |cumA*nB - cumB*nA| * 1e6 div (nA*nB)
+    is pure integer arithmetic — no float CDFs anywhere, so the oracle
+    replays binning, the midpoint split, the prefix sums, and the max
+    bit-for-bit. One (type, bin, side) rollup + one per-type prefix
+    window over OBSERVED bins only (the CDF gap is constant between
+    observed bins, so the max needs no dense grid)."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+        F.expr(
+            f"CAST(floor(abs(coalesce(value, 0)) * 100 + 0.5) AS BIGINT)"
+            f" div {_KS_BIN_CENTS}"
+        ).alias("bin"),
+    )
+    mid = base.agg(
+        F.expr("CAST((min(es) + max(es)) div 2 AS BIGINT)").alias("m")
+    )
+    sided = base.crossJoin(F.broadcast(mid)).select(
+        "event_type", "bin", (F.col("es") <= F.col("m")).alias("is_a")
+    )
+    out = Q.ks_drift(sided, ["event_type"], "is_a", "bin")
+    return out.orderBy("event_type")

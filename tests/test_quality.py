@@ -175,3 +175,35 @@ def test_t_closeness_emd_is_order_sensitive_tvd_is_not(spark):
     o2 = {r.grp: r for r in Q.t_closeness(df2, ["grp"], "v").collect()}
     assert o2["adj"].tvd_micro == o2["jmp"].tvd_micro
     assert o2["jmp"].emd_micro > o2["adj"].emd_micro
+
+
+def test_ks_drift_detects_planted_shift_exactly(spark):
+    """Identical sides -> ks 0; a hard shift (disjoint bins) -> ks 1e6;
+    the integer formula matches a scipy-style float KS on a mixed case."""
+    same = [("x", True, b) for b in (1, 2, 3)] * 4 + [
+        ("x", False, b) for b in (1, 2, 3)
+    ] * 4
+    hard = [("y", True, 1)] * 6 + [("y", False, 9)] * 6
+    df = spark.createDataFrame(
+        same + hard, "key string, is_a boolean, bin long"
+    )
+    out = {r.key: r for r in Q.ks_drift(df, ["key"], "is_a", "bin").collect()}
+    assert out["x"].ks_micro == 0
+    assert out["y"].ks_micro == 1_000_000
+    # mixed: A = {1:3, 2:1}, B = {1:1, 2:3} -> CDF gap at bin1 = 3/4-1/4 = 1/2
+    mixed = (
+        [("z", True, 1)] * 3 + [("z", True, 2)]
+        + [("z", False, 1)] + [("z", False, 2)] * 3
+    )
+    dfz = spark.createDataFrame(mixed, "key string, is_a boolean, bin long")
+    r = Q.ks_drift(dfz, ["key"], "is_a", "bin").collect()[0]
+    assert (r.n_a, r.n_b, r.ks_micro) == (4, 4, 500_000)
+
+
+def test_ks_drift_empty_side_sentinel(spark):
+    df = spark.createDataFrame(
+        [("only_a", True, 1), ("only_a", True, 2)],
+        "key string, is_a boolean, bin long",
+    )
+    r = Q.ks_drift(df, ["key"], "is_a", "bin").collect()[0]
+    assert r.ks_micro == -1 and r.n_b == 0
