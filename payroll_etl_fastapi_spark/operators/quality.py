@@ -314,26 +314,25 @@ def ks_drift(
             F.sum(F.when(F.col(side_col), 0).otherwise(1)).alias("b"),
         )
     )
-    totals = counts.groupBy(*q).agg(
-        F.sum("a").alias("n_a"), F.sum("b").alias("n_b")
-    )
+    # per-key totals come from a FULL-frame window over the SAME per-key
+    # partitioning as the prefix sums — a groupBy+join formulation would
+    # re-derive counts' lineage for the totals branch and scan the source
+    # TWICE (caught by tests/test_plan_shapes.py)
     w = (
         Window.partitionBy(*q)
         .orderBy(bin_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = counts.select(
-        *q,
-        F.col(bin_col),
-        F.sum("a").over(w).alias("cum_a"),
-        F.sum("b").over(w).alias("cum_b"),
+    wfull = Window.partitionBy(*q).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    gap = cum.join(totals, q).select(
+    gap = counts.select(
         *q,
-        "n_a",
-        "n_b",
+        F.sum("a").over(wfull).alias("n_a"),
+        F.sum("b").over(wfull).alias("n_b"),
         F.abs(
-            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            F.sum("a").over(w) * F.sum("b").over(wfull)
+            - F.sum("b").over(w) * F.sum("a").over(wfull)
         ).alias("g"),
     )
     return (

@@ -538,3 +538,57 @@ def test_sq8_encode_pure_projection_search_no_python(spark):
     splan = buf.getvalue()
     assert "Broadcast" in splan
     assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
+
+
+def test_dhash_pairs_no_cartesian_and_no_python(spark):
+    """round 9: perceptual near-dup candidates must come from the banded
+    EQUALITY join (never a cartesian/nested-loop pair scan), and the whole
+    fingerprint+verify pipeline stays JVM-side."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    media = MM.media_from_documents(docs).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.col("meta.duration_ms"),
+        ),
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        MM.dhash_neardup_pairs(media).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ks_drift_single_rollup_and_window(spark):
+    """round 9: KS drift = one grouped rollup feeding one per-key prefix
+    window — no joins against the raw table, no Python."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators import quality as Q
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("is_a"),
+        (F.col("event_id") % 7).alias("bin"),
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        Q.ks_drift(ev, ["event_type"], "is_a", "bin").explain("formatted")
+    plan = buf.getvalue()
+    assert _nodes(plan, r"Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
