@@ -611,7 +611,7 @@ def stage_decontaminate(
             .filter(F.col("__n_common") >= min_common)
             .join(F.broadcast(bn), bench_id_col)
             .filter(
-                F.expr(f"CAST((__n_common * 10000) div __n_bench AS BIGINT)")
+                F.expr("CAST((__n_common * 10000) div __n_bench AS BIGINT)")
                 >= max_overlap_bp
             )
             .select(id_col)
