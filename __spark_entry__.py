@@ -110,7 +110,7 @@ _WINDOW: tuple[str, ...] = (
     "vocab_bpe_merges",
     "text_quality_stats",  # r9 freshness swap (was multimodal_binary_stats, r8-green)
     "text_token_stats",  # r9 freshness swap (was multimodal_cdc_neardup, r8-green)
-    "streaming_stream_join",
+    "dedup_connected_components",  # r9 second freshness wave (was streaming_stream_join, r8-green)
     "text_fingerprint",  # r9 freshness swap (was streaming_cdc_txtable, r8-green)
     "text_repetition_stats",  # r9 freshness swap (was txtable_acid_ops, r8-green)
     "text_scrub_stats",  # r9 freshness swap (was quality_constraint_audit, r8-green)
@@ -159,7 +159,7 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-8 sixteenth swap: the WordPiece greedy-tokenization gate (the
     # other subword runtime next to BPE) takes this slot;
     # txtable_change_feed holds its r7 driver-green row in _SECONDARY
-    "vocab_wordpiece_apply",
+    "streaming_hourly_rollup",  # r9 second freshness wave (was vocab_wordpiece_apply, r8-green)
     # ROUND-9 third swap (VERDICT r8 #7): the perceptual (dHash) near-dup
     # gate — pixel-level complement of the content-defined-chunking byte
     # path — takes this slot; corpus_cluster_split holds its r8
@@ -205,14 +205,14 @@ _WINDOW: tuple[str, ...] = (
     # primitive CC can't express; 8 replayed peeling rounds) takes this
     # slot; events_range_frame_totals holds its r7 driver-green row in
     # _SECONDARY
-    "graph_kcore_parts",
+    "kpi_rollup_by_nation",  # r9 second freshness wave (was graph_kcore_parts, r8-green)
     "dedup_duplicate_spans",  # r9 freshness swap (was warclite_scan, r8-green)
     "search_bm25_topk",  # r9 freshness swap (was warclite_stream_rollup, r8-green)
     # ROUND-8 twelfth swap: the multi-probe LSH retrieval-quality gate
     # (half-size index matching the full family's recall via query-side
     # probes) takes this slot; txtable_data_skipping holds its r7
     # driver-green row in _SECONDARY
-    "ann_lsh_multiprobe",
+    "ann_lsh_topk",  # r9 second freshness wave (was ann_lsh_multiprobe, r8-green)
     # round-4 fifth-session batch
     # ROUND-8 eleventh swap: the incremental exact-substring (span) ingest
     # gate — completing the incremental-dedup trio — takes this slot;
@@ -226,17 +226,17 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-7 swap (VERDICT r6 #2): the scaled-k SemDeDup gate takes the
     # containment slot at registration; dedup_containment holds its r6
     # driver-green row in _SECONDARY
-    "dedup_semantic_scaledk",
+    "dedup_minhash_lsh",  # r9 second freshness wave (was dedup_semantic_scaledk, r8-green)
     "streaming_session_filesink",  # r9 freshness swap (was linkage_blocked_names, r8-green)
     # ROUND-8 sixth swap: the duplicated-span REMOVAL gate (the cleaning
     # half of dedup_duplicate_spans) takes this slot; events_ewma_hourly
     # holds its r7 driver-green row in _SECONDARY
-    "dedup_span_removal",
+    "multimodal_features",  # r9 second freshness wave (was dedup_span_removal, r8-green)
     "streaming_sketch_cms",  # r9 freshness swap (was profile_hot_keys, r8-green)
     # ROUND-8 fourth swap: the semantic benchmark-decontamination gate (the
     # embedding complement of corpus_contamination) takes this slot;
     # profile_table_fingerprint holds its r7 driver-green row in _SECONDARY
-    "corpus_semantic_decontamination",
+    "corpus_contamination",  # r9 second freshness wave (was corpus_semantic_decontamination, r8-green)
     # ROUND-9 fourth swap: the streaming SQ8 vector-index ingest gate (the
     # ANN member of the incremental family; frozen-quantizer contract)
     # takes this slot; dedup_keep_best holds its r8 driver-green row in
@@ -250,7 +250,7 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-7 fourth swap: the in-engine least-squares fit gate (new model-
     # fitting family) takes this slot; quality_iqr_outliers holds its r6
     # driver-green row in _SECONDARY
-    "quality_linear_fit",
+    "kpi_delta_months",  # r9 second freshness wave (was quality_linear_fit, r8-green)
     "events_resample_gapfill",  # r9 freshness swap (was window_function_breadth, r8-green)
 )
 
@@ -261,12 +261,9 @@ _WINDOW: tuple[str, ...] = (
 _SECONDARY: tuple[str, ...] = (
     # r1-r3 driver-green flagships demoted in earlier rotations; every
     # family keeps in-window representation (see _WINDOW comments)
-    "streaming_hourly_rollup",
     "rollup_returnflag_status",
     "tpch_q3_shipping_priority",
-    "corpus_contamination",
     "ann_ivf_kmeans_topk",
-    "dedup_connected_components",
     "topk_orders",
     "tpch_q5_local_supplier_volume",
     "join_anti_no_urgent_customers",
@@ -305,6 +302,14 @@ _SECONDARY: tuple[str, ...] = (
     "quality_l_diversity",  # ceded its slot to quality_t_closeness (r9); r8 driver-green
     "corpus_shuffle_shards",  # ceded its slot to events_seasonal_decompose (r9); r8 driver-green
     "search_bm25_known_item",  # ceded its slot to quality_ks_drift (r9); r8 driver-green
+    "quality_linear_fit",  # ceded its slot in the r9 second freshness wave; r8 driver-green
+    "graph_kcore_parts",  # ceded its slot in the r9 second freshness wave; r8 driver-green
+    "dedup_semantic_scaledk",  # ceded its slot in the r9 second freshness wave; r8 driver-green
+    "ann_lsh_multiprobe",  # ceded its slot in the r9 second freshness wave; r8 driver-green
+    "vocab_wordpiece_apply",  # ceded its slot in the r9 second freshness wave; r8 driver-green
+    "corpus_semantic_decontamination",  # ceded its slot in the r9 second freshness wave; r8 driver-green
+    "dedup_span_removal",  # ceded its slot in the r9 second freshness wave; r8 driver-green
+    "streaming_stream_join",  # ceded its slot in the r9 second freshness wave; r8 driver-green
     "multimodal_binary_stats",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "multimodal_cdc_neardup",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "streaming_cdc_txtable",  # ceded its slot in the r9 freshness rotation; r8 driver-green
@@ -325,7 +330,6 @@ _SECONDARY: tuple[str, ...] = (
     "linkage_blocked_names",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "profile_hot_keys",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "window_function_breadth",  # ceded its slot in the r9 freshness rotation; r8 driver-green
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
     "text_language_id",
@@ -341,10 +345,8 @@ _SECONDARY: tuple[str, ...] = (
     "compaction_stats",
     "join_semi_urgent_customers",
     "scalar_subquery_above_brand_avg",
-    "ann_lsh_topk",
     "dedup_minhash_verified_counts",
     "cdc_apply_orders",
-    "multimodal_features",
     "insert_if_absent",
     "dedupe_keep_first",
     "events_json_extract",
@@ -353,8 +355,6 @@ _SECONDARY: tuple[str, ...] = (
     "upsert_composite_key",
     "events_asof_join",
     "dedup_embedding_cosine",
-    "kpi_delta_months",
-    "kpi_rollup_by_nation",
     "pipeline_training_data",
     # --- ceded their window slots in the ROUND-5 rotation: every one holds
     # a green rows+schema+hash row in CORRECTNESS_r04.json, and every family
