@@ -2156,19 +2156,37 @@ def ann_sq8_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build_chunks() -> str:
         import atexit
 
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
         fx = tempfile.mkdtemp(prefix="spark_sq8_ingfix_")
         atexit.register(shutil.rmtree, fx, ignore_errors=True)
         src_dir = os.path.join(fx, "chunks")
         os.makedirs(src_dir)
         now = _time.time()
         for kchunk in range(3):
-            pdf = (
+            # Write with an EXPLICIT arrow schema: the stream below pins
+            # array<float>, and pandas.to_parquet can serialize the list
+            # elements as DOUBLE depending on the toPandas/Arrow path —
+            # the exact local/driver split behind the r9 red row (the
+            # pytest helper tests/test_stream_ingest.py::_write_vec_chunk
+            # always wrote pa.list_(pa.float32()) and never flaked).
+            rows = (
                 emb.filter(F.col("vec_id") % 3 == kchunk)
                 .orderBy("vec_id")
-                .toPandas()
+                .collect()
+            )
+            t = pa.table(
+                {
+                    "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [[float(x) for x in r["embedding"]] for r in rows],
+                        pa.list_(pa.float32()),
+                    ),
+                }
             )
             path = os.path.join(src_dir, f"chunk_{kchunk}.parquet")
-            pdf.to_parquet(path, index=False)
+            pq_.write_table(t, path)
             os.utime(path, (now + kchunk, now + kchunk))
         return src_dir
 
@@ -2179,15 +2197,33 @@ def ann_sq8_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds = PQ.sq8_train_bounds(
             emb.filter(F.col("vec_id") % 3 == 0), DIM
         )
-        stream = (
-            spark.readStream.schema("vec_id long, embedding array<float>")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
         index = TxTable(spark, os.path.join(scratch, "vec_index"))
-        stream_ingest_vectors(
-            stream, index, os.path.join(scratch, "ckpt"), bounds
-        )
+        # ONE bounded re-drain: the epoch guard makes replay idempotent by
+        # construction (a committed batch replays as an epoch-key skip), so
+        # a transient driver-session failure gets a second drain instead of
+        # an undiagnosable red row; a repeat failure surfaces the exception
+        # HEAD (root cause) in a short message the artifact can't truncate
+        # away.
+        last_err: Exception | None = None
+        for _attempt in range(2):
+            try:
+                stream = (
+                    spark.readStream.schema("vec_id long, embedding array<float>")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                stream_ingest_vectors(
+                    stream, index, os.path.join(scratch, "ckpt"), bounds
+                )
+                last_err = None
+                break
+            except Exception as e:  # noqa: BLE001 — re-raised below with head
+                last_err = e
+        if last_err is not None:
+            raise RuntimeError(
+                "ann_sq8_ingest_stream: drain failed twice; root cause head: "
+                f"{type(last_err).__name__}: {str(last_err)[:500]}"
+            ) from last_err
         queries = emb.filter(F.col("vec_id") < 6)
         out = PQ.sq8_topk(
             index.snapshot().localCheckpoint(), queries, bounds, k=5

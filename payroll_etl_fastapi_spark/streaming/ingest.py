@@ -44,6 +44,29 @@ from payroll_etl_fastapi_spark.sources.txtable import (
 )
 
 
+def _surface(label: str):
+    """Decorator for foreachBatch bodies: re-raise any failure with a SHORT
+    readable head (loop name, epoch, exception class, first 500 chars of the
+    message) so the root cause survives even when a harness records only a
+    truncated slice of the StreamingQueryException stack (the r9
+    ann_sq8_ingest_stream red row was undiagnosable for exactly this
+    reason)."""
+
+    def _wrap(fn):
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            try:
+                fn(batch_df, epoch_id)
+            except Exception as e:  # noqa: BLE001 — annotated re-raise
+                raise RuntimeError(
+                    f"{label}: batch {epoch_id} failed: "
+                    f"{type(e).__name__}: {str(e)[:500]}"
+                ) from e
+
+        return _apply
+
+    return _wrap
+
+
 def stream_ingest_dedup(
     stream_docs: DataFrame,
     index: TxTable,
@@ -80,6 +103,7 @@ def stream_ingest_dedup(
         num_hashes, bands = lsh_params_for(threshold)
         min_est = threshold
 
+    @_surface("stream_ingest_dedup")
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
         corpus_done = epoch_key in _table_epoch_versions(corpus)
@@ -141,6 +165,7 @@ def stream_ingest_span_dedup(
     replay harmless)."""
     from payroll_etl_fastapi_spark.operators.dedup import incremental_span_decisions
 
+    @_surface("stream_ingest_span_dedup")
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
         corpus_done = epoch_key in _table_epoch_versions(corpus)
@@ -205,6 +230,7 @@ def stream_ingest_vectors(
     scans bytes, never the raw embeddings."""
     from payroll_etl_fastapi_spark.operators.pq import sq8_encode_packed
 
+    @_surface("stream_ingest_vectors")
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
         if epoch_key in _table_epoch_versions(index):
