@@ -90,6 +90,23 @@ from payroll_etl_fastapi_spark.plans import suite_graph  # noqa: E402,F401
 # streaming_sketch_cms) — rotates INTO the window this round, displacing
 # twenty r8-green anchors whose implementations did NOT change in r9.
 #
+# ROUND-10 THIRD FRESHNESS WAVE (VERDICT r9 #2): tools/staleness.py at its
+# new FUNCTION-SPAN granularity reads 15 truly stale of 110 (the file-level
+# 80/110 was dominated by same-file appends). All 15 span-stale gates
+# (ann_cosine_topk, corpus_passage_scrub, dedup_embedding_cosine,
+# dedup_minhash_verified_counts, dedup_simhash, streaming_dedup,
+# streaming_session_rollup, text_language_id, ann_pq_adc_topk,
+# ann_ivf_pq_topk, dedup_ngram_jaccard, dedup_semantic_clusters,
+# txtable_change_feed, txtable_data_skipping, corpus_cluster_split) plus
+# seven r3-row §2/TPC-H core gates the verdict named (tpch_q3, tpch_q5,
+# rollup_returnflag_status, topk_orders, events_json_extract, dedup_exact,
+# scalar_subquery_above_brand_avg — the P11 dynamic twin) rotate IN,
+# displacing 22 r9-green members whose implementations did not change in
+# r10; every family keeps in-window representation (graph keeps
+# dedup_connected_components; tokenizers keep vocab_bpe_merges; sketches
+# keep streaming_sketch_cms). All 22 incoming re-verified green at sf0.01
+# immediately before this swap.
+#
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
     # --- 15 anchors: flagship-family representatives, all r4-green ---
@@ -108,38 +125,38 @@ _WINDOW: tuple[str, ...] = (
     # its r5 driver-green row in _SECONDARY
     "dedup_semantic_incremental",
     "vocab_bpe_merges",
-    "text_quality_stats",  # r9 freshness swap (was multimodal_binary_stats, r8-green)
-    "text_token_stats",  # r9 freshness swap (was multimodal_cdc_neardup, r8-green)
+    "dedup_simhash",  # r10 third freshness wave (was text_quality_stats, r9-green)
+    "ann_cosine_topk",  # r10 third freshness wave (was text_token_stats, r9-green)
     "dedup_connected_components",  # r9 second freshness wave (was streaming_stream_join, r8-green)
-    "text_fingerprint",  # r9 freshness swap (was streaming_cdc_txtable, r8-green)
-    "text_repetition_stats",  # r9 freshness swap (was txtable_acid_ops, r8-green)
-    "text_scrub_stats",  # r9 freshness swap (was quality_constraint_audit, r8-green)
-    "vocab_top_tokens",  # r9 freshness swap (was skew_salted_rollup, r8-green)
-    "text_lm_score",  # r9 freshness swap (was bucketed_join_rollup, r8-green)
-    "text_pmi_collocations",  # r9 freshness swap (was graph_pagerank_parts, r8-green)
+    "text_language_id",  # r10 third freshness wave (was text_fingerprint, r9-green)
+    "corpus_passage_scrub",  # r10 third freshness wave (was text_repetition_stats, r9-green)
+    "dedup_embedding_cosine",  # r10 third freshness wave (was text_scrub_stats, r9-green)
+    "dedup_minhash_verified_counts",  # r10 third freshness wave (was vocab_top_tokens, r9-green)
+    "streaming_dedup",  # r10 third freshness wave (was text_lm_score, r9-green)
+    "streaming_session_rollup",  # r10 third freshness wave (was text_pmi_collocations, r9-green)
     # --- the 35 never-driver-verified gates (VERDICT r4 #1), rotated in ---
     # ROUND-9 swap (VERDICT r8 #2): the unigram-LM (SentencePiece-style)
     # tokenizer gate — the third classic subword algorithm, full EM-round
     # SQL re-training — takes the tokenizer-family slot; vocab_bpe_apply
     # holds its r8 driver-green row in _SECONDARY (its training twin
     # vocab_bpe_merges keeps the BPE anchor)
-    "vocab_unigram_apply",
-    "sketch_cms_token_counts",  # r9 freshness swap (was streaming_sketch_hdr, r8-green)
+    "ann_pq_adc_topk",  # r10 third freshness wave (was vocab_unigram_apply, r9-green)
+    "ann_ivf_pq_topk",  # r10 third freshness wave (was sketch_cms_token_counts, r9-green)
     # ROUND-8 second swap: the byte-packed PQ index search gate (storage-
     # format parity contract) takes this slot; events_transition_matrix
     # holds its r7 driver-green row in _SECONDARY
-    "sketch_hll_distinct",  # r9 freshness swap (was ann_pq_packed_search, r8-green)
+    "dedup_ngram_jaccard",  # r10 third freshness wave (was sketch_hll_distinct, r9-green)
     # ROUND-7 third swap (VERDICT r6 #1, dedup side): the LSH pair-recall
     # S-curve quality gate takes this slot; dedup_prefix_filter_jaccard
     # holds its r6 driver-green row in _SECONDARY
     "dedup_lsh_pair_recall",
-    "sketch_hdr_quantiles",  # r9 freshness swap (was graph_label_propagation, r8-green)
+    "dedup_semantic_clusters",  # r10 third freshness wave (was sketch_hdr_quantiles, r9-green)
     # ROUND-8 eighth swap: the SQ8 scalar-quantized search gate (the other
     # FAISS storage format; the only ANN gate whose full training replays
     # as one SQL aggregate) takes this slot; unpivot_segment_balances holds
     # its r7 driver-green row in _SECONDARY
-    "ann_sq8_topk",
-    "corpus_train_val_test",  # r9 freshness swap (was sql_pricing_summary, r8-green)
+    "txtable_change_feed",  # r10 third freshness wave (was ann_sq8_topk, r9-green)
+    "txtable_data_skipping",  # r10 third freshness wave (was corpus_train_val_test, r9-green)
     # ROUND-8 seventh swap: the deterministic shuffle-shard export gate
     # (training-order reproducibility contract) takes this slot;
     # graph_triangle_counts holds its r7 driver-green row in _SECONDARY
@@ -159,7 +176,7 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-8 sixteenth swap: the WordPiece greedy-tokenization gate (the
     # other subword runtime next to BPE) takes this slot;
     # txtable_change_feed holds its r7 driver-green row in _SECONDARY
-    "streaming_hourly_rollup",  # r9 second freshness wave (was vocab_wordpiece_apply, r8-green)
+    "corpus_cluster_split",  # r10 third freshness wave (was streaming_hourly_rollup, r9-green)
     # ROUND-9 third swap (VERDICT r8 #7): the perceptual (dHash) near-dup
     # gate — pixel-level complement of the content-defined-chunking byte
     # path — takes this slot; corpus_cluster_split holds its r8
@@ -179,7 +196,7 @@ _WINDOW: tuple[str, ...] = (
     # driver-green row in _SECONDARY
     "ann_pq_recall",
     # round-4 third-session batch
-    "corpus_sample_stratified",  # r9 freshness swap (was events_rolling_hll, r8-green)
+    "tpch_q3_shipping_priority",  # r10 third freshness wave (was corpus_sample_stratified, r9-green)
     # ROUND-8 thirteenth swap: the IVF-SQ8 composed-index gate (completing
     # the quantization matrix; both trainings replay in SQL) takes this
     # slot; graph_bfs_hops holds its r7 driver-green row in _SECONDARY
@@ -187,7 +204,7 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-8 ninth swap: the overlapping-chunk retrieval-prep gate takes
     # this slot; streaming_enrich_dim holds its r7 driver-green row in
     # _SECONDARY
-    "corpus_chunk_overlap",
+    "tpch_q5_local_supplier_volume",  # r10 third freshness wave (was corpus_chunk_overlap, r9-green)
     # ROUND-8 tenth swap: the l-diversity audit (homogeneity-attack
     # complement of k-anonymity, completing the privacy trio) takes this
     # slot; quality_observed_audit holds its r7 driver-green row in
@@ -212,7 +229,7 @@ _WINDOW: tuple[str, ...] = (
     # (half-size index matching the full family's recall via query-side
     # probes) takes this slot; txtable_data_skipping holds its r7
     # driver-green row in _SECONDARY
-    "ann_lsh_topk",  # r9 second freshness wave (was ann_lsh_multiprobe, r8-green)
+    "scalar_subquery_above_brand_avg",  # r10 third freshness wave (was ann_lsh_topk, r9-green)
     # round-4 fifth-session batch
     # ROUND-8 eleventh swap: the incremental exact-substring (span) ingest
     # gate — completing the incremental-dedup trio — takes this slot;
@@ -226,17 +243,17 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-7 swap (VERDICT r6 #2): the scaled-k SemDeDup gate takes the
     # containment slot at registration; dedup_containment holds its r6
     # driver-green row in _SECONDARY
-    "dedup_minhash_lsh",  # r9 second freshness wave (was dedup_semantic_scaledk, r8-green)
+    "dedup_exact",  # r10 third freshness wave (was dedup_minhash_lsh, r9-green)
     "streaming_session_filesink",  # r9 freshness swap (was linkage_blocked_names, r8-green)
     # ROUND-8 sixth swap: the duplicated-span REMOVAL gate (the cleaning
     # half of dedup_duplicate_spans) takes this slot; events_ewma_hourly
     # holds its r7 driver-green row in _SECONDARY
-    "multimodal_features",  # r9 second freshness wave (was dedup_span_removal, r8-green)
+    "rollup_returnflag_status",  # r10 third freshness wave (was multimodal_features, r9-green)
     "streaming_sketch_cms",  # r9 freshness swap (was profile_hot_keys, r8-green)
     # ROUND-8 fourth swap: the semantic benchmark-decontamination gate (the
     # embedding complement of corpus_contamination) takes this slot;
     # profile_table_fingerprint holds its r7 driver-green row in _SECONDARY
-    "corpus_contamination",  # r9 second freshness wave (was corpus_semantic_decontamination, r8-green)
+    "topk_orders",  # r10 third freshness wave (was corpus_contamination, r9-green)
     # ROUND-9 fourth swap: the streaming SQ8 vector-index ingest gate (the
     # ANN member of the incremental family; frozen-quantizer contract)
     # takes this slot; dedup_keep_best holds its r8 driver-green row in
@@ -246,7 +263,7 @@ _WINDOW: tuple[str, ...] = (
     # IndexRefineFlat shape — base vs refined hits@10 in one row) takes this
     # slot; events_decayed_popularity holds its r7 driver-green row in
     # _SECONDARY
-    "ann_pq_refine",
+    "events_json_extract",  # r10 third freshness wave (was ann_pq_refine, r9-green)
     # ROUND-7 fourth swap: the in-engine least-squares fit gate (new model-
     # fitting family) takes this slot; quality_iqr_outliers holds its r6
     # driver-green row in _SECONDARY
@@ -259,21 +276,35 @@ _WINDOW: tuple[str, ...] = (
 # _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
 # oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
 _SECONDARY: tuple[str, ...] = (
+    "ann_lsh_topk",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "dedup_minhash_lsh",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "ann_pq_refine",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "corpus_contamination",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "multimodal_features",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "corpus_chunk_overlap",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "corpus_sample_stratified",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "streaming_hourly_rollup",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "corpus_train_val_test",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "ann_sq8_topk",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "sketch_hdr_quantiles",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "sketch_hll_distinct",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "sketch_cms_token_counts",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "vocab_unigram_apply",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "text_pmi_collocations",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "text_lm_score",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "vocab_top_tokens",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "text_scrub_stats",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "text_repetition_stats",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "text_fingerprint",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "text_token_stats",  # ceded its slot in the r10 third freshness wave; r9 driver-green
+    "text_quality_stats",  # ceded its slot in the r10 third freshness wave; r9 driver-green
     # r1-r3 driver-green flagships demoted in earlier rotations; every
     # family keeps in-window representation (see _WINDOW comments)
-    "rollup_returnflag_status",
-    "tpch_q3_shipping_priority",
     "ann_ivf_kmeans_topk",
-    "topk_orders",
-    "tpch_q5_local_supplier_volume",
     "join_anti_no_urgent_customers",
     "window_customer_running_totals",
     "set_ops_nation_coverage",
     "pivot_segment_balances",
-    "dedup_exact",
-    "dedup_semantic_clusters",  # ceded its anchor slot to dedup_incremental_stream (r6); r5 driver-green
-    "dedup_ngram_jaccard",  # ceded its anchor slot to dedup_incremental (r6); r5 driver-green
-    "ann_ivf_pq_topk",  # ceded its anchor slot to dedup_semantic_incremental (r6); r5 driver-green
     "dedup_containment",  # ceded its slot to dedup_semantic_scaledk (r7); r6 driver-green
     "dedup_prefix_filter_jaccard",  # ceded its slot to dedup_lsh_pair_recall (r7); r6 driver-green
     "quality_iqr_outliers",  # ceded its slot to quality_linear_fit (r7); r6 driver-green
@@ -290,14 +321,11 @@ _SECONDARY: tuple[str, ...] = (
     "streaming_enrich_dim",  # ceded its slot to corpus_chunk_overlap (r8); r7 driver-green
     "quality_observed_audit",  # ceded its slot to quality_l_diversity (r8); r7 driver-green
     "events_interval_merge",  # ceded its slot to dedup_span_incremental (r8); r7 driver-green
-    "txtable_data_skipping",  # ceded its slot to ann_lsh_multiprobe (r8); r7 driver-green
     "graph_bfs_hops",  # ceded its slot to ann_ivf_sq8_topk (r8); r7 driver-green
     "corpus_temperature_mix",  # ceded its slot to pipeline_training_data_v2 (r8); r7 driver-green
     "events_range_frame_totals",  # ceded its slot to graph_kcore_parts (r8); r7 driver-green
-    "txtable_change_feed",  # ceded its slot to vocab_wordpiece_apply (r8); r7 driver-green
     "vocab_bpe_apply",  # ceded its slot to vocab_unigram_apply (r9); r8 driver-green
     "streaming_txcatalog_dual",  # ceded its slot to dedup_span_ingest_stream (r9); r8 driver-green
-    "corpus_cluster_split",  # ceded its slot to multimodal_dhash_neardup (r9); r8 driver-green
     "dedup_keep_best",  # ceded its slot to ann_sq8_ingest_stream (r9); r8 driver-green
     "quality_l_diversity",  # ceded its slot to quality_t_closeness (r9); r8 driver-green
     "corpus_shuffle_shards",  # ceded its slot to events_seasonal_decompose (r9); r8 driver-green
@@ -330,12 +358,6 @@ _SECONDARY: tuple[str, ...] = (
     "linkage_blocked_names",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "profile_hot_keys",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "window_function_breadth",  # ceded its slot in the r9 freshness rotation; r8 driver-green
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "text_language_id",
-    "corpus_passage_scrub",
-    "streaming_session_rollup",
-    "streaming_dedup",
     "events_range_join",
     "scd2_customer_segments",
     "rollup_incremental_merge",
@@ -344,17 +366,13 @@ _SECONDARY: tuple[str, ...] = (
     "zorder_values",
     "compaction_stats",
     "join_semi_urgent_customers",
-    "scalar_subquery_above_brand_avg",
-    "dedup_minhash_verified_counts",
     "cdc_apply_orders",
     "insert_if_absent",
     "dedupe_keep_first",
-    "events_json_extract",
     "pivot_conditional_agg",
     "distinct_sorted_projection",
     "upsert_composite_key",
     "events_asof_join",
-    "dedup_embedding_cosine",
     "pipeline_training_data",
     # --- ceded their window slots in the ROUND-5 rotation: every one holds
     # a green rows+schema+hash row in CORRECTNESS_r04.json, and every family
@@ -371,7 +389,6 @@ _SECONDARY: tuple[str, ...] = (
     "grouping_sets_nation_segment",
     "assoc_rules_parts",
     "ann_ivf_topk",
-    "ann_pq_adc_topk",
     "embedding_dim_stats",
     "corpus_distinctive_terms",
     "corpus_dsir_weights",
