@@ -149,15 +149,22 @@ def write_shuffle_shards(
     production shape: repartition on the shard key (one exchange) +
     sortWithinPartitions(skey, id) (no global sort) + partitioned write.
     Read-back order == pos order is pytest-pinned."""
+    # the output key column is named 'id'; a pre-existing payload column
+    # literally named 'id' that is NOT id_col would make the join binding
+    # ambiguous (ADVICE r8) — refuse LOUDLY rather than silently dropping
+    # user data (ADVICE r9)
+    if id_col != "id" and "id" in docs.columns:
+        raise ValueError(
+            "write_shuffle_shards: payload column 'id' conflicts with the "
+            f"output key column (id_col={id_col!r} is renamed to 'id' in "
+            "the shard layout); rename the payload column first"
+        )
     keyed = shuffle_shards(docs, n_shards, seed, id_col).select(
         "id", "skey", "shard"
     )
-    # the output key column is named 'id'; a pre-existing payload column
-    # literally named 'id' that is NOT id_col would make the join binding
-    # ambiguous (ADVICE r8) — it is excluded, the key survives as 'id'
     payload = docs.select(
         F.col(id_col).alias("id"),
-        *[c for c in docs.columns if c != id_col and c != "id"],
+        *[c for c in docs.columns if c != id_col],
     )
     # the sort LEADS with the partition column: FileFormatWriter requires
     # task rows ordered by partition columns and injects its own
@@ -504,9 +511,17 @@ def stage_bigram_quality_gate(
     alpha: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_unscored: bool = False,
 ) -> Stage:
     """Keep documents whose mean bigram surprise (text.bigram_lm_scores,
-    snap_micros — the oracle-replayable mode) is <= max_avg_nll nats."""
+    snap_micros — the oracle-replayable mode) is <= max_avg_nll nats.
+
+    UNSCORED docs (fewer than two tokens — the LM emits no score for them)
+    follow an EXPLICIT policy (ADVICE r9): the default ``keep_unscored=
+    False`` DROPS them (a doc too short to score is below any quality bar
+    this gate can certify — and the historical/oracle-pinned behavior);
+    ``keep_unscored=True`` retains them via a left join, for corpora where
+    single-token docs are legitimate payloads."""
     if max_avg_nll <= 0:
         raise ValueError(f"max_avg_nll must be positive, got {max_avg_nll}")
 
@@ -514,6 +529,16 @@ def stage_bigram_quality_gate(
         from payroll_etl_fastapi_spark.operators import text as T
 
         lm = T.bigram_lm_scores(docs, text_col, id_col, alpha=alpha, snap_micros=True)
+        if keep_unscored:
+            scores = lm.select(
+                F.col("id").alias(id_col),
+                F.col("avg_neg_log_prob").alias("__nll"),
+            )
+            return (
+                docs.join(scores, id_col, "left")
+                .filter(F.col("__nll").isNull() | (F.col("__nll") <= max_avg_nll))
+                .drop("__nll")
+            )
         keep = lm.filter(F.col("avg_neg_log_prob") <= max_avg_nll).select(
             F.col("id").alias(id_col)
         )
@@ -688,20 +713,35 @@ def stage_chunk(
 ) -> Stage:
     """Overlapping-window chunking (corpus.chunk_documents); re-keys rows to
     chunk_key = doc_id * key_mult + chunk_id and carries (text, n_tokens).
-    The stride<=window rule is enforced here, at construction."""
+    The stride<=window rule is enforced here, at construction; a document
+    yielding chunk_id >= key_mult raises at execution (raise_error naming
+    the doc) instead of silently colliding into another document's key
+    space (ADVICE r9 — downstream dedup/shard stages key on this id)."""
     w, s = int(chunk_tokens), int(stride)
     if w <= 0 or s <= 0 or s > w:
         raise ValueError(
             f"need 0 < stride ({s}) <= chunk_tokens ({w}): chunks are "
             "overlapping-or-adjacent windows"
         )
+    if key_mult < 2:
+        raise ValueError(f"key_mult must be >= 2, got {key_mult}")
 
     def fn(docs: DataFrame) -> DataFrame:
         out = chunk_documents(
             docs, chunk_tokens=w, stride=s, text_col=text_col, id_col=id_col
         )
+        key = F.when(
+            F.col("chunk_id") >= key_mult,
+            F.expr(
+                "raise_error(concat('stage_chunk: document ', "
+                "CAST(id AS STRING), ' yields chunk_id ', "
+                "CAST(chunk_id AS STRING), "
+                f"' >= key_mult {key_mult} — chunk keys would collide "
+                "across documents; raise key_mult'))"
+            ).cast("long"),
+        ).otherwise(F.col("id") * key_mult + F.col("chunk_id"))
         return out.select(
-            (F.col("id") * key_mult + F.col("chunk_id")).alias(id_col),
+            key.alias(id_col),
             F.col("chunk_text").alias(text_col),
             "n_tokens",
         )

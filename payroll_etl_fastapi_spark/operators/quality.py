@@ -280,6 +280,12 @@ def t_closeness(
     return out
 
 
+# ks_drift exact-int64 headroom: ks_num <= n_a*n_b, so ks_num*1e6 stays under
+# 2^63 exactly when n_a*n_b <= (2^63-1) div 1e6. Module-level so tests can
+# exercise the guard without forging 3e6-row sides.
+_KS_HEADROOM = (2**63 - 1) // 1_000_000
+
+
 def ks_drift(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -293,9 +299,11 @@ def ks_drift(
     poisons a run. EXACT-INTEGER KS: with cumulative counts cumA/cumB
     over the ordered bins, max |cumA*nB - cumB*nA| is computed in exact
     int64 and reported as ks_micro = that maximum * 1e6 div (nA*nB) — no
-    float CDFs, no snapping compromise, bit-replayable in SQL. (int64
+    float CDFs, no snapping compromise, bit-replayable in SQL. int64
     headroom: nA*nB*1e6 must stay under 2^63 — fine through ~3e6 rows
-    per side per key; shard larger keys by time first.)
+    per side per key; a key exceeding it raises a raise_error naming the
+    key sizes and the shard-by-time remedy instead of returning a silently
+    wrong ks_micro (ADVICE r9; headroom constant: _KS_HEADROOM).
 
     Keys where either side is EMPTY are reported with ks_micro = -1
     (sentinel: drift undefined, not zero — a vanished side IS a drift
@@ -344,7 +352,21 @@ def ks_drift(
             F.col("n_b").cast("long").alias("n_b"),
             F.when(
                 (F.col("n_a") > 0) & (F.col("n_b") > 0),
-                F.expr("CAST(ks_num * 1000000 div (n_a * n_b) AS BIGINT)"),
+                # overflow guard FIRST (compared via div so the check
+                # itself cannot overflow): ks_num <= n_a*n_b, so the
+                # product bound is exactly the *1e6 headroom bound
+                F.when(
+                    F.expr(f"n_a > {_KS_HEADROOM} div n_b"),
+                    F.expr(
+                        "raise_error(concat('ks_drift: n_a*n_b = ', "
+                        "CAST(n_a AS STRING), '*', CAST(n_b AS STRING), "
+                        "' exceeds the exact-int64 headroom "
+                        f"({_KS_HEADROOM}, ~3e6 rows/side/key); "
+                        "shard the key by time first'))"
+                    ).cast("long"),
+                ).otherwise(
+                    F.expr("CAST(ks_num * 1000000 div (n_a * n_b) AS BIGINT)")
+                ),
             )
             .otherwise(F.lit(-1))
             .cast("long")

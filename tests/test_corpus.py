@@ -425,19 +425,68 @@ def test_chunk_documents_rejects_stride_past_window(spark):
         C.chunk_documents(docs, chunk_tokens=2, stride=8)
 
 
-def test_write_shuffle_shards_tolerates_conflicting_id_column(spark, tmp_path):
-    """A payload column literally named 'id' that is NOT id_col must not make
-    the internal join ambiguous (ADVICE r8); the key wins the 'id' name."""
+def test_write_shuffle_shards_rejects_conflicting_id_column(spark, tmp_path):
+    """A payload column literally named 'id' that is NOT id_col would be
+    shadowed by the output key — refuse loudly naming the conflict
+    (ADVICE r9; r8's silent exclusion dropped user data)."""
     docs = spark.createDataFrame(
         [(i, f"conflict-{i}", f"payload {i}") for i in range(30)],
         "doc_id long, id string, text string",
     )
     out = str(tmp_path / "shards_conflict")
-    C.write_shuffle_shards(docs, out, n_shards=2, seed=3)
+    with pytest.raises(ValueError, match="'id' conflicts"):
+        C.write_shuffle_shards(docs, out, n_shards=2, seed=3)
+    # renamed payload passes through intact
+    C.write_shuffle_shards(
+        docs.withColumnRenamed("id", "orig_id"), out, n_shards=2, seed=3
+    )
     back = spark.read.parquet(out)
     assert back.columns.count("id") == 1
     assert {r.id for r in back.select("id").collect()} == set(range(30))
-    assert back.count() == 30 and "text" in back.columns
+    assert back.count() == 30 and "orig_id" in back.columns
+
+
+def test_stage_chunk_key_collision_raises(spark):
+    """A document yielding chunk_id >= key_mult must fail loudly instead of
+    silently colliding into another doc's chunk-key space (ADVICE r9)."""
+    from py4j.protocol import Py4JJavaError
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    # chunk 2/2 over 12 tokens -> 6 chunks; key_mult=4 -> chunk_id 4 collides
+    stage = C.stage_chunk(2, 2, key_mult=4)
+    with pytest.raises((Py4JJavaError, Exception), match="key_mult"):
+        stage.apply(docs).collect()
+    # the non-colliding config keys every chunk uniquely
+    ok = C.stage_chunk(2, 2, key_mult=8).apply(docs)
+    ids = [r.doc_id for r in ok.collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_stage_bigram_gate_unscored_policy(spark):
+    """Docs with < 2 tokens get no LM score: default policy drops them
+    (documented), keep_unscored=True retains them (ADVICE r9)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat"),
+            (2, "solo"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    kept_default = {
+        r.doc_id for r in C.stage_bigram_quality_gate(50.0).apply(docs).collect()
+    }
+    assert kept_default == {1}
+    kept_keep = {
+        r.doc_id
+        for r in C.stage_bigram_quality_gate(50.0, keep_unscored=True)
+        .apply(docs)
+        .collect()
+    }
+    assert kept_keep == {1, 2, 3}
 
 
 def test_write_shuffle_shards_readback_order_matches_pos(spark, tmp_path):

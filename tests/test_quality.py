@@ -207,3 +207,20 @@ def test_ks_drift_empty_side_sentinel(spark):
     )
     r = Q.ks_drift(df, ["key"], "is_a", "bin").collect()[0]
     assert r.ks_micro == -1 and r.n_b == 0
+
+
+def test_ks_drift_headroom_guard_raises(spark, monkeypatch):
+    """A key whose n_a*n_b exceeds the exact-int64 headroom must raise a
+    named error instead of returning a silently wrong ks_micro (ADVICE r9).
+    The headroom is a module constant so the guard can be exercised without
+    forging 3e6-row sides."""
+    df = spark.createDataFrame(
+        [("k", True, 1)] * 5 + [("k", False, 2)] * 5,
+        "key string, is_a boolean, bin long",
+    )
+    monkeypatch.setattr(Q, "_KS_HEADROOM", 20)  # n_a*n_b = 25 > 20
+    with pytest.raises(Exception, match="headroom"):
+        Q.ks_drift(df, ["key"], "is_a", "bin").collect()
+    monkeypatch.setattr(Q, "_KS_HEADROOM", 25)  # exactly at the bound: fine
+    r = Q.ks_drift(df, ["key"], "is_a", "bin").collect()[0]
+    assert r.ks_micro == 1_000_000
