@@ -200,7 +200,11 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-8 thirteenth swap: the IVF-SQ8 composed-index gate (completing
     # the quantization matrix; both trainings replay in SQL) takes this
     # slot; graph_bfs_hops holds its r7 driver-green row in _SECONDARY
-    "ann_ivf_sq8_topk",
+    # ROUND-10 swap (VERDICT r9 #6): the routed ann_topk dispatcher gate
+    # (plan -> train -> search end-to-end, SQ8 pick asserted in-gate)
+    # takes this slot at registration; ann_ivf_sq8_topk holds its r9
+    # driver-green row in _SECONDARY
+    "ann_routed_topk",
     # ROUND-8 ninth swap: the overlapping-chunk retrieval-prep gate takes
     # this slot; streaming_enrich_dim holds its r7 driver-green row in
     # _SECONDARY
@@ -276,6 +280,7 @@ _WINDOW: tuple[str, ...] = (
 # _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
 # oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
 _SECONDARY: tuple[str, ...] = (
+    "ann_ivf_sq8_topk",  # ceded its slot to ann_routed_topk (r10); r9 driver-green
     "ann_lsh_topk",  # ceded its slot in the r10 third freshness wave; r9 driver-green
     "dedup_minhash_lsh",  # ceded its slot in the r10 third freshness wave; r9 driver-green
     "ann_pq_refine",  # ceded its slot in the r10 third freshness wave; r9 driver-green

@@ -2080,6 +2080,81 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# routed ANN dispatcher gate (round 10, VERDICT r9 #6) — ann_topk end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _routed_topk_oracle(n_q: int = 6, k: int = 5, dim: int = DIM) -> str:
+    """SQL twin of ann_routed_topk: ann_plan(target_recall=0.9) routes to
+    SQ8 (pick pinned in tests/test_similarity.py against the committed
+    frontier floors), so the oracle replays the SQ8 family's full
+    train/encode/decode/L2/rank chain projected to the dispatcher's
+    normalized (query_id, neighbor_id, rank) surface — the gate itself
+    asserts the routed family so a frontier edit can never silently
+    desynchronize this oracle."""
+    return f"""
+    WITH {_sql_sq8_bounds_ctes(dim)},
+    enc AS (
+        SELECT e.vec_id, {_sql_sq8_codes('e.embedding', dim)} AS codes
+        FROM embeddings e CROSS JOIN barr
+    ),
+    dec AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {dim}),
+                   i -> lo[i] + (codes[i] * span[i]) / 255.0) AS dec
+        FROM enc CROSS JOIN barr
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(floor(list_reduce(list_transform(generate_series(1, {dim}),
+                   i -> (CAST(q.embedding[i] AS DOUBLE) - d.dec[i])
+                      * (CAST(q.embedding[i] AS DOUBLE) - d.dec[i])),
+                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS d_micros
+        FROM dec d, embeddings q
+        WHERE q.vec_id < {n_q} AND d.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY d_micros, neighbor_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_routed_topk", oracle=_routed_topk_oracle())
+def ann_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed ANN entry point END-TO-END (operators.similarity.ann_plan
+    → ann_topk, VERDICT r9 #6): the gate asks for target_recall=0.9 and
+    lets the planner pick — plan (min scan-bytes/vector over the nine
+    committed frontier floors), in-call training (here SQ8's one min/max
+    aggregate), stored-index materialization, search, normalized
+    (query_id, neighbor_id, rank) output. The r8/r9 gates pinned the pick
+    TABLE and gated each dispatch path individually; this gate is the
+    composition itself under the driver oracle. The routed family is
+    asserted in-gate so an ANN_FRONTIER edit that changes the 0.9 pick
+    fails loudly here instead of silently racing ahead of the oracle."""
+    from payroll_etl_fastapi_spark.operators import similarity as S
+
+    plan = S.ann_plan(target_recall=0.9, dim=DIM)
+    if plan["family"] != "sq8":  # oracle replays the SQ8 chain
+        raise RuntimeError(
+            "ann_routed_topk: the 0.9 pick moved off sq8 "
+            f"(now {plan['family']!r}) — update the oracle with the "
+            "frontier change"
+        )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 6)
+    return S.ann_topk(
+        emb, queries, k=5, target_recall=0.9, dim=DIM, plan=plan
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # streaming SQ8 vector-index ingest (round 9) — the ANN member of the
 # incremental-ingest family (MinHash r6, SemDeDup r6, spans r8, vectors r9)
 # ---------------------------------------------------------------------------
