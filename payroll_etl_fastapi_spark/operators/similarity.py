@@ -662,6 +662,7 @@ def embedding_near_dup_pairs(
     num_planes: int = DEFAULT_PLANES,
     bands: int = DEFAULT_BANDS,
     plan_bands: bool = False,
+    n_probe_flips: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-blocked candidate pairs
     (sharing ≥1 band), exact cosine ≥ threshold. Output (id_a, id_b, cosine),
@@ -683,7 +684,16 @@ def embedding_near_dup_pairs(
     ``threshold`` itself via lsh_planes_for (candidate probability ≥ 0.9
     for pairs AT the threshold, junk mass at cosine 0 bounded) instead of
     the raw knobs; the exact-cosine verify is unchanged either way, so the
-    planned path changes only which true pairs the band join can surface."""
+    planned path changes only which true pairs the band join can surface.
+
+    ``n_probe_flips > 0`` applies MULTI-PROBE to the self-join (round 10,
+    the lsh_topk lever brought to the dedup shape): the PROBE side of the
+    band join additionally explodes the buckets reached by flipping each
+    band's n weakest sign bits (probe_band_signatures), while the INDEX
+    side stays the plain banding — stored band rows are unchanged; recall
+    comes from extra probe-side rows. Since every row probes, a pair is
+    caught when either member's probe reaches the other's bucket; pairs
+    are normalized to id_a < id_b after the (now asymmetric) join."""
     if plan_bands:
         if (num_planes, bands) != (DEFAULT_PLANES, DEFAULT_BANDS):
             raise ValueError(
@@ -707,16 +717,46 @@ def embedding_near_dup_pairs(
         # vectors and norms aboard
         .localCheckpoint(eager=False)
     )
-    cand = (
-        hashed_ids.select(F.col("id").alias("id_a"), "band", "sig")
-        .join(
-            hashed_ids.select(F.col("id").alias("id_b"), "band", "sig"),
-            ["band", "sig"],
+    if n_probe_flips > 0:
+        arrays = probe_band_signatures(vec_col, planes, bands, n_probe_flips)
+
+        # single-arg lambda via a factory (the lsh_topk gotcha: a two-arg
+        # lambda is transform's (element, index) form)
+        def tag(b: int):
+            return lambda s: F.struct(F.lit(b).alias("band"), s.alias("sig"))
+
+        entries = F.flatten(
+            F.array(*[F.transform(arr, tag(b)) for b, arr in enumerate(arrays)])
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        probe_ids = (
+            df.select(F.col(id_col).alias("id"), F.explode(entries).alias("bs"))
+            .select("id", "bs.band", "bs.sig")
+            .localCheckpoint(eager=False)
+        )
+        cand = (
+            probe_ids.select(F.col("id").alias("id_a"), "band", "sig")
+            .join(
+                hashed_ids.select(F.col("id").alias("id_b"), "band", "sig"),
+                ["band", "sig"],
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        cand = (
+            hashed_ids.select(F.col("id").alias("id_a"), "band", "sig")
+            .join(
+                hashed_ids.select(F.col("id").alias("id_b"), "band", "sig"),
+                ["band", "sig"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     # norm is precomputed per ROW, not per candidate pair — the value is
     # bit-identical (same fold, same sqrt), it just runs |corpus| times
     # instead of |candidates| times. The lazy checkpoint matters: BOTH
