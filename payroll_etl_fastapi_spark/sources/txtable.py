@@ -1052,8 +1052,19 @@ class TxTable:
             merged = self.snapshot(version).coalesce(n_target)
         new_version = version + 1
         rel = self._write_data_dir(merged, new_version, snap.partition_by)
+        # carry the stream-epoch history into the compacted manifest: the
+        # per-epoch manifests this rewrite supersedes become vacuumable
+        # WITHOUT losing replay dedup (a wiped-checkpoint re-drain checks
+        # _table_epoch_versions, which reads this list) — the epoch-guarded
+        # compaction contract for the streaming ingest indexes (round 10)
+        epoch_keys = sorted(_table_epoch_versions(self))
         self._publish(
-            new_version, [rel], "optimize", snap.partition_by, snap.schema_json
+            new_version,
+            [rel],
+            "optimize",
+            snap.partition_by,
+            snap.schema_json,
+            extra={"epoch_keys": epoch_keys} if epoch_keys else None,
         )
         return new_version
 
@@ -1116,10 +1127,18 @@ def _stream_append_commit(table: TxTable, batch_df: DataFrame, epoch_key: str) -
     prev: tuple[str, ...] = ()
     schema_json = batch_df.schema.json()
     cons: dict[str, str] = {}
+    carried: list[str] = []
     if base:
         head = table._read_manifest(base[-1])
         prev = head.data_dirs
         cons = dict(head.constraints)
+        # carry forward any CONSOLIDATED epoch history an optimize stamped
+        # on the head (round 10): without this, an append after a
+        # compaction would strand the carried list in a manifest vacuum is
+        # allowed to drop, silently re-opening the wiped-checkpoint replay
+        # hole the consolidation exists to close
+        with open(os.path.join(table._tx, f"v{base[-1]}.json")) as fh:
+            carried = json.load(fh).get("epoch_keys") or []
         # the SAME evolution contract as append(): a batch missing a
         # table column or changing a type raises instead of stamping the
         # narrower/conflicting batch schema as the table read schema
@@ -1142,6 +1161,7 @@ def _stream_append_commit(table: TxTable, batch_df: DataFrame, epoch_key: str) -
             "epoch_key": epoch_key,
             "schema": schema_json,
             "constraints": cons,
+            **({"epoch_keys": carried} if carried else {}),
         },
         table.root,
     )
@@ -1149,13 +1169,24 @@ def _stream_append_commit(table: TxTable, batch_df: DataFrame, epoch_key: str) -
 
 
 def _table_epoch_versions(table: TxTable) -> dict[str, int]:
-    """epoch_key → committed version, scanned once per drain."""
+    """epoch_key → committed version, scanned once per drain.
+
+    Reads both the per-commit ``epoch_key`` (one stream append) and the
+    carried-forward ``epoch_keys`` list an OPTIMIZE compaction stamps on
+    its manifest (round 10): after compaction + vacuum the per-epoch
+    manifests are gone, but the replay-dedup history survives in the
+    compacted head — a wiped-checkpoint re-drain still admits nothing
+    twice. Carried keys keep their earliest-seen version (the original
+    manifest wins while it exists)."""
     out: dict[str, int] = {}
     for v in table._versions():
         with open(os.path.join(table._tx, f"v{v}.json")) as fh:
-            key = json.load(fh).get("epoch_key")
+            m = json.load(fh)
+        key = m.get("epoch_key")
         if key:
             out[key] = v
+        for k in m.get("epoch_keys") or ():
+            out.setdefault(k, v)
     return out
 
 

@@ -44,6 +44,27 @@ from payroll_etl_fastapi_spark.sources.txtable import (
 )
 
 
+def _maybe_compact(table: TxTable, every: int | None) -> None:
+    """Epoch-guarded index maintenance (VERDICT r9 #7): once a streaming
+    index has accumulated ``every`` small per-epoch data dirs, rewrite the
+    snapshot into one compact commit via TxTable.optimize — which carries
+    the full epoch-key history forward on its manifest, so the superseded
+    per-epoch manifests become vacuumable without losing replay dedup.
+    Snapshot-isolated by construction: readers of any older version are
+    untouched until vacuum, and search/dedup decisions are byte-identical
+    across the rewrite (optimize only merges files).
+
+    Retention note: the carried epoch-key list grows with stream lifetime
+    (~60 B/epoch in the head manifest — 6 MB at 100k triggers). At a scale
+    where that matters, retire keys older than the checkpoint's committed
+    offset when vacuuming; a key the checkpoint can no longer replay is
+    dead weight."""
+    if not every or not table.exists():
+        return
+    if len(table._read_manifest(table.latest_version()).data_dirs) >= every:
+        table.optimize()
+
+
 def _surface(label: str):
     """Decorator for foreachBatch bodies: re-raise any failure with a SHORT
     readable head (loop name, epoch, exception class, first 500 chars of the
@@ -80,6 +101,7 @@ def stream_ingest_dedup(
     seed: int = 42,
     min_est: float = 0.5,
     threshold: float | None = None,
+    compact_every: int | None = None,
 ):
     """Drain the currently-available document stream (availableNow) through
     the dedup-ingest loop; returns the terminated query (recentProgress
@@ -129,6 +151,8 @@ def stream_ingest_dedup(
             _stream_append_commit(corpus, accepted_docs, epoch_key)
         if not index_done:
             _stream_append_commit(index, accepted_bands, epoch_key)
+        _maybe_compact(index, compact_every)
+        _maybe_compact(corpus, compact_every)
 
     q = (
         stream_docs.writeStream.foreachBatch(_apply)
@@ -150,6 +174,7 @@ def stream_ingest_span_dedup(
     id_col: str = "doc_id",
     span_tokens: int = 8,
     max_dup_bp: int = 5000,
+    compact_every: int | None = None,
 ):
     """The exact-substring sibling of stream_ingest_dedup (round 8,
     completing the streaming half of the incremental trio): each
@@ -188,6 +213,8 @@ def stream_ingest_span_dedup(
             _stream_append_commit(corpus, accepted_docs, epoch_key)
         if not index_done:
             _stream_append_commit(index, accepted_spans, epoch_key)
+        _maybe_compact(index, compact_every)
+        _maybe_compact(corpus, compact_every)
 
     q = (
         stream_docs.writeStream.foreachBatch(_apply)
@@ -207,6 +234,7 @@ def stream_ingest_vectors(
     bounds: list[tuple[float, float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ):
     """Streaming VECTOR-INDEX ingest (round 9) — the ANN side of the
     incremental family: embedding batches arrive, each is SQ8-encoded
@@ -237,6 +265,7 @@ def stream_ingest_vectors(
             return  # fully committed batch replayed
         packed = sq8_encode_packed(batch_df, bounds, id_col, vec_col)
         _stream_append_commit(index, packed, epoch_key)
+        _maybe_compact(index, compact_every)
 
     q = (
         stream_vecs.writeStream.foreachBatch(_apply)

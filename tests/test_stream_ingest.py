@@ -389,3 +389,74 @@ def test_stream_ingest_vectors_search_equals_batch_encode(spark, tmp_path):
     batch = PQ.sq8_encode_packed(full, bounds).localCheckpoint()
     want = sorted(map(tuple, PQ.sq8_topk(batch, q, bounds, 5).collect()))
     assert got == want
+
+
+def _live_parquet_count(index: TxTable) -> int:
+    snap = index._read_manifest(index.latest_version())
+    n = 0
+    for rel in snap.data_dirs:
+        root = os.path.join(index.root, rel)
+        for dirpath, _dirs, files in os.walk(root):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_stream_ingest_vectors_compaction_preserves_search_and_epochs(spark, tmp_path):
+    """compact_every bounds the index's live file count mid-stream; the
+    rewrite changes NO search result; and the optimize manifest carries the
+    epoch history so vacuum + a wiped checkpoint still admits nothing
+    twice (VERDICT r9 #7)."""
+    import numpy as np
+
+    from payroll_etl_fastapi_spark.operators import pq as PQ
+    from payroll_etl_fastapi_spark.sources.txtable import _table_epoch_versions
+    from payroll_etl_fastapi_spark.streaming.ingest import stream_ingest_vectors
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((24, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(24)]
+    d = str(tmp_path / "vchunks_c")
+    for c in range(8):
+        _write_vec_chunk(d, c, rows[c * 3 : (c + 1) * 3])
+    full = spark.createDataFrame(rows, VEC_SCHEMA)
+    bounds = PQ.sq8_train_bounds(full, 8)
+
+    compacted = TxTable(spark, str(tmp_path / "vec_index_c"))
+    plain = TxTable(spark, str(tmp_path / "vec_index_p"))
+    for index, ck, every in ((compacted, "ckc", 3), (plain, "ckp", None)):
+        stream = (
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        stream_ingest_vectors(
+            stream, index, str(tmp_path / ck), bounds, compact_every=every
+        )
+    # identical contents and identical search across the rewrite
+    q = full.filter(F.col("vec_id") < 3)
+    got = sorted(
+        map(tuple, PQ.sq8_topk(compacted.snapshot().localCheckpoint(), q, bounds, 5).collect())
+    )
+    want = sorted(
+        map(tuple, PQ.sq8_topk(plain.snapshot().localCheckpoint(), q, bounds, 5).collect())
+    )
+    assert got == want
+    assert compacted.snapshot().count() == plain.snapshot().count() == 24
+    # file counts bounded: the compacted head holds < the 8 per-epoch dirs
+    assert _live_parquet_count(compacted) < _live_parquet_count(plain)
+    assert any(h["operation"] == "optimize" for h in compacted.history())
+    # epoch history survives compaction + vacuum: the carried keys cover
+    # all 8 epochs, and a wiped-checkpoint re-drain admits nothing
+    compacted.vacuum(keep_last=1, min_orphan_age_seconds=0)
+    keys = _table_epoch_versions(compacted)
+    assert len(keys) == 8
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckc"))  # wiped checkpoint: all 8 replay
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    stream_ingest_vectors(
+        stream, compacted, str(tmp_path / "ckc"), bounds, compact_every=3
+    )
+    assert compacted.snapshot().count() == 24
