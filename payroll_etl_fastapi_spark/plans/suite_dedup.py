@@ -1312,7 +1312,16 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         index = TxTable(spark, os.path.join(scratch, "idx"))
         corpus = TxTable(spark, os.path.join(scratch, "corpus"))
-        stream_ingest_dedup(stream, index, corpus, os.path.join(scratch, "ckpt"))
+        from payroll_etl_fastapi_spark.plans.suite_streaming import (
+            _stream_state_parts,
+        )
+
+        # foreachBatch joins at gate-scale batches: 8 shuffle/state
+        # partitions per trigger (the filesink sizing lever, round 10)
+        with _stream_state_parts(spark):
+            stream_ingest_dedup(
+                stream, index, corpus, os.path.join(scratch, "ckpt")
+            )
         admitted = corpus.snapshot().select(F.col("doc_id").alias("id"))
         out = (
             allc.select(
@@ -1466,9 +1475,14 @@ def dedup_span_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         index = TxTable(spark, os.path.join(scratch, "idx"))
         corpus = TxTable(spark, os.path.join(scratch, "corpus"))
-        stream_ingest_span_dedup(
-            stream, index, corpus, os.path.join(scratch, "ckpt")
+        from payroll_etl_fastapi_spark.plans.suite_streaming import (
+            _stream_state_parts,
         )
+
+        with _stream_state_parts(spark):
+            stream_ingest_span_dedup(
+                stream, index, corpus, os.path.join(scratch, "ckpt")
+            )
         admitted = corpus.snapshot().select(F.col("doc_id").alias("id"))
         out = (
             allc.select(

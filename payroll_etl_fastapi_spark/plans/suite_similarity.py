@@ -2287,9 +2287,14 @@ def ann_sq8_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .option("maxFilesPerTrigger", 1)
                     .parquet(src)
                 )
-                stream_ingest_vectors(
-                    stream, index, os.path.join(scratch, "ckpt"), bounds
+                from payroll_etl_fastapi_spark.plans.suite_streaming import (
+                    _stream_state_parts,
                 )
+
+                with _stream_state_parts(spark):
+                    stream_ingest_vectors(
+                        stream, index, os.path.join(scratch, "ckpt"), bounds
+                    )
                 last_err = None
                 break
             except Exception as e:  # noqa: BLE001 — re-raised below with head
