@@ -190,7 +190,11 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-7 second swap (VERDICT r6 #1): the LSH retrieval-recall quality
     # gate takes this slot; events_rolling_distinct holds its r6 driver-green
     # row in _SECONDARY
-    "corpus_pack_sequences",  # r9 freshness swap (was ann_lsh_recall, r8-green)
+    # ROUND-10 second swap: the deterministic weighted-sampling gate
+    # (Efraimidis-Spirakis exponential race, the weighted complement of
+    # the stratified sampler) takes this slot at registration;
+    # corpus_pack_sequences holds its r9 driver-green row in _SECONDARY
+    "corpus_weighted_sample",
     # ROUND-8 swap (VERDICT r7 #1): the trained IVF-PQ retrieval-recall
     # quality gate takes this slot; events_journey_trigrams holds its r7
     # driver-green row in _SECONDARY
@@ -280,6 +284,7 @@ _WINDOW: tuple[str, ...] = (
 # _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
 # oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
 _SECONDARY: tuple[str, ...] = (
+    "corpus_pack_sequences",  # ceded its slot to corpus_weighted_sample (r10); r9 driver-green
     "ann_ivf_sq8_topk",  # ceded its slot to ann_routed_topk (r10); r9 driver-green
     "ann_lsh_topk",  # ceded its slot in the r10 third freshness wave; r9 driver-green
     "dedup_minhash_lsh",  # ceded its slot in the r10 third freshness wave; r9 driver-green

@@ -258,6 +258,72 @@ def stratified_sample(
     return (h28(key) % 1000) < rate
 
 
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight: Column,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — Efraimidis &
+    Spirakis 2006 exponential-race keys over hash-derived uniforms: every
+    row races with score = -ln(u)/w, u = (h28(seed:id)+1)/2^28, and the n
+    SMALLEST scores win. P(row wins the first slot) = w_i/Σw, and
+    conditioning repeats over the remainder — the weighted
+    without-replacement semantics ("sample 10M docs ∝ quality weight") a
+    training-data pipeline needs, in ONE scan.
+
+    Determinism: the uniform comes from the family-wide h28 content hash of
+    ``seed`` + the row id, not an RNG — identical under re-partitioning,
+    re-runs, and engines (unlike df.sample, whose draw depends on partition
+    layout). Scores snap to integer micros before ranking (the unigram-cost
+    ln precedent: ln is the one non-correctly-rounded step, and the micro
+    snap makes the cross-engine comparison exact in practice — verified
+    bit-equal at three scales by the driver gate's oracle); ties resolve by
+    id, so the ranking is a total order.
+
+    Weight contract: w > 0 races normally; w = 0 or NULL rows NEVER sample
+    (P ∝ 0 — mathematically consistent, documented); a NEGATIVE weight
+    raises in-plan (raise_error naming the id) rather than silently winning
+    every slot (−ln(u)/w flips sign).
+
+    Scale shape (100 TB): one narrow projection (hash + ln per row) into a
+    global top-n — TakeOrderedAndProject, no shuffle, no window over the
+    corpus; the rank is minted by a window over the n winners only.
+    Returns (id, weight_micro, score_micro, rank), rank 1..n."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = weight.cast("double")
+    u = (h28(F.concat(F.lit(f"ws{seed}:"), F.col(id_col).cast("string"))) + 1).cast(
+        "double"
+    ) / F.lit(float(1 << 28))
+    score = F.floor((-F.log(u) / w) * 1_000_000 + F.lit(0.5)).cast("long")
+    guarded = (
+        F.when(
+            w < 0,
+            F.expr(
+                f"raise_error(concat('weighted_sample: negative weight for "
+                f"{id_col} ', CAST({id_col} AS STRING)))"
+            ).cast("long"),
+        )
+        .when(w > 0, score)
+        .otherwise(F.lit(None).cast("long"))  # w = 0 / NULL: never sampled
+    )
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        F.floor(w * 1_000_000 + F.lit(0.5)).cast("long").alias("weight_micro"),
+        guarded.alias("score_micro"),
+    ).filter(F.col("score_micro").isNotNull())
+    top = scored.orderBy("score_micro", "id").limit(n)
+    win = Window.orderBy("score_micro", "id")
+    return top.select(
+        "id",
+        "weight_micro",
+        "score_micro",
+        F.row_number().over(win).cast("int").alias("rank"),
+    )
+
+
 def temperature_shares(
     docs: DataFrame,
     stratum_col: str = "source",

@@ -944,3 +944,55 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "n_tokens"
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (round 10)
+# ---------------------------------------------------------------------------
+
+_WS_N = 50
+
+
+def _weighted_sample_oracle(n: int = _WS_N, seed: int = 0) -> str:
+    """SQL twin of corpus_weighted_sample: replay the hash-derived uniform,
+    the exponential-race score (-ln(u)/w, micro-snapped — the unigram-cost
+    ln precedent), and the (score, id) top-n ranking."""
+    h = _SQL_H28.format(x=f"'ws{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH scored AS (
+        SELECT doc_id AS id,
+               CAST(floor(CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   AS weight_micro,
+               CAST(floor((-ln(({h} + 1) / 268435456.0)
+                           / CAST(n_chars AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS score_micro
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT id, weight_micro, score_micro,
+               CAST(row_number() OVER (ORDER BY score_micro, id) AS INTEGER)
+                   AS rank
+        FROM scored
+    )
+    SELECT id, weight_micro, score_micro, rank
+    FROM ranked WHERE rank <= {n}
+    ORDER BY rank
+    """
+
+
+@query("corpus_weighted_sample", oracle=_weighted_sample_oracle())
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (corpus.weighted_sample, Efraimidis-Spirakis exponential race over
+    hash-derived uniforms) — "take the top-N docs proportional to a
+    quality weight" in ONE scan: a narrow projection (hash + ln per row)
+    into a global TakeOrderedAndProject top-n (plan-asserted in
+    tests/test_corpus.py), never a corpus-wide window or shuffle. The
+    weight here is n_chars (length-proportional subsampling); the oracle
+    replays uniform, score snap, and the total (score, id) ranking. No
+    reference counterpart (/root/reference samples nothing); the operator
+    is the weighted complement of the stratified content-hash sampler
+    (corpus_sample_stratified)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return C.weighted_sample(docs, _WS_N, F.col("n_chars")).orderBy("rank")

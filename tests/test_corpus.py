@@ -465,6 +465,67 @@ def test_stage_chunk_key_collision_raises(spark):
     assert len(ids) == len(set(ids))
 
 
+def test_weighted_sample_deterministic_and_total_order(spark):
+    """Same draw under repartitioning (hash-derived uniforms, no RNG);
+    ranks dense 1..n; sampling is without replacement; and the plan is a
+    global top-n (TakeOrderedAndProject), never a corpus-wide window."""
+    docs = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(400)], "doc_id long, w double"
+    )
+    out1 = C.weighted_sample(docs, 25, F.col("w")).collect()
+    out2 = C.weighted_sample(docs.repartition(13), 25, F.col("w")).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    ranks = sorted(r.rank for r in out1)
+    assert ranks == list(range(1, 26))
+    assert len({r.id for r in out1}) == 25
+    plan = C.weighted_sample(docs, 25, F.col("w"))._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    """Exactness: score and ranking equal a driver-side replica of the
+    exponential race over the same h28 uniforms."""
+    import hashlib
+    import math
+
+    rows = [(i, float(2 + (i * 7) % 5)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [(r.id, r.score_micro, r.rank) for r in C.weighted_sample(docs, 10, F.col("w")).collect()]
+
+    def h28(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    scored = []
+    for i, w in rows:
+        u = (h28(f"ws0:{i}") + 1) / float(1 << 28)
+        scored.append((math.floor((-math.log(u) / w) * 1_000_000 + 0.5), i))
+    scored.sort()
+    want = [(i, s, rank) for rank, (s, i) in enumerate(scored[:10], 1)]
+    assert got == want
+
+
+def test_weighted_sample_proportionality_and_weight_contract(spark):
+    """Heavy rows (w=9) dominate light rows (w=1) at roughly their weight
+    ratio; w=0 rows never sample; a negative weight raises in-plan."""
+    rows = [(i, 9.0) for i in range(200)] + [(i + 1000, 1.0) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = {r.id for r in C.weighted_sample(docs, 100, F.col("w")).collect()}
+    heavy = sum(1 for i in picked if i < 1000)
+    assert heavy >= 70  # E[heavy] ~ 90 of 100; generous slack
+    with_zero = docs.withColumn(
+        "w", F.when(F.col("doc_id") < 1000, F.lit(0.0)).otherwise(F.col("w"))
+    )
+    picked0 = {r.id for r in C.weighted_sample(with_zero, 100, F.col("w")).collect()}
+    assert all(i >= 1000 for i in picked0)
+    neg = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 5, F.lit(-1.0)).otherwise(F.col("w"))
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        C.weighted_sample(neg, 10, F.col("w")).collect()
+    with pytest.raises(ValueError, match="n must be"):
+        C.weighted_sample(docs, 0, F.col("w"))
+
+
 def _planted_neardup_corpus(spark):
     """60 base vectors + 60 tiny-perturbation copies (cosine >> 0.9 to the
     base, near-orthogonal to everything else in 64-d): every (i, 1000+i)
