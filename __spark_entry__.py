@@ -276,7 +276,11 @@ _WINDOW: tuple[str, ...] = (
     # fitting family) takes this slot; quality_iqr_outliers holds its r6
     # driver-green row in _SECONDARY
     "kpi_delta_months",  # r9 second freshness wave (was quality_linear_fit, r8-green)
-    "events_resample_gapfill",  # r9 freshness swap (was window_function_breadth, r8-green)
+    # ROUND-10 third swap: the PSI drift monitor (the industry-standard
+    # companion to quality_ks_drift — integrates shift across every bin
+    # where KS reports the worst gap) takes this slot at registration;
+    # events_resample_gapfill holds its r9 driver-green row in _SECONDARY
+    "quality_psi_drift",
 )
 
 # Registered past the driver's window: EVERY name here must hold a green
@@ -284,6 +288,7 @@ _WINDOW: tuple[str, ...] = (
 # _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
 # oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
 _SECONDARY: tuple[str, ...] = (
+    "events_resample_gapfill",  # ceded its slot to quality_psi_drift (r10); r9 driver-green
     "corpus_pack_sequences",  # ceded its slot to corpus_weighted_sample (r10); r9 driver-green
     "ann_ivf_sq8_topk",  # ceded its slot to ann_routed_topk (r10); r9 driver-green
     "ann_lsh_topk",  # ceded its slot in the r10 third freshness wave; r9 driver-green

@@ -373,3 +373,81 @@ def ks_drift(
             .alias("ks_micro"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    side_col: str,
+    bin_col: str,
+) -> DataFrame:
+    """(key..., n_a, n_b, psi_micro): per-key Population Stability Index
+    between the two SIDES (side_col boolean: true = snapshot A) — the
+    industry-standard drift score next to the KS distance (ks_drift):
+    PSI = sum over bins of (pA - pB) * ln(pA / pB). Where KS reports the
+    single worst CDF gap, PSI integrates shift across every bin, so a
+    broad low-level redistribution that KS under-reads still scores.
+    Conventional reading: < 0.10 (100000 micro) stable, 0.10-0.25
+    moderate, > 0.25 action.
+
+    Zero-count bins would make ln blow up; the standard remedy here is
+    add-one (Laplace) smoothing over the key's OBSERVED bin set:
+    pX_i = (x_i + 1) / (nX + B) with B = observed bins for the key —
+    deterministic, no epsilon knob, and a bin present on one side only
+    contributes a finite, honest term.
+
+    Determinism: per-bin terms are non-negative ((p-q)ln(p/q) >= 0) and
+    snap to integer micros BEFORE the per-key sum (integer sums commute —
+    the aggregation-order-proof pattern); probabilities and the ln ratio
+    are computed from the same exact doubles in both engines, ln being the
+    one non-correctly-rounded step the micro snap absorbs (the
+    unigram-cost precedent). Keys with an EMPTY side report psi_micro = -1
+    (drift undefined, not zero — the ks_drift sentinel convention).
+
+    Scale shape (100 TB): identical to ks_drift — one (key, bin, side)
+    grouped count with map-side combine, per-key totals and bin counts
+    from ONE full-frame window over the same partitioning, one grouped
+    sum. Observed bins only; no dense grid."""
+    q = list(key_cols)
+    counts = df.groupBy(*q, bin_col).agg(
+        F.sum(F.when(F.col(side_col), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col(side_col), 0).otherwise(1)).alias("b"),
+    )
+    wfull = Window.partitionBy(*q).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = counts.select(
+        *q,
+        F.sum("a").over(wfull).alias("n_a"),
+        F.sum("b").over(wfull).alias("n_b"),
+        F.count(F.lit(1)).over(wfull).alias("n_bins"),
+        F.col("a"),
+        F.col("b"),
+    )
+    pa = (F.col("a") + 1).cast("double") / (F.col("n_a") + F.col("n_bins")).cast(
+        "double"
+    )
+    pb = (F.col("b") + 1).cast("double") / (F.col("n_b") + F.col("n_bins")).cast(
+        "double"
+    )
+    ratio = (
+        (F.col("a") + 1).cast("double") * (F.col("n_b") + F.col("n_bins")).cast("double")
+    ) / (
+        (F.col("b") + 1).cast("double") * (F.col("n_a") + F.col("n_bins")).cast("double")
+    )
+    term = F.floor((pa - pb) * F.log(ratio) * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        per.groupBy(*q, "n_a", "n_b")
+        .agg(F.sum(term).alias("psi_sum"))
+        .select(
+            *q,
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("psi_sum")
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("psi_micro"),
+        )
+    )

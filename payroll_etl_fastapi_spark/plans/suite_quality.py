@@ -609,3 +609,76 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = Q.ks_drift(sided, ["event_type"], "is_a", "bin")
     return out.orderBy("event_type")
+
+
+@query(
+    "quality_psi_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, CAST(epoch(ts) AS BIGINT) AS es,
+               CAST(floor(abs(coalesce(value, 0)) * 100 + 0.5) AS BIGINT)
+                   // {_KS_BIN_CENTS} AS bin
+        FROM events
+    ),
+    mid AS (SELECT (min(es) + max(es)) // 2 AS m FROM base),
+    sided AS (SELECT event_type, bin, es <= m AS is_a FROM base, mid),
+    counts AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
+        FROM sided GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(a) AS n_a, sum(b) AS n_b,
+               count(*) AS n_bins
+        FROM counts GROUP BY 1
+    ),
+    terms AS (
+        SELECT c.event_type, t.n_a, t.n_b,
+               CAST(floor(
+                   (CAST(c.a + 1 AS DOUBLE) / CAST(t.n_a + t.n_bins AS DOUBLE)
+                    - CAST(c.b + 1 AS DOUBLE) / CAST(t.n_b + t.n_bins AS DOUBLE))
+                   * ln((CAST(c.a + 1 AS DOUBLE) * CAST(t.n_b + t.n_bins AS DOUBLE))
+                        / (CAST(c.b + 1 AS DOUBLE) * CAST(t.n_a + t.n_bins AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS term
+        FROM counts c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN sum(term)
+                     ELSE -1 END AS BIGINT) AS psi_micro
+    FROM terms
+    GROUP BY event_type, n_a, n_b
+    ORDER BY event_type
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (operators.quality.
+    psi_drift, round 10) — the industry-standard companion to the KS gate:
+    per event type, PSI = sum (pA - pB) ln(pA / pB) over the observed
+    value bins of the time-range halves, with add-one smoothing over the
+    key's observed bin set (pX = (x+1)/(nX+B)) so one-sided bins
+    contribute finite terms. Where KS reports the single worst CDF gap,
+    PSI integrates shift across every bin. Per-bin terms are non-negative
+    and snap to integer micros BEFORE the per-key sum (order-proof); the
+    oracle replays binning, the midpoint split, smoothing, the ln ratio
+    of exact double products, and the snapped sum. Same single-scan shape
+    as quality_ks_drift: one (type, bin, side) rollup, totals + bin
+    counts from one full-frame window, one grouped sum."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+        F.expr(
+            f"CAST(floor(abs(coalesce(value, 0)) * 100 + 0.5) AS BIGINT)"
+            f" div {_KS_BIN_CENTS}"
+        ).alias("bin"),
+    )
+    mid = base.agg(
+        F.expr("CAST((min(es) + max(es)) div 2 AS BIGINT)").alias("m")
+    )
+    sided = base.crossJoin(F.broadcast(mid)).select(
+        "event_type", "bin", (F.col("es") <= F.col("m")).alias("is_a")
+    )
+    return Q.psi_drift(sided, ["event_type"], "is_a", "bin").orderBy("event_type")

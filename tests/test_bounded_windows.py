@@ -9,7 +9,11 @@ frame bounded by construction:
   in the ingest (6 in the reference CSV), never the fact table;
 - operators/corpus.py pack_sequences: the exclusive-prefix-sum window over
   `__pid` runs over the per-partition totals frame — exactly
-  `num_partitions` rows.
+  `num_partitions` rows;
+- operators/corpus.py weighted_sample (round 10): the rank window runs over
+  the `.limit(n)` top-n winners — n rows by construction (the corpus-wide
+  selection is a TakeOrderedAndProject, plan-asserted in
+  test_corpus.py::test_weighted_sample_deterministic_and_total_order).
 
 Nothing else may use a global window. This module pins the invariant two
 ways: a STATIC audit that the package contains exactly the known
@@ -36,7 +40,8 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "payroll_etl_fastapi_spark")
 # test_zorder_frame_approx_path_has_no_global_window.
 _ALLOWED = {
     "etl.py": 2,  # dept-id assignment, both branches; frame ≤ #dept names
-    os.path.join("operators", "corpus.py"): 1,  # offsets; frame = #partitions
+    # offsets (frame = #partitions) + weighted_sample rank (frame = limit(n))
+    os.path.join("operators", "corpus.py"): 2,
     os.path.join("operators", "zorder.py"): 1,  # exact=True opt-in path
     # text_vocab_coverage rank/cumsum: the window input is .limit(50) —
     # bounded by construction, runtime-pinned below
@@ -109,6 +114,21 @@ def test_pack_sequences_window_frame_is_num_partitions_rows(spark):
     cum_before = got["n_tokens"].cumsum() - got["n_tokens"]
     assert (got["pack_id"] == cum_before // 50).all()
     assert len(got) == 10_000
+
+
+def test_weighted_sample_window_frame_is_post_limit_bounded(spark):
+    """The rank window in weighted_sample runs over the .limit(n) winners —
+    provably n rows regardless of corpus size; the corpus-wide selection is
+    a TakeOrderedAndProject (plan pinned in test_corpus.py)."""
+    from payroll_etl_fastapi_spark.operators.corpus import weighted_sample
+
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5 + 1.0).alias("w")
+    )
+    out = weighted_sample(docs, 20, F.col("w"))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert sorted(r.rank for r in rows) == list(range(1, 21))
 
 
 def test_dept_id_window_frame_bounded_by_dim_cardinality(spark, tmp_path):

@@ -209,6 +209,52 @@ def test_ks_drift_empty_side_sentinel(spark):
     assert r.ks_micro == -1 and r.n_b == 0
 
 
+def test_psi_drift_identical_disjoint_and_replica(spark):
+    """Identical sides -> PSI 0; fully disjoint bins -> large PSI; a mixed
+    case matches a python replica of the smoothed formula exactly."""
+    import math
+
+    same = [("x", True, b) for b in (1, 2, 3)] * 4 + [
+        ("x", False, b) for b in (1, 2, 3)
+    ] * 4
+    hard = [("y", True, 1)] * 6 + [("y", False, 9)] * 6
+    mixed = (
+        [("z", True, 1)] * 3 + [("z", True, 2)]
+        + [("z", False, 1)] + [("z", False, 2)] * 3
+    )
+    df = spark.createDataFrame(
+        same + hard + mixed, "key string, is_a boolean, bin long"
+    )
+    out = {r.key: r for r in Q.psi_drift(df, ["key"], "is_a", "bin").collect()}
+    assert out["x"].psi_micro == 0
+    assert out["y"].psi_micro > 1_000_000  # disjoint -> far past 'action'
+
+    def psi(counts):  # [(a, b)] over observed bins
+        na, nb, B = sum(a for a, _ in counts), sum(b for _, b in counts), len(counts)
+        tot = 0
+        for a, b in counts:
+            pa, pb = (a + 1) / (na + B), (b + 1) / (nb + B)
+            tot += math.floor((pa - pb) * math.log(pa / pb) * 1_000_000 + 0.5)
+        return tot
+
+    assert out["z"].psi_micro == psi([(3, 1), (1, 3)])
+    assert out["y"].psi_micro == psi([(6, 0), (0, 6)])
+    assert (out["z"].n_a, out["z"].n_b) == (4, 4)
+
+
+def test_psi_drift_one_sided_bins_finite_and_empty_sentinel(spark):
+    """Add-one smoothing keeps one-sided bins finite (no inf/NULL), and an
+    empty side reports the -1 sentinel (the ks_drift convention)."""
+    df = spark.createDataFrame(
+        [("k", True, 1), ("k", True, 2), ("k", False, 2)]
+        + [("only_a", True, 1)],
+        "key string, is_a boolean, bin long",
+    )
+    out = {r.key: r for r in Q.psi_drift(df, ["key"], "is_a", "bin").collect()}
+    assert out["k"].psi_micro >= 0  # finite, smoothed
+    assert out["only_a"].psi_micro == -1 and out["only_a"].n_b == 0
+
+
 def test_ks_drift_headroom_guard_raises(spark, monkeypatch):
     """A key whose n_a*n_b exceeds the exact-int64 headroom must raise a
     named error instead of returning a silently wrong ks_micro (ADVICE r9).
