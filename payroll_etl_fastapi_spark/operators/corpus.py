@@ -905,6 +905,32 @@ def stage_chunk(
     return Stage(f"chunk({w}/{s})", fn)
 
 
+def stage_weighted_sample(
+    n: int,
+    weight_col: str,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> Stage:
+    """Keep the ``n`` documents a deterministic weighted draw (∝
+    ``weight_col``, without replacement — corpus.weighted_sample's
+    exponential race over hash-derived uniforms) selects. The weighted
+    complement of stage_stratified-style rate sampling: "keep the best N
+    by quality weight, proportionally" instead of "keep a fixed rate per
+    stratum". n is validated at construction; the weight contract
+    (w=0/NULL never sampled, negative w raises in-plan) is the
+    operator's."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def fn(docs: DataFrame) -> DataFrame:
+        picked = weighted_sample(docs, n, F.col(weight_col), id_col, seed).select(
+            F.col("id").alias(id_col)
+        )
+        return docs.join(picked, id_col, "left_semi")
+
+    return Stage(f"weighted_sample(n={n}@{seed})", fn)
+
+
 def stage_shuffle_shard(
     n_shards: int, seed: int = 0, id_col: str = "doc_id"
 ) -> Stage:

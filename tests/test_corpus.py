@@ -465,6 +465,22 @@ def test_stage_chunk_key_collision_raises(spark):
     assert len(ids) == len(set(ids))
 
 
+def test_stage_weighted_sample_matches_handwired(spark):
+    """The facade stage keeps exactly the operator's n winners (payload
+    intact), and validates n at construction."""
+    docs = spark.createDataFrame(
+        [(i, float(1 + i % 7), f"doc {i}") for i in range(300)],
+        "doc_id long, w double, text string",
+    )
+    out = C.Pipeline([C.stage_weighted_sample(30, "w")]).run(docs)
+    want_ids = {r.id for r in C.weighted_sample(docs, 30, F.col("w")).collect()}
+    got = out.collect()
+    assert {r.doc_id for r in got} == want_ids and len(got) == 30
+    assert all(r.text == f"doc {r.doc_id}" for r in got)
+    with pytest.raises(ValueError, match="n must be"):
+        C.stage_weighted_sample(0, "w")
+
+
 def test_weighted_sample_deterministic_and_total_order(spark):
     """Same draw under repartitioning (hash-derived uniforms, no RNG);
     ranks dense 1..n; sampling is without replacement; and the plan is a
