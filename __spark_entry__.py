@@ -107,6 +107,17 @@ from payroll_etl_fastapi_spark.plans import suite_graph  # noqa: E402,F401
 # keep streaming_sketch_cms). All 22 incoming re-verified green at sf0.01
 # immediately before this swap.
 #
+# ROUND-10 FOURTH WAVE (late round): the function-span audit re-run AFTER
+# this round's code landed flags exactly the gates whose implementation THIS
+# round touched (txtable epoch-key carry: TxTable/_stream_append_commit/
+# _table_epoch_versions; the _stream_state_parts drain sizing) — the
+# highest-value r10 verification targets. The six _SECONDARY members of
+# that cohort (streaming_stream_join, txtable_acid_ops,
+# streaming_txcatalog_dual, streaming_cdc_txtable, streaming_sketch_hdr,
+# streaming_enrich_dim — r7/r8 rows) rotate IN, displacing six r9-green
+# members whose code is untouched in r10; all six incoming verified green
+# in today's 167/167 sf0.01 sweep on the changed code.
+#
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
     # --- 15 anchors: flagship-family representatives, all r4-green ---
@@ -149,7 +160,7 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-7 third swap (VERDICT r6 #1, dedup side): the LSH pair-recall
     # S-curve quality gate takes this slot; dedup_prefix_filter_jaccard
     # holds its r6 driver-green row in _SECONDARY
-    "dedup_lsh_pair_recall",
+    "streaming_sketch_hdr",  # r10 fourth wave: r10 code-change staleness (was dedup_lsh_pair_recall, r9-green)
     "dedup_semantic_clusters",  # r10 third freshness wave (was sketch_hdr_quantiles, r9-green)
     # ROUND-8 eighth swap: the SQ8 scalar-quantized search gate (the other
     # FAISS storage format; the only ANN gate whose full training replays
@@ -172,7 +183,7 @@ _WINDOW: tuple[str, ...] = (
     # takes this slot (search_bm25_topk keeps the search family in-window
     # via the freshness rotation); search_bm25_known_item holds its r8
     # driver-green row in _SECONDARY
-    "quality_ks_drift",
+    "streaming_txcatalog_dual",  # r10 fourth wave: r10 code-change staleness (was quality_ks_drift, r9-green)
     # ROUND-8 sixteenth swap: the WordPiece greedy-tokenization gate (the
     # other subword runtime next to BPE) takes this slot;
     # txtable_change_feed holds its r7 driver-green row in _SECONDARY
@@ -198,7 +209,7 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-8 swap (VERDICT r7 #1): the trained IVF-PQ retrieval-recall
     # quality gate takes this slot; events_journey_trigrams holds its r7
     # driver-green row in _SECONDARY
-    "ann_pq_recall",
+    "streaming_enrich_dim",  # r10 fourth wave: r10 code-change staleness (was ann_pq_recall, r9-green)
     # round-4 third-session batch
     "tpch_q3_shipping_priority",  # r10 third freshness wave (was corpus_sample_stratified, r9-green)
     # ROUND-8 thirteenth swap: the IVF-SQ8 composed-index gate (completing
@@ -220,7 +231,7 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-9 fifth swap: the t-closeness audit (skewness-attack member,
     # completing the privacy QUARTET) takes the privacy-family slot;
     # quality_l_diversity holds its r8 driver-green row in _SECONDARY
-    "quality_t_closeness",
+    "streaming_cdc_txtable",  # r10 fourth wave: r10 code-change staleness (was quality_t_closeness, r9-green)
     # ROUND-9 second swap (VERDICT r8 #5): the streaming exact-substring
     # ingest gate — the pytest-only r8 loop gated, completing the streaming
     # half of the span trio — takes this streaming-family slot;
@@ -231,7 +242,7 @@ _WINDOW: tuple[str, ...] = (
     # slot; events_range_frame_totals holds its r7 driver-green row in
     # _SECONDARY
     "kpi_rollup_by_nation",  # r9 second freshness wave (was graph_kcore_parts, r8-green)
-    "dedup_duplicate_spans",  # r9 freshness swap (was warclite_scan, r8-green)
+    "streaming_stream_join",  # r10 fourth wave: r10 code-change staleness (was dedup_duplicate_spans, r9-green)
     "search_bm25_topk",  # r9 freshness swap (was warclite_stream_rollup, r8-green)
     # ROUND-8 twelfth swap: the multi-probe LSH retrieval-quality gate
     # (half-size index matching the full family's recall via query-side
@@ -242,7 +253,7 @@ _WINDOW: tuple[str, ...] = (
     # ROUND-8 eleventh swap: the incremental exact-substring (span) ingest
     # gate — completing the incremental-dedup trio — takes this slot;
     # events_interval_merge holds its r7 driver-green row in _SECONDARY
-    "dedup_span_incremental",
+    "txtable_acid_ops",  # r10 fourth wave: r10 code-change staleness (was dedup_span_incremental, r9-green)
     "streaming_hourly_filesink",  # r9 freshness swap (was quality_k_anonymity, r8-green)
     # ROUND-8 fifth swap: the bigram-LM perplexity gate (conditional step
     # past text_lm_score) takes this text-family slot; text_vocab_coverage
@@ -288,6 +299,12 @@ _WINDOW: tuple[str, ...] = (
 # _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
 # oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
 _SECONDARY: tuple[str, ...] = (
+    "ann_pq_recall",  # ceded its slot in the r10 fourth wave; r9 driver-green
+    "dedup_lsh_pair_recall",  # ceded its slot in the r10 fourth wave; r9 driver-green
+    "quality_t_closeness",  # ceded its slot in the r10 fourth wave; r9 driver-green
+    "quality_ks_drift",  # ceded its slot in the r10 fourth wave; r9 driver-green
+    "dedup_span_incremental",  # ceded its slot in the r10 fourth wave; r9 driver-green
+    "dedup_duplicate_spans",  # ceded its slot in the r10 fourth wave; r9 driver-green
     "events_resample_gapfill",  # ceded its slot to quality_psi_drift (r10); r9 driver-green
     "corpus_pack_sequences",  # ceded its slot to corpus_weighted_sample (r10); r9 driver-green
     "ann_ivf_sq8_topk",  # ceded its slot to ann_routed_topk (r10); r9 driver-green
@@ -333,14 +350,12 @@ _SECONDARY: tuple[str, ...] = (
     "events_ewma_hourly",  # ceded its slot to dedup_span_removal (r8); r7 driver-green
     "graph_triangle_counts",  # ceded its slot to corpus_shuffle_shards (r8); r7 driver-green
     "unpivot_segment_balances",  # ceded its slot to ann_sq8_topk (r8); r7 driver-green
-    "streaming_enrich_dim",  # ceded its slot to corpus_chunk_overlap (r8); r7 driver-green
     "quality_observed_audit",  # ceded its slot to quality_l_diversity (r8); r7 driver-green
     "events_interval_merge",  # ceded its slot to dedup_span_incremental (r8); r7 driver-green
     "graph_bfs_hops",  # ceded its slot to ann_ivf_sq8_topk (r8); r7 driver-green
     "corpus_temperature_mix",  # ceded its slot to pipeline_training_data_v2 (r8); r7 driver-green
     "events_range_frame_totals",  # ceded its slot to graph_kcore_parts (r8); r7 driver-green
     "vocab_bpe_apply",  # ceded its slot to vocab_unigram_apply (r9); r8 driver-green
-    "streaming_txcatalog_dual",  # ceded its slot to dedup_span_ingest_stream (r9); r8 driver-green
     "dedup_keep_best",  # ceded its slot to ann_sq8_ingest_stream (r9); r8 driver-green
     "quality_l_diversity",  # ceded its slot to quality_t_closeness (r9); r8 driver-green
     "corpus_shuffle_shards",  # ceded its slot to events_seasonal_decompose (r9); r8 driver-green
@@ -352,16 +367,12 @@ _SECONDARY: tuple[str, ...] = (
     "vocab_wordpiece_apply",  # ceded its slot in the r9 second freshness wave; r8 driver-green
     "corpus_semantic_decontamination",  # ceded its slot in the r9 second freshness wave; r8 driver-green
     "dedup_span_removal",  # ceded its slot in the r9 second freshness wave; r8 driver-green
-    "streaming_stream_join",  # ceded its slot in the r9 second freshness wave; r8 driver-green
     "multimodal_binary_stats",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "multimodal_cdc_neardup",  # ceded its slot in the r9 freshness rotation; r8 driver-green
-    "streaming_cdc_txtable",  # ceded its slot in the r9 freshness rotation; r8 driver-green
-    "txtable_acid_ops",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "quality_constraint_audit",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "skew_salted_rollup",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "bucketed_join_rollup",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "graph_pagerank_parts",  # ceded its slot in the r9 freshness rotation; r8 driver-green
-    "streaming_sketch_hdr",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "ann_pq_packed_search",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "graph_label_propagation",  # ceded its slot in the r9 freshness rotation; r8 driver-green
     "sql_pricing_summary",  # ceded its slot in the r9 freshness rotation; r8 driver-green
