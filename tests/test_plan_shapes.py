@@ -592,3 +592,51 @@ def test_ks_drift_single_rollup_and_window(spark):
     assert _nodes(plan, r"Scan parquet") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_psi_drift_single_rollup_and_window(spark):
+    """round 10: PSI drift rides the same single-scan shape as KS — one
+    grouped rollup feeding one per-key full-frame window, no joins against
+    the raw table, no Python."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators import quality as Q
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("is_a"),
+        (F.col("event_id") % 7).alias("bin"),
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        Q.psi_drift(ev, ["event_type"], "is_a", "bin").explain("formatted")
+    plan = buf.getvalue()
+    assert _nodes(plan, r"Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_exchange_free_top_n(spark):
+    """round 10: the corpus-wide weighted selection compiles to a
+    TakeOrderedAndProject over one pruned scan — ZERO exchanges, no
+    corpus-wide window, no Python."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+
+    from payroll_etl_fastapi_spark.operators.corpus import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        weighted_sample(docs, 50, F.col("n_chars")).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert _nodes(plan, r"Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
