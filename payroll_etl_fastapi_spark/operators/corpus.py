@@ -724,22 +724,28 @@ def stage_semantic_dedup(
             )
             drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         elif fam in ("ivf", "ivf_kmeans"):
+            # Seed rows double as the empty/undersized guard (ADVICE r10):
+            # no doc has an embedding -> nothing to compare, return docs
+            # unchanged instead of IndexError-ing on centroids[0]; fewer
+            # rows than n_centroids -> clamp the quantizer to the rows that
+            # exist (a limit(k).collect() is an early-stop scan, so the
+            # guard costs no extra corpus pass).
+            seed_rows = (
+                emb.orderBy("__sid").limit(prm["n_centroids"]).collect()
+            )
+            if not seed_rows:
+                return docs
             if fam == "ivf_kmeans":
                 kcents = S.train_centroids_kmeans(
                     emb,
-                    n_centroids=prm["n_centroids"],
+                    n_centroids=min(prm["n_centroids"], len(seed_rows)),
                     n_iters=prm["n_iters"],
                     id_col="__sid",
                     vec_col="__v",
                 )
                 cents = [v for _, v in kcents]
             else:
-                cents = [
-                    list(r["__v"])
-                    for r in emb.orderBy("__sid")
-                    .limit(prm["n_centroids"])
-                    .collect()
-                ]
+                cents = [list(r["__v"]) for r in seed_rows]
             verdicts = S.semantic_dedup(
                 emb, cents, threshold, id_col="__sid", vec_col="__v"
             )

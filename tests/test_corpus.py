@@ -624,6 +624,29 @@ def test_stage_semantic_dedup_ivf_path(spark):
     assert len(dropped) / 60 >= 0.45
 
 
+def test_stage_semantic_dedup_ivf_empty_and_undersized(spark):
+    """IVF dispatch with NO doc-joined embeddings returns docs unchanged
+    (nothing to compare) instead of IndexError-ing on centroids[0]; fewer
+    rows than n_centroids clamps the quantizer instead of silently
+    undersizing it (ADVICE r10)."""
+    docs, emb = _planted_neardup_corpus(spark)
+    stage = C.stage_semantic_dedup(emb, 0.9, target_recall=0.45)
+    # no doc id intersects an embedding id -> the joined frame is empty
+    lonely = spark.createDataFrame(
+        [(500000 + i, f"lonely {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert sorted(map(tuple, stage.apply(lonely).collect())) == sorted(
+        map(tuple, lonely.collect())
+    )
+    # fewer embedded docs than the routed n_centroids: clamp, don't crash
+    # (each survivor seeds its own cluster, so nothing can pair — the
+    # guard's contract is graceful degradation, not forced dedup)
+    two = docs.filter(F.col("doc_id").isin(0, 1000))
+    kept = {r.doc_id for r in stage.apply(two).collect()}
+    assert 0 in kept and kept <= {0, 1000}
+
+
 def test_stage_bigram_gate_unscored_policy(spark):
     """Docs with < 2 tokens get no LM score: default policy drops them
     (documented), keep_unscored=True retains them (ADVICE r9)."""
