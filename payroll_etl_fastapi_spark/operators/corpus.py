@@ -693,16 +693,18 @@ def stage_semantic_dedup(
     - ivf / ivf_kmeans → SemDeDup within-cluster dedup (semantic_dedup)
       under the picked coarse quantizer (lowest-id sample / trained
       k-means, exactly as the routed retrieval trains them).
-    The committed floors are retrieval recall@10 on the frontier harness;
-    for pairs AT cosine >= threshold the banded collision probability is
-    at or above that floor (multiprobe pair recall is pytest-measured on
-    the clustered corpus in tests/test_corpus.py).
+    The committed floors are measured PAIR recall in the dispatched dedup
+    shape itself (VERDICT r10 #4: tools/semdedup_quality.py planted-twin
+    harness → semantic_dedup_pair_floors in tools/quality_baseline.json;
+    ann_plan(shape="dedup") qualifies against those, never the retrieval
+    recall@10 numbers), so target_recall here means "fraction of true
+    near-dup pairs at cosine >= threshold the dispatch catches".
 
     Docs whose id has no embedding row are KEPT (nothing to compare);
     embeddings without a matching doc are ignored."""
     from payroll_etl_fastapi_spark.operators import similarity as S
 
-    plan = S.ann_plan(target_recall, dim=dim, metric="cosine")
+    plan = S.ann_plan(target_recall, dim=dim, metric="cosine", shape="dedup")
 
     def fn(docs: DataFrame) -> DataFrame:
         emb = embeddings.select(

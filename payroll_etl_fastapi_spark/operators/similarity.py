@@ -1612,6 +1612,7 @@ ANN_FRONTIER: tuple[dict, ...] = (
         "config": "planes=32 bands=8 flips=2",
         "params": {"num_planes": 32, "bands": 8, "n_probe_flips": 2},
         "floor": 0.90,
+        "dedup_floor": 0.95,
         "measured_recall": 0.974,
         "measured_secs": 2.628,
         "metric": "cosine",
@@ -1623,6 +1624,7 @@ ANN_FRONTIER: tuple[dict, ...] = (
         "config": "planes=64 bands=16",
         "params": {"num_planes": 64, "bands": 16, "n_probe_flips": 0},
         "floor": 0.85,
+        "dedup_floor": 0.95,
         "measured_recall": 0.915,
         "measured_secs": 2.422,
         "metric": "cosine",
@@ -1634,6 +1636,7 @@ ANN_FRONTIER: tuple[dict, ...] = (
         "config": "nlist=16 nprobe=4",
         "params": {"n_centroids": 16, "n_probe": 4},
         "floor": 0.45,
+        "dedup_floor": 0.55,
         "measured_recall": 0.558,
         "measured_secs": 4.488,
         "metric": "cosine",
@@ -1645,6 +1648,7 @@ ANN_FRONTIER: tuple[dict, ...] = (
         "config": "nlist=8(t) nprobe=2",
         "params": {"n_centroids": 8, "n_iters": 2, "n_probe": 2},
         "floor": 0.38,
+        "dedup_floor": 0.75,
         "measured_recall": 0.469,
         "measured_secs": 3.549,
         "metric": "cosine",
@@ -1704,6 +1708,7 @@ def ann_plan(
     dim: int = 64,
     metric: str | None = None,
     allow_exact: bool = False,
+    shape: str = "retrieval",
 ) -> dict:
     """Pick the cheapest committed ANN config meeting ``target_recall`` —
     the retrieval mirror of ``dedup.lsh_params_for`` (VERDICT r8 #1).
@@ -1716,6 +1721,17 @@ def ann_plan(
     families, "l2" for the quantizers; None = either). Among qualifiers
     the pick minimizes (scan bytes/vector, measured secs, family) — scan
     width is THE 100 TB cost axis; the harness seconds only break ties.
+
+    ``shape`` selects WHICH committed floor qualifies a config (VERDICT
+    r10 #4): "retrieval" (default) uses the recall@10 frontier
+    (ann_recall_floors); "dedup" uses the measured PAIR-recall floors of
+    each family's DEDUP dispatch (banded self-join / SemDeDup
+    within-cluster — semantic_dedup_pair_floors, tools/semdedup_quality.py
+    harness) and only the families stage_semantic_dedup can dispatch carry
+    one. The two are different quantities — retrieval recall@10 on a
+    clustered corpus vs planted-twin pair recall at the verify threshold —
+    so a dedup caller's target_recall now binds to a floor measured in the
+    dedup shape, never mapped across by argument.
 
     ``allow_exact=True`` adds the exact brute-force scan (recall 1.0,
     scan = 4*dim, all-pairs-guarded at execution) as a last resort;
@@ -1733,9 +1749,13 @@ def ann_plan(
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     if metric not in (None, "cosine", "l2"):
         raise ValueError(f"metric must be cosine|l2|None, got {metric!r}")
+    if shape not in ("retrieval", "dedup"):
+        raise ValueError(f"shape must be retrieval|dedup, got {shape!r}")
+    floor_key = "dedup_floor" if shape == "dedup" else "floor"
     feasible = []
     for c in ANN_FRONTIER:
-        if c["floor"] < target_recall:
+        floor = c.get(floor_key)
+        if floor is None or floor < target_recall:
             continue
         if metric is not None and c["metric"] != metric:
             continue
@@ -1751,6 +1771,7 @@ def ann_plan(
                 "config": "brute-force (all-pairs-guarded)",
                 "params": {},
                 "floor": 1.0,
+                "shape": shape,
                 "measured_recall": 1.0,
                 "measured_secs": None,
                 "metric": metric or "l2",
@@ -1758,15 +1779,15 @@ def ann_plan(
                 "scan_bytes_per_vec": raw,
             }
         best_floor = max(
-            (c["floor"] for c in ANN_FRONTIER
+            (c.get(floor_key, 0.0) or 0.0 for c in ANN_FRONTIER
              if metric is None or c["metric"] == metric),
             default=0.0,
         )
         raise ValueError(
-            f"no committed ANN config reaches recall {target_recall}"
+            f"no committed ANN config reaches {shape} recall {target_recall}"
             + (f" at metric {metric!r}" if metric else "")
             + (f" within {memory_budget} bytes/vector" if memory_budget is not None else "")
-            + f"; the frontier's highest committed floor is {best_floor} "
+            + f"; the frontier's highest committed {shape} floor is {best_floor} "
             "(tools/quality_baseline.json). Pass allow_exact=True for the "
             "guarded brute-force scan, or relax the ask."
         )
@@ -1775,7 +1796,8 @@ def ann_plan(
         "family": chosen["family"],
         "config": chosen["config"],
         "params": dict(chosen["params"]),
-        "floor": chosen["floor"],
+        "floor": chosen[floor_key],
+        "shape": shape,
         "measured_recall": chosen["measured_recall"],
         "measured_secs": chosen["measured_secs"],
         "metric": chosen["metric"],

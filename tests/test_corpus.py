@@ -565,24 +565,34 @@ def _planted_neardup_corpus(spark):
 
 
 def test_stage_semantic_dedup_validates_eagerly():
-    """An ask above the cosine frontier's committed ceiling raises at
-    CONSTRUCTION, naming the ceiling (the stage_near_dedup discipline)."""
-    with pytest.raises(ValueError, match="0.9"):
-        C.stage_semantic_dedup(None, 0.9, target_recall=0.95)
+    """An ask above the committed DEDUP-PAIR ceiling (0.95, the LSH
+    families' planted-twin pair floor) raises at CONSTRUCTION, naming the
+    ceiling (the stage_near_dedup discipline). 0.95 itself now QUALIFIES —
+    the pair floors sit above the retrieval recall@10 numbers because the
+    dedup shape is measured on pairs at the verify threshold."""
+    with pytest.raises(ValueError, match="dedup.*0.95"):
+        C.stage_semantic_dedup(None, 0.9, target_recall=0.97)
+    assert "lsh" in C.stage_semantic_dedup(None, 0.9, target_recall=0.95).name
 
 
 def test_stage_semantic_dedup_routed_pick_meets_floor(spark):
     """The facade's semantic stage at target_recall=0.85 routes to the
     committed lsh_multiprobe config; on the planted near-dup corpus the
-    measured pair recall must meet that committed floor, copies (higher
-    ids) drop, and no lone base doc is lost (VERDICT r9 #5)."""
+    measured pair recall must meet the family's COMMITTED DEDUP-PAIR floor
+    (semantic_dedup_pair_floors via ann_plan(shape="dedup") — VERDICT r10
+    #4, not the retrieval recall@10 number), copies (higher ids) drop, and
+    no lone base doc is lost (VERDICT r9 #5)."""
+    from payroll_etl_fastapi_spark.operators import similarity as S
+
     docs, emb = _planted_neardup_corpus(spark)
     stage = C.stage_semantic_dedup(emb, 0.9, target_recall=0.85)
     assert "lsh_multiprobe" in stage.name
+    plan = S.ann_plan(0.85, metric="cosine", shape="dedup")
+    assert plan["shape"] == "dedup" and plan["floor"] >= 0.85
     kept = {r.doc_id for r in stage.apply(docs).collect()}
     assert set(range(60)) <= kept  # keep-lowest-id: every base survives
     dropped = {1000 + i for i in range(60)} - kept
-    assert len(dropped) / 60 >= 0.85  # the committed floor, measured
+    assert len(dropped) / 60 >= plan["floor"]  # the committed DEDUP floor
     # docs with no embedding row are kept (nothing to compare)
     extra = spark.createDataFrame([(9999, "no embedding")], "doc_id long, text string")
     kept2 = {r.doc_id for r in stage.apply(docs.unionByName(extra)).collect()}
@@ -612,16 +622,21 @@ def test_stage_semantic_dedup_facade_matches_handwired(spark):
 
 
 def test_stage_semantic_dedup_ivf_path(spark):
-    """A low-recall ask routes to the IVF family and executes the SemDeDup
-    within-cluster dedup; copies land in their base's cluster, so the
-    measured drop rate sits far above the 0.45 floor."""
+    """A low-recall ask routes to an IVF family and executes the SemDeDup
+    within-cluster dedup; on the planted corpus copies land in their
+    base's cluster, so the measured drop rate clears the family's
+    committed DEDUP-PAIR floor (under the dedup shape, 0.45 routes to the
+    trained-kmeans quantizer — pair floor 0.75)."""
+    from payroll_etl_fastapi_spark.operators import similarity as S
+
     docs, emb = _planted_neardup_corpus(spark)
     stage = C.stage_semantic_dedup(emb, 0.9, target_recall=0.45)
     assert "@ivf" in stage.name
+    plan = S.ann_plan(0.45, metric="cosine", shape="dedup")
     kept = {r.doc_id for r in stage.apply(docs).collect()}
     assert set(range(60)) <= kept
     dropped = {1000 + i for i in range(60)} - kept
-    assert len(dropped) / 60 >= 0.45
+    assert len(dropped) / 60 >= plan["floor"]
 
 
 def test_stage_semantic_dedup_ivf_empty_and_undersized(spark):

@@ -63,7 +63,13 @@ def _green_artifacts(baseline):
             "theory_fpr": 0.015 / sk["bloom_fpr_theory_ratio_ceiling"],
         },
     }
-    return {"ann": ann, "dedup": dedup, "sketch": sketch}
+    semdedup = {
+        "results": [
+            {"family": k.split("|")[0], "config": k.split("|")[1], "pair_recall": v}
+            for k, v in baseline["semantic_dedup_pair_floors"].items()
+        ]
+    }
+    return {"ann": ann, "dedup": dedup, "sketch": sketch, "semdedup": semdedup}
 
 
 def test_baseline_is_committed_and_green_at_the_boundary():
@@ -118,6 +124,24 @@ def test_sketch_contracts():
     fails = m.check_quality(art, b)
     for needle in ("epsilon*N", "LinearCounting", "HDR", "GK", "Bloom"):
         assert any(needle in f for f in fails), needle
+
+
+def test_semdedup_pair_floor_contracts():
+    """The dedup-shape pair-recall floors (VERDICT r10 #4) gate like the
+    retrieval floors: below-floor fails naming the config, an absent
+    config fails, a missing artifact fails."""
+    m, b = _mod(), _baseline()
+    art = _green_artifacts(b)
+    key = next(iter(b["semantic_dedup_pair_floors"]))
+    art["semdedup"]["results"][0]["pair_recall"] -= 0.05
+    fails = m.check_quality(art, b)
+    assert any("semdedup" in f and "< floor" in f for f in fails)
+    art = _green_artifacts(b)
+    art["semdedup"]["results"] = art["semdedup"]["results"][1:]
+    assert any("absent" in f and key in f for f in m.check_quality(art, b))
+    art = _green_artifacts(b)
+    art["semdedup"] = None
+    assert any("semdedup_quality.json missing" in f for f in m.check_quality(art, b))
 
 
 def test_committed_artifacts_pass_committed_baseline():

@@ -670,7 +670,7 @@ def test_ann_plan_pick_table():
 
 
 def test_ann_plan_impossible_asks_raise_or_go_exact():
-    with pytest.raises(ValueError, match="highest committed floor"):
+    with pytest.raises(ValueError, match="highest committed retrieval floor"):
         sim.ann_plan(0.95)
     with pytest.raises(ValueError, match="bytes/vector"):
         sim.ann_plan(0.9, memory_budget=32)
@@ -702,6 +702,38 @@ def test_ann_plan_floors_match_committed_baseline():
     for c in sim.ANN_FRONTIER:
         frontier_keys[f"{c['family']}|{c['config']}"] = c["floor"]
     assert frontier_keys == floors
+    # dedup-shape floors (VERDICT r10 #4) mirror the same way: every row
+    # carrying a dedup_floor is committed in semantic_dedup_pair_floors and
+    # vice versa — shape="dedup" may never promise an unguarded recall
+    with open(path) as fh:
+        dedup_floors = json.load(fh)["semantic_dedup_pair_floors"]
+    frontier_dedup = {
+        f"{c['family']}|{c['config']}": c["dedup_floor"]
+        for c in sim.ANN_FRONTIER
+        if "dedup_floor" in c
+    }
+    assert frontier_dedup == dedup_floors
+
+
+def test_ann_plan_dedup_shape_picks_and_raises():
+    """shape="dedup" qualifies on the PAIR-recall floors: 0.85 at cosine
+    routes to multiprobe (pair floor 0.95, cheapest scan), 0.45 routes to
+    the trained-kmeans IVF (pair floor 0.75 — under retrieval floors it
+    did not even qualify), quantizer families never qualify (no dedup
+    dispatch), and an ask above 0.95 raises naming the dedup ceiling."""
+    p = sim.ann_plan(0.85, metric="cosine", shape="dedup")
+    assert p["family"] == "lsh_multiprobe" and p["floor"] == 0.95
+    assert p["shape"] == "dedup"
+    p2 = sim.ann_plan(0.45, metric="cosine", shape="dedup")
+    assert p2["family"] == "ivf_kmeans" and p2["floor"] == 0.75
+    # retrieval shape at the same ask still picks the retrieval frontier
+    assert sim.ann_plan(0.45, metric="cosine", shape="retrieval")["family"] == "ivf"
+    with pytest.raises(ValueError, match="dedup.*0.95"):
+        sim.ann_plan(0.97, metric="cosine", shape="dedup")
+    with pytest.raises(ValueError, match="shape"):
+        sim.ann_plan(0.5, shape="bogus")
+    # no metric filter: l2 rows carry no dedup_floor, so they never win
+    assert sim.ann_plan(0.9, shape="dedup")["family"] in ("lsh", "lsh_multiprobe")
 
 
 def test_ann_topk_routed_sq8_meets_target_on_clustered(spark, clustered_emb):

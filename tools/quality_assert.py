@@ -39,11 +39,13 @@ ARTIFACTS = {
     "ann": ".ann_recall.json",
     "dedup": ".dedup_quality.json",
     "sketch": ".sketch_quality.json",
+    "semdedup": ".semdedup_quality.json",
 }
 HARNESSES = {
     "ann": "ann_recall.py",
     "dedup": "dedup_quality.py",
     "sketch": "sketch_quality.py",
+    "semdedup": "semdedup_quality.py",
 }
 
 
@@ -99,6 +101,24 @@ def check_quality(artifacts: dict, baseline: dict) -> list[str]:
                     f"dedup: signature est MAE {got} at H={h} > ceiling {ceil} "
                     "(binomial theory sqrt(j(1-j)/H) plus margin)"
                 )
+
+    # ---- semantic dedup: pair-recall floors per dispatchable family -------
+    # (VERDICT r10 #4: the floors ann_plan(shape="dedup") qualifies against
+    # — measured in the DEDUP shape on the planted-twin harness, a
+    # different quantity than the retrieval recall@10 floors above)
+    sd = artifacts.get("semdedup")
+    if sd is None:
+        fails.append(
+            "semdedup: .semdedup_quality.json missing — run tools/semdedup_quality.py"
+        )
+    else:
+        measured = {_ann_key(e): e["pair_recall"] for e in sd.get("results", [])}
+        for key, floor in baseline.get("semantic_dedup_pair_floors", {}).items():
+            got = measured.get(key)
+            if got is None:
+                fails.append(f"semdedup: config {key!r} absent from the sweep")
+            elif got < floor:
+                fails.append(f"semdedup: {key} pair recall {got} < floor {floor}")
 
     # ---- sketches: error/FPR ceilings + hard contracts ---------------------
     sk = artifacts.get("sketch")
