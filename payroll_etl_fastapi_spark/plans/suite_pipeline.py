@@ -282,3 +282,266 @@ def pipeline_training_data_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline v3 (round 11, VERDICT r10 #7): the corpus.Pipeline FACADE itself,
+# driver-gated — the user-facing surface (stage factories + Pipeline.run)
+# previously earned evidence only via hash-equality pytests to the
+# hand-wired v2 gate. This gate CONSTRUCTS the verdict's composition
+# (filter → near-dedup → semantic-dedup(target_recall=) → chunk → shard),
+# runs it end-to-end on the documents+embeddings tables, and the oracle
+# replays the composed SQL of every dispatched stage.
+# ---------------------------------------------------------------------------
+
+V3_LANGS = ("en", "de", "fr")
+V3_NEAR_T = 0.8          # stage_near_dedup threshold -> lsh_params_for = (20, 5)
+V3_NEAR_H, V3_NEAR_B = 20, 5
+V3_SEM_T = 0.9           # semantic cosine threshold
+V3_SEM_RECALL = 0.85     # dedup-shape ask -> lsh_multiprobe 32/8 flips=2
+V3_COPY = 1_000_000      # planted semantic twins (dedup_embedding_cosine's shape)
+V3_DIM = 64
+
+
+def _sql_minhash_est_pairs(num_hashes: int, bands: int, min_est: float) -> str:
+    """CTE chain ``fmh/fbands/fcand`` ending in ``npairs(id_a, id_b)`` —
+    the est-verified MinHash-LSH pairs minhash_lsh_pairs(threshold=)
+    returns, at the S-curve-derived band structure (the dedup_minhash_lsh
+    oracle's logic, parameterized; assumes ``corpus`` + the shingle CTEs
+    precede it)."""
+    from payroll_etl_fastapi_spark.operators import dedup as D
+
+    coeffs = D.minhash_coefficients(num_hashes)
+    p = D.MERSENNE_P
+    h = "CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)"
+    mins = ",\n               ".join(
+        f"min(({a} * {h} + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT id, {b} AS band, {sig} AS sig FROM fmh".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""fmh AS (
+        SELECT id, {mins}
+        FROM sh GROUP BY id
+    ),
+    fbands AS (
+{band_selects}
+    ),
+    fcand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM fbands x JOIN fbands y
+          ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+    ),
+    npairs AS (
+        SELECT fcand.id_a, fcand.id_b
+        FROM fcand
+        JOIN fmh a ON fcand.id_a = a.id
+        JOIN fmh b ON fcand.id_b = b.id
+        WHERE ({agree}) / {float(num_hashes)} >= {min_est}
+    )"""
+
+
+def _pipeline_v3_oracle() -> str:
+    from payroll_etl_fastapi_spark.plans.suite_dedup import _SQL_SHINGLES
+    from payroll_etl_fastapi_spark.plans.suite_similarity import (
+        _sql_bands_cte,
+        _sql_cosine,
+        _sql_probe_bands_cte,
+    )
+
+    langs = ", ".join(f"'{lg}'" for lg in V3_LANGS)
+    w, s = V2_W, V2_S
+    norm_kept = _SQL_NORM.format(col="text")
+    return f"""
+    WITH docs_aug AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + {V3_COPY} AS doc_id, lang,
+               'sem copy ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE lang IN ({langs})
+    ),
+    emb_aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT e.vec_id + {V3_COPY} AS vec_id,
+               list_transform(generate_series(1, {V3_DIM}),
+                   i -> CASE WHEN (i - 1) % 7 = 0 THEN CAST(0.0 AS FLOAT)
+                             ELSE e.embedding[i] END) AS embedding
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE d.lang IN ({langs})
+    ),
+    kept0 AS (
+        SELECT doc_id AS id, text FROM docs_aug WHERE lang IN ({langs})
+    ),
+    corpus AS (SELECT id, text FROM kept0),
+    {_SQL_SHINGLES},
+    {_sql_minhash_est_pairs(V3_NEAR_H, V3_NEAR_B, V3_NEAR_T)},
+    ndrop AS (SELECT DISTINCT id_b AS id FROM npairs),
+    kept1 AS (
+        SELECT k.id, k.text FROM kept0 k
+        LEFT JOIN ndrop d ON k.id = d.id WHERE d.id IS NULL
+    ),
+    emb AS (
+        SELECT e.vec_id, e.embedding
+        FROM emb_aug e JOIN kept1 k ON e.vec_id = k.id
+    ),
+    sbands AS (
+{_sql_bands_cte('emb', V3_DIM, 32, 8)}
+    ),
+    pbands AS (
+{_sql_probe_bands_cte('emb', V3_DIM, 32, 8, 2)}
+    ),
+    scand AS (
+        SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+                        greatest(a.vec_id, b.vec_id) AS id_b
+        FROM pbands a JOIN sbands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.vec_id <> b.vec_id
+    ),
+    sdrop AS (
+        SELECT DISTINCT c.id_b AS id
+        FROM scand c
+        JOIN emb ea ON c.id_a = ea.vec_id
+        JOIN emb eb ON c.id_b = eb.vec_id
+        WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= {V3_SEM_T}
+    ),
+    kept2 AS (
+        SELECT k.id, k.text FROM kept1 k
+        LEFT JOIN sdrop d ON k.id = d.id WHERE d.id IS NULL
+    ),
+    ctoks AS (
+        SELECT id, string_split({norm_kept}, ' ') AS t
+        FROM kept2 WHERE {norm_kept} <> ''
+    ),
+    nc AS (
+        SELECT id, t,
+               CASE WHEN len(t) <= {w} THEN 1
+                    ELSE 1 + (len(t) - {w} + {s - 1}) // {s} END AS n_chunks
+        FROM ctoks
+    ),
+    chunks AS (
+        SELECT id * {V2_KEY_MULT} + c AS chunk_key,
+               CAST(least(len(t) - c * {s}, {w}) AS BIGINT) AS n_tokens
+        FROM (SELECT id, t, unnest(generate_series(0, n_chunks - 1)) AS c FROM nc)
+    ),
+    sharded AS (
+        SELECT chunk_key, n_tokens,
+               md5('{V2_SEED}:' || CAST(chunk_key AS VARCHAR)) AS skey
+        FROM chunks
+    ),
+    placed AS (
+        SELECT chunk_key, n_tokens, skey,
+               CAST(CAST(('0x' || substr(skey, 1, 7)) AS BIGINT) % {V2_SHARDS}
+                    AS INTEGER) AS shard
+        FROM sharded
+    ),
+    pos AS (
+        SELECT *, row_number() OVER (PARTITION BY shard ORDER BY skey, chunk_key)
+                  - 1 AS pos
+        FROM placed
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(CASE WHEN pos = 0 THEN chunk_key END) AS first_chunk,
+           CAST(sum((pos + 1) *
+                (CAST(('0x' || substr(md5(CAST(chunk_key AS VARCHAR)), 1, 7))
+                      AS BIGINT) % {V2_CHECK_MOD})) AS BIGINT) AS order_checksum
+    FROM pos
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+@query("pipeline_facade_v3", oracle=_pipeline_v3_oracle())
+def pipeline_facade_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus.Pipeline FACADE run end-to-end (VERDICT r10 #7) — the
+    exact composition the verdict names, built from the stage factories:
+
+    1. stage_language_gate({en,de,fr});
+    2. stage_near_dedup(0.8) — MinHash-LSH at the S-curve-planned (20, 5)
+       band structure, est-verified, keep-lowest-id;
+    3. stage_semantic_dedup(embeddings, cos>=0.9, target_recall=0.85) —
+       routed through ann_plan(shape="dedup") to lsh_multiprobe 32/8
+       flips=2 (the pick is ASSERTED in-gate, so an ANN_FRONTIER edit
+       that moves it fails loudly instead of desynchronizing the oracle);
+    4. stage_chunk(64/48); 5. stage_shuffle_shard(8 @ seed 7, terminal).
+
+    The corpus is the documents table plus planted SEMANTIC twins (the
+    dedup_embedding_cosine shape: per in-language doc, a 'sem copy' text —
+    minhash-invisible by construction — whose embedding is the original
+    zeroed at every 7th element, cosine ~0.92), so the semantic stage has
+    guaranteed work that the near-dedup stage cannot steal. Output is the
+    v2 gate's per-shard rollup (count/tokens/position-0 chunk/order
+    checksum) — a drift in ANY stage flips a row.
+
+    Scale shape: the facade folds the stages into ONE lazy plan — banded
+    equality self-joins for both dedup stages (never all-pairs, corpus
+    never broadcast), array-local chunking, one exchange for the shard
+    layout."""
+    from payroll_etl_fastapi_spark.operators import corpus as C
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    in_lang = docs.filter(F.col("lang").isin(*V3_LANGS))
+    docs_aug = docs.unionByName(
+        in_lang.select(
+            (F.col("doc_id") + V3_COPY).alias("doc_id"),
+            "lang",
+            F.concat(F.lit("sem copy "), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb_aug = emb.unionByName(
+        emb.join(
+            in_lang.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        ).select(
+            (F.col("vec_id") + V3_COPY).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(i % 7 == 0, F.lit(0.0).cast("float")).otherwise(
+                    x
+                ),
+            ).alias("embedding"),
+        )
+    )
+    sem = C.stage_semantic_dedup(
+        emb_aug, V3_SEM_T, target_recall=V3_SEM_RECALL, dim=V3_DIM
+    )
+    # pin the routed pick: the oracle replays the multiprobe 32/8-f2 chain
+    assert "lsh_multiprobe" in sem.name, sem.name
+    pipe = C.Pipeline(
+        [
+            C.stage_language_gate(list(V3_LANGS)),
+            C.stage_near_dedup(V3_NEAR_T),
+            sem,
+            C.stage_chunk(V2_W, V2_S),
+            C.stage_shuffle_shard(V2_SHARDS, seed=V2_SEED),
+        ]
+    )
+    out = pipe.run(docs_aug)
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min(F.when(F.col("pos") == 0, F.col("doc_id"))).alias("first_chunk"),
+            F.sum(
+                (F.col("pos") + 1)
+                * (C.h28(F.col("doc_id").cast("string")) % V2_CHECK_MOD)
+            )
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )

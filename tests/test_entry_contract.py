@@ -76,14 +76,72 @@ def test_zero_rotation_debt_invariant():
     import pytest as _pytest
 
     victim = entry_mod._SECONDARY[0]
-    orig_green = entry_mod._driver_green_rows
-    entry_mod._driver_green_rows = lambda: orig_green() - {victim}
+    orig_info = entry_mod._driver_green_info
+    entry_mod._driver_green_info = lambda: {
+        k: v for k, v in orig_info().items() if k != victim
+    }
     try:
         with _pytest.raises(RuntimeError, match="rotation debt") as exc:
             entry_mod._check_registry()
         assert victim in str(exc.value)
     finally:
-        entry_mod._driver_green_rows = orig_green
+        entry_mod._driver_green_info = orig_info
+
+
+def test_span_freshness_is_structural():
+    """VERDICT r10 #2: a span-stale gate sitting OUTSIDE the window fails
+    the import-time check (the r10 fourth wave rotated quality_ks_drift
+    out while stale — that mistake is now impossible to commit silently).
+    The committed snapshot must currently flag no out-of-window gate."""
+    import pytest as _pytest
+
+    assert entry_mod._span_stale_names() & set(entry_mod._SECONDARY) == set()
+    victim = entry_mod._SECONDARY[0]
+    orig = entry_mod._span_stale_names
+    entry_mod._span_stale_names = lambda: {victim}
+    try:
+        with _pytest.raises(RuntimeError, match="span-stale outside") as exc:
+            entry_mod._check_registry()
+        assert victim in str(exc.value)
+    finally:
+        entry_mod._span_stale_names = orig
+    # a stale name that HOLDS a window slot passes (it earns its row)
+    entry_mod._span_stale_names = lambda: {entry_mod._WINDOW[0]}
+    try:
+        entry_mod._check_registry()
+    finally:
+        entry_mod._span_stale_names = orig
+
+
+def test_max_row_age_is_structural():
+    """VERDICT r10 #3: an out-of-window gate whose newest green row lags
+    the newest round by more than _MAX_ROW_AGE rounds fails the import;
+    the current registry satisfies the policy (oldest _SECONDARY row is
+    within the limit)."""
+    import pytest as _pytest
+
+    green = entry_mod._driver_green_info()
+    latest = entry_mod._latest_round()
+    assert latest >= 10
+    too_old = [
+        n
+        for n in entry_mod._SECONDARY
+        if green[n] < latest - entry_mod._MAX_ROW_AGE
+    ]
+    assert too_old == []
+    # forcing one gate's newest row below the cutoff trips the check
+    victim = entry_mod._SECONDARY[0]
+    orig_info = entry_mod._driver_green_info
+    entry_mod._driver_green_info = lambda: {
+        **orig_info(),
+        victim: latest - entry_mod._MAX_ROW_AGE - 1,
+    }
+    try:
+        with _pytest.raises(RuntimeError, match="row-age limit") as exc:
+            entry_mod._check_registry()
+        assert victim in str(exc.value)
+    finally:
+        entry_mod._driver_green_info = orig_info
 
 
 def test_archived_queries_stay_oracle_green(spark):

@@ -314,6 +314,11 @@ def main() -> int:
     names = (
         list(e._WINDOW) + list(e._SECONDARY) + list(e._ARCHIVED)
         if "--all" in sys.argv
+        # --emit snapshots everything the structural check cares about:
+        # out-of-window gates (stale ⇒ must rotate in) plus the archived
+        # set (stale ⇒ re-verify via check_oracle --archived, reported)
+        else list(e._SECONDARY) + list(e._ARCHIVED)
+        if "--emit" in sys.argv
         else list(e._SECONDARY)
     )
     changed_since: dict[int, set[str]] = {}
@@ -361,6 +366,27 @@ def main() -> int:
         f"\n{len(stale)} stale of {len(names)} audited "
         f"({len(append_only)} reclassified append-only fresh)"
     )
+    if "--emit" in sys.argv:
+        # Committed snapshot feeding __spark_entry__._check_registry's
+        # structural span-freshness invariant (VERDICT r10 #2): a stale
+        # gate sitting OUTSIDE the window fails the import, so the r10
+        # fourth-wave mistake (rotating a span-stale gate out) cannot
+        # recur silently. Re-emit at round end, after all code lands.
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+        ).stdout.strip()
+        snap = {
+            "head": head,
+            "audited": len(names),
+            "stale": sorted(n for _g, n, _d in stale),
+            "archived_stale": sorted(
+                n for _g, n, _d in stale if n in e._ARCHIVED
+            ),
+        }
+        path = os.path.join(REPO, "tools", "staleness_snapshot.json")
+        with open(path, "w") as fh:
+            json.dump(snap, fh, indent=1, sort_keys=True)
+        print(f"emitted {path}")
     return 0
 
 
