@@ -667,6 +667,38 @@ def stage_near_dedup(
     return Stage(f"near_dedup(j>={threshold})", fn)
 
 
+# Self-join junk budget for the semantic-dedup LSH dispatch: the fraction
+# of UNCORRELATED pairs (cosine ~0, the bulk of any real corpus) the
+# banding may admit as candidates. Retrieval bandings tolerate ~0.2 per
+# QUERY row; in an n x n SELF-join the same number multiplies n^2/2 —
+# measured round 11: the 32/8 retrieval banding admitted 81% of random
+# pairs and the facade gate went quadratic at sf1. 0.02 keeps the verify
+# mass at 1-3% of pairs (9-bit bands at threshold 0.9).
+_SELF_JOIN_JUNK = 0.02
+
+
+def dedup_lsh_banding(
+    threshold: float, multiprobe: bool = False
+) -> tuple[int, int, int]:
+    """(num_planes, bands, probe_flips) for the semantic-dedup SELF-join
+    at a cosine ``threshold`` — similarity.lsh_planes_for with the
+    self-join junk budget instead of the retrieval one. The multiprobe
+    variant stores HALF the bands (half the index rows — the family's
+    value proposition) and recovers recall with 2 probe-side bit flips
+    per band; both shapes' pair recall is measured and committed
+    (tools/semdedup_quality.py → semantic_dedup_pair_floors)."""
+    from payroll_etl_fastapi_spark.operators.similarity import lsh_planes_for
+
+    num_planes, bands = lsh_planes_for(
+        threshold, max_fp_weight=_SELF_JOIN_JUNK
+    )
+    if not multiprobe:
+        return num_planes, bands, 0
+    bits = num_planes // bands
+    half = max(1, (bands + 1) // 2)
+    return bits * half, half, 2
+
+
 def stage_semantic_dedup(
     embeddings: DataFrame,
     threshold: float,
@@ -687,9 +719,11 @@ def stage_semantic_dedup(
     Dispatch mirrors ann_topk, re-expressed in the DEDUP shape (a banded /
     clustered SELF-join — never the retrieval path, whose broadcast-query
     contract would broadcast the corpus):
-    - lsh / lsh_multiprobe → embedding_near_dup_pairs with the picked
-      planes/bands (+ probe-side flips for the multiprobe family); exact
-      cosine >= threshold verifies candidates; drop the higher id.
+    - lsh / lsh_multiprobe → embedding_near_dup_pairs under the
+      THRESHOLD-DERIVED self-join banding (dedup_lsh_banding below; the
+      multiprobe family halves the stored bands and recovers recall with
+      probe-side flips); exact cosine >= threshold verifies candidates;
+      drop the higher id.
     - ivf / ivf_kmeans → SemDeDup within-cluster dedup (semantic_dedup)
       under the picked coarse quantizer (lowest-id sample / trained
       k-means, exactly as the routed retrieval trains them).
@@ -705,6 +739,13 @@ def stage_semantic_dedup(
     from payroll_etl_fastapi_spark.operators import similarity as S
 
     plan = S.ann_plan(target_recall, dim=dim, metric="cosine", shape="dedup")
+    fam = plan["family"]
+    if fam in ("lsh", "lsh_multiprobe"):
+        # derive the banding AT CONSTRUCTION so an unreachable threshold
+        # raises here, like stage_near_dedup's lsh_params_for discipline
+        num_planes, bands, flips = dedup_lsh_banding(
+            threshold, multiprobe=(fam == "lsh_multiprobe")
+        )
 
     def fn(docs: DataFrame) -> DataFrame:
         emb = embeddings.select(
@@ -712,7 +753,7 @@ def stage_semantic_dedup(
         ).join(
             docs.select(F.col(id_col).alias("__sid")), "__sid"
         )
-        fam, prm = plan["family"], plan["params"]
+        prm = plan["params"]
         if fam in ("lsh", "lsh_multiprobe"):
             pairs = S.embedding_near_dup_pairs(
                 emb,
@@ -720,9 +761,9 @@ def stage_semantic_dedup(
                 id_col="__sid",
                 vec_col="__v",
                 dim=dim,
-                num_planes=prm["num_planes"],
-                bands=prm["bands"],
-                n_probe_flips=prm.get("n_probe_flips", 0),
+                num_planes=num_planes,
+                bands=bands,
+                n_probe_flips=flips,
             )
             drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         elif fam in ("ivf", "ivf_kmeans"):
@@ -959,10 +1000,20 @@ def stage_shuffle_shard(
 
 class Pipeline:
     """Composable corpus-preparation pipeline: ``Pipeline([...stages]).
-    run(docs)`` folds the stages into ONE lazy DataFrame plan — nothing
-    executes until the caller acts on the result, so Catalyst optimizes
-    the composition exactly as it does the hand-wired
-    pipeline_training_data_v2 gate (hash-equality pytest-pinned).
+    run(docs)`` folds the stages into one lazy composition — nothing
+    executes until the caller acts on the result — with a LAZY local
+    checkpoint at each stage boundary (round 11): several stages consume
+    their input document frame more than once (stage_semantic_dedup joins
+    it to the embeddings AND anti-joins the drop list back onto it;
+    stage_shuffle_shard joins the layout back onto the payload), and
+    without the boundary checkpoint every such consumer re-executes the
+    entire upstream pipeline — measured 31.5 s -> ~13 s on the
+    pipeline_facade_v3 gate at sf0.1, where the MinHash stage alone was
+    re-running four times. eager=False keeps construction free: each
+    boundary materializes once at the first downstream action and is
+    freed by the context cleaner when unreachable (the
+    embedding_near_dup_pairs discipline). Results are value-identical —
+    the facade-vs-hand-wired hash-equality pytests pin that.
 
     Construction validates the composition: at most one terminal stage
     (shuffle_shard), and only in final position."""
@@ -983,7 +1034,7 @@ class Pipeline:
     def run(self, docs: DataFrame) -> DataFrame:
         out = docs
         for s in self.stages:
-            out = s.apply(out)
+            out = s.apply(out).localCheckpoint(eager=False)
         return out
 
     def describe(self) -> list[str]:

@@ -1612,7 +1612,7 @@ ANN_FRONTIER: tuple[dict, ...] = (
         "config": "planes=32 bands=8 flips=2",
         "params": {"num_planes": 32, "bands": 8, "n_probe_flips": 2},
         "floor": 0.90,
-        "dedup_floor": 0.95,
+        "dedup_floor": 0.97,
         "measured_recall": 0.974,
         "measured_secs": 2.628,
         "metric": "cosine",
@@ -1624,7 +1624,7 @@ ANN_FRONTIER: tuple[dict, ...] = (
         "config": "planes=64 bands=16",
         "params": {"num_planes": 64, "bands": 16, "n_probe_flips": 0},
         "floor": 0.85,
-        "dedup_floor": 0.95,
+        "dedup_floor": 0.94,
         "measured_recall": 0.915,
         "measured_secs": 2.422,
         "metric": "cosine",

@@ -298,7 +298,12 @@ V3_LANGS = ("en", "de", "fr")
 V3_NEAR_T = 0.8          # stage_near_dedup threshold -> lsh_params_for = (20, 5)
 V3_NEAR_H, V3_NEAR_B = 20, 5
 V3_SEM_T = 0.9           # semantic cosine threshold
-V3_SEM_RECALL = 0.85     # dedup-shape ask -> lsh_multiprobe 32/8 flips=2
+V3_SEM_RECALL = 0.85     # dedup-shape ask -> the lsh_multiprobe family,
+#                            dispatched under the THRESHOLD-DERIVED
+#                            self-join banding (corpus.dedup_lsh_banding:
+#                            45 planes / 5 bands / 2 flips at 0.9 — the
+#                            retrieval 32/8 banding admitted 81% of random
+#                            pairs and went quadratic at sf1)
 V3_COPY = 1_000_000      # planted semantic twins (dedup_embedding_cosine's shape)
 V3_DIM = 64
 
@@ -359,16 +364,23 @@ def _pipeline_v3_oracle() -> str:
         _sql_probe_bands_cte,
     )
 
+    from payroll_etl_fastapi_spark.operators.corpus import dedup_lsh_banding
+
+    sp, sb, sf = dedup_lsh_banding(V3_SEM_T, multiprobe=True)
     langs = ", ".join(f"'{lg}'" for lg in V3_LANGS)
     w, s = V2_W, V2_S
     norm_kept = _SQL_NORM.format(col="text")
     return f"""
-    WITH docs_aug AS (
-        SELECT doc_id, lang, text FROM documents
+    WITH edocs AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    docs_aug AS (
+        SELECT doc_id, lang, text FROM edocs
         UNION ALL
         SELECT doc_id + {V3_COPY} AS doc_id, lang,
                'sem copy ' || CAST(doc_id AS VARCHAR) AS text
-        FROM documents WHERE lang IN ({langs})
+        FROM edocs WHERE lang IN ({langs})
     ),
     emb_aug AS (
         SELECT vec_id, embedding FROM embeddings
@@ -377,7 +389,7 @@ def _pipeline_v3_oracle() -> str:
                list_transform(generate_series(1, {V3_DIM}),
                    i -> CASE WHEN (i - 1) % 7 = 0 THEN CAST(0.0 AS FLOAT)
                              ELSE e.embedding[i] END) AS embedding
-        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        FROM embeddings e JOIN edocs d ON e.vec_id = d.doc_id
         WHERE d.lang IN ({langs})
     ),
     kept0 AS (
@@ -396,10 +408,10 @@ def _pipeline_v3_oracle() -> str:
         FROM emb_aug e JOIN kept1 k ON e.vec_id = k.id
     ),
     sbands AS (
-{_sql_bands_cte('emb', V3_DIM, 32, 8)}
+{_sql_bands_cte('emb', V3_DIM, sp, sb)}
     ),
     pbands AS (
-{_sql_probe_bands_cte('emb', V3_DIM, 32, 8, 2)}
+{_sql_probe_bands_cte('emb', V3_DIM, sp, sb, sf)}
     ),
     scand AS (
         SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
@@ -471,9 +483,13 @@ def pipeline_facade_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. stage_near_dedup(0.8) — MinHash-LSH at the S-curve-planned (20, 5)
        band structure, est-verified, keep-lowest-id;
     3. stage_semantic_dedup(embeddings, cos>=0.9, target_recall=0.85) —
-       routed through ann_plan(shape="dedup") to lsh_multiprobe 32/8
-       flips=2 (the pick is ASSERTED in-gate, so an ANN_FRONTIER edit
-       that moves it fails loudly instead of desynchronizing the oracle);
+       routed through ann_plan(shape="dedup") to the lsh_multiprobe
+       family, dispatched under the threshold-derived SELF-JOIN banding
+       (corpus.dedup_lsh_banding: 45 planes / 5 bands / 2 flips at 0.9 —
+       junk-bounded at 0.02, where the retrieval banding admitted 81% of
+       random pairs); the pick is ASSERTED in-gate, so an ANN_FRONTIER
+       edit that moves it fails loudly instead of desynchronizing the
+       oracle;
     4. stage_chunk(64/48); 5. stage_shuffle_shard(8 @ seed 7, terminal).
 
     The corpus is the documents table plus planted SEMANTIC twins (the
@@ -490,7 +506,16 @@ def pipeline_facade_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout."""
     from payroll_etl_fastapi_spark.operators import corpus as C
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Scope: the EMBEDDED corpus (documents ⋉ embeddings) — every doc the
+    # semantic stage can act on. The unembedded tail would only re-run
+    # minhash/chunk/shard bulk the v2 gate already times, and the semi-join
+    # scales with the data (no literal id cutoff to break sf1's offsets).
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi")
+    )
     in_lang = docs.filter(F.col("lang").isin(*V3_LANGS))
     docs_aug = docs.unionByName(
         in_lang.select(
@@ -501,7 +526,6 @@ def pipeline_facade_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     emb_aug = emb.unionByName(
         emb.join(
             in_lang.select(F.col("doc_id").alias("vec_id")), "vec_id"
@@ -518,7 +542,7 @@ def pipeline_facade_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = C.stage_semantic_dedup(
         emb_aug, V3_SEM_T, target_recall=V3_SEM_RECALL, dim=V3_DIM
     )
-    # pin the routed pick: the oracle replays the multiprobe 32/8-f2 chain
+    # pin the routed pick: the oracle replays the derived 45/5-f2 chain
     assert "lsh_multiprobe" in sem.name, sem.name
     pipe = C.Pipeline(
         [

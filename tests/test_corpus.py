@@ -565,14 +565,29 @@ def _planted_neardup_corpus(spark):
 
 
 def test_stage_semantic_dedup_validates_eagerly():
-    """An ask above the committed DEDUP-PAIR ceiling (0.95, the LSH
-    families' planted-twin pair floor) raises at CONSTRUCTION, naming the
-    ceiling (the stage_near_dedup discipline). 0.95 itself now QUALIFIES —
-    the pair floors sit above the retrieval recall@10 numbers because the
-    dedup shape is measured on pairs at the verify threshold."""
-    with pytest.raises(ValueError, match="dedup.*0.95"):
-        C.stage_semantic_dedup(None, 0.9, target_recall=0.97)
-    assert "lsh" in C.stage_semantic_dedup(None, 0.9, target_recall=0.95).name
+    """An ask above the committed DEDUP-PAIR ceiling (0.97, the multiprobe
+    family's measured planted-twin floor under the threshold-derived
+    self-join banding) raises at CONSTRUCTION, naming the ceiling (the
+    stage_near_dedup discipline). 0.97 itself QUALIFIES — the pair floors
+    sit above the retrieval recall@10 numbers because the dedup shape is
+    measured on pairs at the verify threshold."""
+    with pytest.raises(ValueError, match="dedup.*0.97"):
+        C.stage_semantic_dedup(None, 0.9, target_recall=0.98)
+    assert "lsh" in C.stage_semantic_dedup(None, 0.9, target_recall=0.97).name
+
+
+def test_dedup_lsh_banding_junk_bounded():
+    """The self-join banding derivation: junk budget 0.02 binds (9-bit
+    bands at 0.9, not the retrieval 4-bit ones), the multiprobe variant
+    halves the stored bands and probes with 2 flips, and the analytic
+    junk mass of the derived banding stays under the budget."""
+    planes, bands, flips = C.dedup_lsh_banding(0.9)
+    assert (planes, bands, flips) == (81, 9, 0)
+    bits = planes // bands
+    assert 1 - (1 - 0.5**bits) ** bands <= C._SELF_JOIN_JUNK
+    mplanes, mbands, mflips = C.dedup_lsh_banding(0.9, multiprobe=True)
+    assert (mplanes, mbands, mflips) == (45, 5, 2)
+    assert mplanes // mbands == bits
 
 
 def test_stage_semantic_dedup_routed_pick_meets_floor(spark):
@@ -607,14 +622,14 @@ def test_stage_semantic_dedup_facade_matches_handwired(spark):
 
     docs, emb = _planted_neardup_corpus(spark)
     out = C.Pipeline([C.stage_semantic_dedup(emb, 0.9, target_recall=0.85)]).run(docs)
-    plan = S.ann_plan(0.85, metric="cosine")
-    prm = plan["params"]
+    assert S.ann_plan(0.85, metric="cosine", shape="dedup")["family"] == "lsh_multiprobe"
+    planes_n, bands_n, flips = C.dedup_lsh_banding(0.9, multiprobe=True)
     pairs = S.embedding_near_dup_pairs(
         emb,
         0.9,
-        num_planes=prm["num_planes"],
-        bands=prm["bands"],
-        n_probe_flips=prm["n_probe_flips"],
+        num_planes=planes_n,
+        bands=bands_n,
+        n_probe_flips=flips,
     )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     want = docs.join(drop, "doc_id", "left_anti")

@@ -63,9 +63,18 @@ def _green_artifacts(baseline):
             "theory_fpr": 0.015 / sk["bloom_fpr_theory_ratio_ceiling"],
         },
     }
+    junk_ceils = baseline.get("semantic_dedup_junk_ceilings", {})
     semdedup = {
         "results": [
-            {"family": k.split("|")[0], "config": k.split("|")[1], "pair_recall": v}
+            {
+                "family": k.split("|")[0],
+                "config": k.split("|")[1],
+                "pair_recall": v,
+                # junk exactly at the ceiling where one is committed
+                **(
+                    {"junk_fraction": junk_ceils[k]} if k in junk_ceils else {}
+                ),
+            }
             for k, v in baseline["semantic_dedup_pair_floors"].items()
         ]
     }
@@ -142,6 +151,15 @@ def test_semdedup_pair_floor_contracts():
     art = _green_artifacts(b)
     art["semdedup"] = None
     assert any("semdedup_quality.json missing" in f for f in m.check_quality(art, b))
+    # junk ceiling: above it fails naming the self-join mass
+    art = _green_artifacts(b)
+    jkey = next(iter(b["semantic_dedup_junk_ceilings"]))
+    for e in art["semdedup"]["results"]:
+        if f"{e['family']}|{e['config']}" == jkey:
+            e["junk_fraction"] = b["semantic_dedup_junk_ceilings"][jkey] + 0.01
+    assert any(
+        "junk fraction" in f and "> ceiling" in f for f in m.check_quality(art, b)
+    )
 
 
 def test_committed_artifacts_pass_committed_baseline():

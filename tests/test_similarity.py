@@ -722,14 +722,14 @@ def test_ann_plan_dedup_shape_picks_and_raises():
     did not even qualify), quantizer families never qualify (no dedup
     dispatch), and an ask above 0.95 raises naming the dedup ceiling."""
     p = sim.ann_plan(0.85, metric="cosine", shape="dedup")
-    assert p["family"] == "lsh_multiprobe" and p["floor"] == 0.95
+    assert p["family"] == "lsh_multiprobe" and p["floor"] == 0.97
     assert p["shape"] == "dedup"
     p2 = sim.ann_plan(0.45, metric="cosine", shape="dedup")
     assert p2["family"] == "ivf_kmeans" and p2["floor"] == 0.75
     # retrieval shape at the same ask still picks the retrieval frontier
     assert sim.ann_plan(0.45, metric="cosine", shape="retrieval")["family"] == "ivf"
-    with pytest.raises(ValueError, match="dedup.*0.95"):
-        sim.ann_plan(0.97, metric="cosine", shape="dedup")
+    with pytest.raises(ValueError, match="dedup.*0.97"):
+        sim.ann_plan(0.98, metric="cosine", shape="dedup")
     with pytest.raises(ValueError, match="shape"):
         sim.ann_plan(0.5, shape="bogus")
     # no metric filter: l2 rows carry no dedup_floor, so they never win

@@ -119,6 +119,23 @@ def check_quality(artifacts: dict, baseline: dict) -> list[str]:
                 fails.append(f"semdedup: config {key!r} absent from the sweep")
             elif got < floor:
                 fails.append(f"semdedup: {key} pair recall {got} < floor {floor}")
+        # junk ceilings: the self-join's n^2 coefficient — the fraction of
+        # UNCORRELATED pairs the banding admits as candidates. A banding
+        # edit that lifts this silently re-opens the r11 quadratic blowup.
+        junk = {
+            _ann_key(e): e["junk_fraction"]
+            for e in sd.get("results", [])
+            if "junk_fraction" in e
+        }
+        for key, ceil in baseline.get("semantic_dedup_junk_ceilings", {}).items():
+            got = junk.get(key)
+            if got is None:
+                fails.append(f"semdedup: junk fraction for {key!r} not measured")
+            elif got > ceil:
+                fails.append(
+                    f"semdedup: {key} junk fraction {got} > ceiling {ceil} "
+                    "(self-join candidate mass at cosine ~0)"
+                )
 
     # ---- sketches: error/FPR ceilings + hard contracts ---------------------
     sk = artifacts.get("sketch")

@@ -77,29 +77,101 @@ def planted_corpus(spark):
 
 
 def measure(spark) -> dict:
+    from payroll_etl_fastapi_spark.operators import corpus as C
     from payroll_etl_fastapi_spark.operators import similarity as S
 
     emb, planted = planted_corpus(spark)
     emb = emb.localCheckpoint()
     planted_set = set(planted)
+    n_total = 2 * N_BASE
     results = []
     for c in S.ANN_FRONTIER:
         if c["metric"] != "cosine":
             continue
         fam, prm = c["family"], c["params"]
+        junk = None
         if fam in ("lsh", "lsh_multiprobe"):
+            # measure the DISPATCHED shape: the threshold-derived
+            # self-join banding stage_semantic_dedup actually runs
+            # (round 11 — the retrieval banding admitted 81% of random
+            # pairs as candidates and went quadratic at sf1), not the
+            # retrieval planes/bands
+            planes_n, bands_n, flips = C.dedup_lsh_banding(
+                THRESHOLD, multiprobe=(fam == "lsh_multiprobe")
+            )
             pairs = S.embedding_near_dup_pairs(
                 emb,
                 THRESHOLD,
                 dim=DIM,
-                num_planes=prm["num_planes"],
-                bands=prm["bands"],
-                n_probe_flips=prm.get("n_probe_flips", 0),
+                num_planes=planes_n,
+                bands=bands_n,
+                n_probe_flips=flips,
             )
             caught = {
                 (int(r.id_a), int(r.id_b)) for r in pairs.collect()
             } & planted_set
             recall = len(caught) / len(planted_set)
+            # junk mass: candidate fraction among NON-planted pairs (the
+            # n^2 coefficient a self-join pays at scale). Candidates =
+            # the banded join BEFORE the cosine verify.
+            planes = S.hyperplane_signs(planes_n, DIM)
+            sigs = S.band_signatures("embedding", planes, bands_n)
+            import pyspark.sql.functions as F
+
+            b_arr = F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), s.alias("sig"))
+                    for i, s in enumerate(sigs)
+                ]
+            )
+            hashed = (
+                emb.select(F.col("vec_id").alias("id"), F.explode(b_arr).alias("bs"))
+                .select("id", "bs.band", "bs.sig")
+                .localCheckpoint()
+            )
+            if flips:
+                parr = S.probe_band_signatures("embedding", planes, bands_n, flips)
+
+                def _tag(i):
+                    return lambda s: F.struct(F.lit(i).alias("band"), s.alias("sig"))
+
+                entries = F.flatten(
+                    F.array(*[F.transform(a, _tag(i)) for i, a in enumerate(parr)])
+                )
+                probe = (
+                    emb.select(
+                        F.col("vec_id").alias("id"), F.explode(entries).alias("bs")
+                    )
+                    .select("id", "bs.band", "bs.sig")
+                )
+                cand = (
+                    probe.select(F.col("id").alias("id_a"), "band", "sig")
+                    .join(
+                        hashed.select(F.col("id").alias("id_b"), "band", "sig"),
+                        ["band", "sig"],
+                    )
+                    .filter("id_a != id_b")
+                    .selectExpr(
+                        "least(id_a, id_b) AS id_a", "greatest(id_a, id_b) AS id_b"
+                    )
+                    .dropDuplicates(["id_a", "id_b"])
+                )
+            else:
+                cand = (
+                    hashed.select(F.col("id").alias("id_a"), "band", "sig")
+                    .join(
+                        hashed.select(F.col("id").alias("id_b"), "band", "sig"),
+                        ["band", "sig"],
+                    )
+                    .filter("id_a < id_b")
+                    .dropDuplicates(["id_a", "id_b"])
+                )
+            n_cand = cand.count()
+            n_cand_junk = n_cand - len(
+                {(int(r.id_a), int(r.id_b)) for r in cand.collect()} & planted_set
+            )
+            n_pairs_all = n_total * (n_total - 1) // 2 - len(planted_set)
+            junk = n_cand_junk / n_pairs_all
         elif fam in ("ivf", "ivf_kmeans"):
             if fam == "ivf_kmeans":
                 kcents = S.train_centroids_kmeans(
@@ -120,15 +192,22 @@ def measure(spark) -> dict:
             recall = sum(1 for _b, t in planted if t in dropped) / len(planted)
         else:  # pragma: no cover - no other cosine families committed
             continue
-        results.append(
-            {
-                "family": fam,
-                "config": c["config"],
-                "pair_recall": round(recall, 4),
-                "n_pairs": len(planted),
-            }
+        entry = {
+            "family": fam,
+            "config": c["config"],  # the frontier-row key quality_assert matches
+            "pair_recall": round(recall, 4),
+            "n_pairs": len(planted),
+        }
+        if junk is not None:
+            entry["junk_fraction"] = round(junk, 6)
+            entry["dispatched"] = (
+                f"selfjoin planes={planes_n} bands={bands_n} flips={flips}"
+            )
+        results.append(entry)
+        print(
+            f"{fam:15s} {c['config']:30s} pair_recall={recall:.4f}"
+            + (f" junk={junk:.4f}" if junk is not None else "")
         )
-        print(f"{fam:15s} {c['config']:30s} pair_recall={recall:.4f}")
     return {
         "threshold": THRESHOLD,
         "corpus": f"{N_BASE} isotropic bases + exact-cosine twins in [0.905, 0.98], dim {DIM}",
