@@ -831,6 +831,10 @@ def incremental_span_decisions(
         )
         .withColumn("accepted", F.col("dup_bp") < max_dup_bp)
         .select("id", "accepted", "n_spans", "dup_spans", "dup_bp")
+        # lazy checkpoint, same rationale as minhash's `best`: the caller's
+        # corpus commit, the accepted-spans append, and the gate's own read
+        # are separate actions that would each re-run the flag/rollup chain
+        .localCheckpoint(eager=False)
     )
     accepted_spans = occ.dropDuplicates(["id", "fp"]).join(
         F.broadcast(decisions.filter(F.col("accepted")).select("id")),

@@ -1437,10 +1437,15 @@ def incremental_semantic_decisions(
     all_matches = matches[0]
     for m in matches[1:]:
         all_matches = all_matches.unionByName(m)
+    # lazy checkpoint, the minhash `best` rationale (round 11): `decisions`
+    # and `accepted_rows` both derive from this frame and the streaming
+    # loop's dual epoch-guarded commits act on them separately — without it
+    # the cluster-local pair scans run once per commit
     best = (
         all_matches.groupBy("id")
         .agg(F.min(F.struct("matched_id", "cosine")).alias("b"))
         .select("id", F.col("b.matched_id").alias("matched_id"), F.col("b.cosine").alias("cosine"))
+        .localCheckpoint(eager=False)
     )
     decisions = (
         normed.join(best, "id", "left")
