@@ -418,16 +418,25 @@ def test_incremental_semantic_cross_cluster_miss_is_by_design(spark, tmp_path):
     assert d2[0].accepted and d2[0].cluster_id == 1  # missed by design
 
 
-def test_incremental_semantic_index_join_broadcasts_batch(spark, tmp_path):
+def test_incremental_semantic_index_join_broadcasts_batch(spark, tmp_path, monkeypatch):
     """The 100 TB contract: the persisted index side is joined via a
     BroadcastHashJoin with the BATCH as the build side — no sort-merge join,
-    no hash-partitioning of the index ever enters the plan."""
+    no hash-partitioning of the index ever enters the plan. The r11 lazy
+    checkpoint on the best-match frame would hide the join behind a Scan
+    ExistingRDD in the decisions plan string, so the checkpoint is
+    neutralized for this plan inspection (it never changes the join)."""
     from payroll_etl_fastapi_spark.sources.txtable import TxTable
 
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
     index = TxTable(spark, str(tmp_path / "vec_index"))
     sim.incremental_semantic_dedup(
         index, _vecs(spark, [(1, (1, 0.1, 0, 0)), (2, (0.1, 1, 0, 0))]), cents, 0.9
+    )
+    # patch the CONCRETE DataFrame class (Spark 4: pyspark.sql.DataFrame is
+    # the abstract base; instances are classic.DataFrame)
+    probe = _vecs(spark, [(10, (1, 0.2, 0, 0))])
+    monkeypatch.setattr(
+        type(probe), "localCheckpoint", lambda self, eager=True: self
     )
     decisions, _ = sim.incremental_semantic_decisions(
         index.snapshot(),
