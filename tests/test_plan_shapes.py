@@ -640,3 +640,25 @@ def test_weighted_sample_is_exchange_free_top_n(spark):
     assert "TakeOrderedAndProject" in plan
     assert _nodes(plan, r"Exchange") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_facade_pipeline_no_cartesian_no_python(spark):
+    """round 11: the driver-gated facade composition (pipeline_facade_v3)
+    — two banded dedup self-joins, chunking, shard layout — compiles with
+    NO CartesianProduct/BroadcastNestedLoopJoin anywhere (both dedup
+    stages are (band, sig) equality joins; the corpus is never broadcast
+    as a retrieval query side would be) and no Python evaluation in the
+    plan."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["pipeline_facade_v3"](spark, SF_ORACLE)
+    buf = _io.StringIO()
+    with _rs(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
