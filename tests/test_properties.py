@@ -365,3 +365,84 @@ def test_cdc_suffix_append_preserves_interior_chunks(payload, suffix):
         return  # nothing interior to preserve
     interior = before[:-1]
     assert after[: len(interior)] == interior
+
+
+# ---------------------------------------------------------------------------
+# Epoch-history fuzz (round 11): exactly-once under randomized interleavings
+# of stream epochs, batch DML, compaction (with and without retirement),
+# and vacuum — the scenario tests in test_txtable.py pin the two known
+# ADVICE r10 loss paths; this drives arbitrary sequences through the same
+# machinery and asserts the wiped-checkpoint re-drain never double-admits.
+# ---------------------------------------------------------------------------
+
+_EPOCH_OPS = st.lists(
+    st.sampled_from(["append", "update", "delete", "optimize", "retire", "vacuum"]),
+    max_size=5,
+)
+
+
+@given(ops=_EPOCH_OPS, n_epochs=st.integers(min_value=2, max_value=4))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_epoch_history_exactly_once_fuzz(spark, tmp_path_factory, ops, n_epochs):
+    """Drain n epochs (simulating the sink's epoch guard + the engine's
+    commit log), apply an arbitrary op sequence, wipe the checkpoint, and
+    re-drain: every stream row lands exactly once, batch-append rows are
+    untouched, and deletes stay deleted (no vacuumed manifest ever
+    resurrects a replay)."""
+    import os
+    import shutil
+
+    from payroll_etl_fastapi_spark.sources.txtable import (
+        TxTable,
+        _stream_append_commit,
+        _table_epoch_versions,
+    )
+
+    root = str(tmp_path_factory.mktemp("epoch_fuzz"))
+    table = TxTable(spark, os.path.join(root, "t"))
+    ckpt = os.path.join(root, "ck")
+
+    def drain():
+        # write_stream_txtable's _apply semantics without the streaming
+        # engine: epoch guard via the full history, then the commit-log
+        # marker the engine writes after foreachBatch returns
+        os.makedirs(os.path.join(ckpt, "commits"), exist_ok=True)
+        hist = _table_epoch_versions(table) if table.exists() else None
+        for e in range(n_epochs):
+            key = f"{os.path.abspath(ckpt)}#{e}"
+            if hist is None or key not in hist:
+                df = spark.range(e * 10, e * 10 + 5).selectExpr("id")
+                v = _stream_append_commit(table, df, key)
+                if hist is not None:
+                    hist.add(key, v)
+            with open(os.path.join(ckpt, "commits", str(e)), "w") as fh:
+                fh.write("{}")
+
+    drain()
+    n_batch = 0
+    for i, op in enumerate(ops):
+        if op == "append":
+            table.append(spark.range(1000 + i * 10, 1000 + i * 10 + 3).selectExpr("id"))
+            n_batch += 3
+        elif op == "update":
+            table.update(F.col("id") < 0, {"id": F.lit(-1)})
+        elif op == "delete":
+            table.delete(F.col("id") < 0)
+        elif op == "optimize":
+            table.optimize(target_bytes=1 << 30)
+        elif op == "retire":
+            table.optimize(target_bytes=1 << 30, retire_checkpoints=[ckpt])
+        elif op == "vacuum":
+            table.vacuum(keep_last=1, min_orphan_age_seconds=0)
+    shutil.rmtree(ckpt)
+    drain()
+
+    rows = [r.id for r in table.snapshot().collect()]
+    stream_rows = sorted(r for r in rows if r < 1000)
+    expect = sorted(x for e in range(n_epochs) for x in range(e * 10, e * 10 + 5))
+    assert stream_rows == expect  # exactly once, nothing lost, nothing doubled
+    assert sum(1 for r in rows if r >= 1000) == n_batch
