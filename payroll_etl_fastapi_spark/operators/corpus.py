@@ -1034,7 +1034,12 @@ class Pipeline:
     def run(self, docs: DataFrame) -> DataFrame:
         out = docs
         for s in self.stages:
-            out = s.apply(out).localCheckpoint(eager=False)
+            out = s.apply(out)
+            if not s.terminal:
+                # a terminal stage's output (the training-export layout) is
+                # read once by the caller — a boundary there would only pay
+                # another toRdd planning pass for nothing
+                out = out.localCheckpoint(eager=False)
         return out
 
     def describe(self) -> list[str]:
