@@ -114,27 +114,29 @@ def test_span_freshness_is_structural():
 
 
 def test_max_row_age_is_structural():
-    """VERDICT r10 #3: an out-of-window gate whose newest green row lags
-    the newest round by more than _MAX_ROW_AGE rounds fails the import;
-    the current registry satisfies the policy (oldest _SECONDARY row is
-    within the limit)."""
+    """VERDICT r10 #3 (redesigned per VERDICT r11 #1): the import-time
+    row-age floor pins to _CURATED_AT_ROUND with one round of slack; the
+    current registry satisfies even the STRICT limit (oldest _SECONDARY
+    row within _MAX_ROW_AGE of the curation round)."""
     import pytest as _pytest
 
-    green = entry_mod._driver_green_info()
-    latest = entry_mod._latest_round()
-    assert latest >= 10
+    green = entry_mod._driver_green_info(
+        before_round=entry_mod._CURATED_AT_ROUND
+    )
+    curated = entry_mod._CURATED_AT_ROUND
     too_old = [
         n
         for n in entry_mod._SECONDARY
-        if green[n] < latest - entry_mod._MAX_ROW_AGE
+        if green[n] < curated - entry_mod._MAX_ROW_AGE
     ]
     assert too_old == []
-    # forcing one gate's newest row below the cutoff trips the check
+    # forcing one gate's newest row below the import-time floor (limit + 1
+    # slack) trips the check
     victim = entry_mod._SECONDARY[0]
     orig_info = entry_mod._driver_green_info
-    entry_mod._driver_green_info = lambda: {
-        **orig_info(),
-        victim: latest - entry_mod._MAX_ROW_AGE - 1,
+    entry_mod._driver_green_info = lambda **kw: {
+        **orig_info(**kw),
+        victim: curated - entry_mod._MAX_ROW_AGE - 2,
     }
     try:
         with _pytest.raises(RuntimeError, match="row-age limit") as exc:
@@ -142,6 +144,115 @@ def test_max_row_age_is_structural():
         assert victim in str(exc.value)
     finally:
         entry_mod._driver_green_info = orig_info
+
+
+def test_import_survives_driver_correctness_write(tmp_path):
+    """VERDICT r11 #1 regression test: the r11 harness died because the
+    driver's own CORRECTNESS_r11.json write advanced 'latest round' and
+    tripped the import-time age check mid-harness (BENCH_r11 rc=1, pytest
+    collection broken). With row-age pinned to _CURATED_AT_ROUND, a
+    freshly-landed CORRECTNESS file — including one from a FUTURE round —
+    must never fail the import: a synthetic all-green
+    CORRECTNESS_r{curated+1}.json is written next to the module, the module
+    is re-imported from scratch, and _check_registry must pass."""
+    import importlib
+    import json
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    future = os.path.join(
+        here, f"CORRECTNESS_r{entry_mod._CURATED_AT_ROUND + 1}.json"
+    )
+    assert not os.path.exists(future), (
+        f"{future} already exists — bump _CURATED_AT_ROUND and regenerate "
+        "_WINDOW from _rotation_plan (the curation is two rounds behind)"
+    )
+    rows = {
+        n: {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        }
+        for n in entry_mod._WINDOW
+    }
+    try:
+        with open(future, "w") as fh:
+            json.dump(rows, fh)
+        # fresh interpreter: the real import path, not a cached module
+        r = subprocess.run(
+            [sys.executable, "-c", "import __spark_entry__"],
+            cwd=here,
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        # and the in-process check agrees
+        entry_mod._check_registry()
+    finally:
+        os.remove(future)
+    importlib.reload(entry_mod)
+
+
+def test_curation_is_current():
+    """Builder-facing strictness moved out of the import (VERDICT r11 #1):
+    the committed curation round may lag the newest CORRECTNESS file by at
+    most one round (the driver writes r{curated} — and, if a builder skips
+    one re-curation, r{curated+1} — without breaking anything; two skipped
+    rounds fail HERE, at pytest time, never at import)."""
+    assert entry_mod._latest_round() <= entry_mod._CURATED_AT_ROUND + 1
+
+
+def test_rotation_plan_matches_window():
+    """VERDICT r11 #2: the committed _WINDOW literal must equal the pure
+    rotation policy's output for (green rows as of curation, committed
+    staleness snapshot) — the composition is a reproducible function, not
+    a hand-picked list that can silently drift."""
+    plan = entry_mod._rotation_plan(
+        entry_mod._driver_green_info(
+            before_round=entry_mod._CURATED_AT_ROUND
+        ),
+        entry_mod._span_stale_names(),
+    )
+    assert set(plan) == set(entry_mod._WINDOW)
+    assert len(plan) == 50
+
+
+def test_rotation_plan_r11_scenario():
+    """VERDICT r11 #2: the r11 failure mode — 52 mandatory gates for 50
+    slots — is an explicit infeasibility of the pure policy, not an import
+    crash. Synthetic replay: 35 age-outs + 16 span-stale + 1 debt gate over
+    a 100-gate pool."""
+    import pytest as _pytest
+
+    curated = 11
+    gates = tuple(f"g{i:03d}" for i in range(100))
+    green = {}
+    for i, n in enumerate(gates):
+        if i < 35:
+            green[n] = curated - entry_mod._MAX_ROW_AGE - 1  # age-outs
+        elif i < 99:
+            green[n] = curated - 1  # fresh
+        # g099: no row at all — rotation debt
+    stale = {f"g{i:03d}" for i in range(35, 51)}  # 16 span-stale
+    with _pytest.raises(RuntimeError, match="rotation infeasible"):
+        entry_mod._rotation_plan(
+            green, stale, curated_round=curated, window_size=50, gates=gates
+        )
+    # at 52 slots the same inputs are feasible and every mandatory member
+    # is seated; fill is deterministic oldest-first
+    plan = entry_mod._rotation_plan(
+        green, stale, curated_round=curated, window_size=52, gates=gates
+    )
+    assert len(plan) == 52
+    assert set(plan) >= {*(f"g{i:03d}" for i in range(51)), "g099"}
+    # determinism: same inputs, same output
+    plan2 = entry_mod._rotation_plan(
+        green, stale, curated_round=curated, window_size=52, gates=gates
+    )
+    assert plan == plan2
 
 
 def test_archived_queries_stay_oracle_green(spark):
