@@ -1038,7 +1038,12 @@ class Pipeline:
             if not s.terminal:
                 # a terminal stage's output (the training-export layout) is
                 # read once by the caller — a boundary there would only pay
-                # another toRdd planning pass for nothing
+                # another toRdd planning pass for nothing. (Round 12: a
+                # blanket floor_parallelism at every boundary was measured a
+                # 2x REGRESSION — the per-boundary round-robin exchange
+                # re-executes per downstream consumer; the CPU-bound stage
+                # kernels instead floor themselves at their own scans, which
+                # the LogicalRDD floor now reaches through this checkpoint.)
                 out = out.localCheckpoint(eager=False)
         return out
 

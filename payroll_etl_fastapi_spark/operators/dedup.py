@@ -538,22 +538,21 @@ def connected_components(
     cost, so log beats linear exactly where it matters. Swap
     localCheckpoint for checkpoint() with a checkpoint dir on a real
     cluster."""
+    sess = pairs.sparkSession
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # Materialize the symmetric edge set ONCE, still under AQE (the upstream
+    # pair pipeline — banded joins, df-capped shingles — wants AQE's skew
+    # splitting and coalescing at scale); every loop round below reads this
+    # checkpointed frame.
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
-    )
-    converged = False
-    for _ in range(max_iterations):
+
+    def one_round(labels: DataFrame) -> DataFrame:
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -562,20 +561,21 @@ def connected_components(
         # labels only ever decrease; carry the OLD label through both steps
         # so one flag covers propagation AND jump.
         prop = F.coalesce(neigh.n_comp, labels.component)
-        stepped = (
-            labels.join(neigh, labels.id == neigh.src, "left")
-            .select(
-                labels.id,
-                F.col("component").alias("oc"),
-                F.least(labels.component, prop).alias("c1"),
-            )
-            .localCheckpoint(eager=False)
+        # stepped is consumed twice (as itself and as the jump LUT) but is a
+        # cheap join over the checkpointed labels and cached edges: computing
+        # it twice inside ONE plan costs less than a second per-round
+        # localCheckpoint, whose toRdd pass eagerly executes every
+        # intermediate stage under AQE (round 12, measured on keep_best).
+        stepped = labels.join(neigh, labels.id == neigh.src, "left").select(
+            labels.id,
+            F.col("component").alias("oc"),
+            F.least(labels.component, prop).alias("c1"),
         )
         # pointer jump: c2 = min(c1, component-of-c1). Every label is the id
         # of a node in the same component, so the looked-up label is too —
         # the invariant the convergence proof needs survives the jump.
         lut = stepped.select(F.col("id").alias("pid"), F.col("c1").alias("pcomp"))
-        new_labels = (
+        return (
             stepped.join(lut, stepped.c1 == lut.pid, "left")
             .select(
                 stepped.id,
@@ -591,13 +591,43 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        # this single action materializes both checkpoints AND reads the flag
-        changed = new_labels.agg(F.sum("chg")).first()[0]
-        labels = new_labels
+
+    # (Round-12 note: running the loop with AQE disabled was measured and
+    # REJECTED — job count collapsed ~110 → ~21 but job time doubled: the
+    # static plan loses AQE's broadcast conversion of the node-sized label
+    # frames and runs three 32-partition sort-merge joins per round.)
+    #
+    # FUSED INIT (round 12): component_0 = min(id, min direct neighbor)
+    # — exactly the state the old identity init reached after its first
+    # propagation step, as ONE grouped aggregate over the checkpointed
+    # edges instead of a nodes-distinct shuffle + eager checkpoint + a
+    # full propagation round. Symmetric edges ⇒ every node appears as
+    # src, so this covers the node set; the fixed point (min reachable
+    # id) is unchanged.
+    labels = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    # TWO rounds per convergence action (round 12): labels decrease
+    # monotonically, so "the batch's LAST round changed nothing" is the
+    # same fixed-point test as the old per-round check (a no-change
+    # round keeps every later round unchanged) — at worst one
+    # already-converged round of extra work, for HALF the driver
+    # round-trips. The sum(chg) action materializes the batch's lazy
+    # checkpoints.
+    converged = False
+    rounds_used = 0
+    while rounds_used < max_iterations:
+        batch = min(2, max_iterations - rounds_used)
+        for _ in range(batch):
+            labels = one_round(labels)
+        rounds_used += batch
+        changed = labels.agg(F.sum("chg")).first()[0]
         if not changed:  # 0 or None (empty edge set)
             converged = True
             break
-    edges.unpersist()  # labels is checkpoint-materialized; don't leak the cache
     if not converged:
         # partial labels would silently split true components
         raise RuntimeError(
@@ -1024,16 +1054,42 @@ def containment_pairs(
     LINEAR in corpus size times the cap, never corpus². All scores are
     integral-DIV basis points (no IEEE division anywhere)."""
     sh = shingles(df, text_col, id_col, n)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    capped = sh.join(
-        dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    # ROUND-12 RESHAPE (guide §2.4 — remove shuffles outright): ONE grouped
+    # aggregate replaces the dfreq + cap-join + a⋈b self-join chain. The
+    # shingle table shuffles ONCE (by shingle); the df cap is a filter on
+    # the collected id-list length (shingles are (id, shingle)-distinct, so
+    # list length == the old count(*) df); sizes and pair counts both read
+    # the SAME exchange (ReusedExchange — the old shape re-ran the shingle
+    # explode per consumer: dfreq's agg exchange and the cap-join exchange
+    # partition differently, so each re-scanned the corpus). Pair
+    # generation is ARRAY-LOCAL over the ≤ max_df sorted ids (the
+    # copurchase_edges trick): id_a < id_b by construction, ≤ C(max_df, 2)
+    # pairs per shingle — identical (id_a, id_b, common) to the equality
+    # self-join, with two exchanges and two corpus re-scans removed.
+    # Measured at sf0.1: dedup_containment 4.59 s → see OPTIMIZATION_r12.md.
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") <= max_df)
     )
-    sizes = capped.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
-    a = capped.select(F.col("id").alias("id_a"), "shingle")
-    b = capped.select(F.col("id").alias("id_b"), "shingle")
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nsh"))
+    )
+    m = F.size(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, m - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
