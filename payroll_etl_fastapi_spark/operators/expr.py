@@ -86,12 +86,28 @@ def floor_parallelism(df: DataFrame, multiplier: int = 1) -> DataFrame:
         # "Window" can't flip the verdict (ADVICE r6); the analyze+optimize
         # cost is paid once per DataFrame via _FLOOR_VERDICTS.
         files = df.inputFiles()
-        if not files or len(files) * 2 > cores:
-            _FLOOR_VERDICTS[df] = (False, cores)
-            return df
-        needs_floor = not _plan_has_shuffle_node(
-            df._jdf.queryExecution().optimizedPlan()
-        )
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        if files:
+            if len(files) * 2 > cores:
+                _FLOOR_VERDICTS[df] = (False, cores)
+                return df
+            needs_floor = not _plan_has_shuffle_node(jplan)
+        else:
+            # No backing files: the frame may be a pure scan-side pipeline
+            # over a (local)checkpointed RDD — LogicalRDD leaves (round 12).
+            # Their partition counts are plain metadata on the already-built
+            # RDD object (no execution), so the same under-parallelism floor
+            # applies: AQE sizes post-shuffle partitions by BYTES, so a tiny
+            # checkpointed boundary freezes at 1-2 partitions and a
+            # CPU-bound kernel scanning it runs 1-2 tasks while the other
+            # cores idle. At production sizes the checkpointed RDD already
+            # carries ≥ cores partitions and this path is a no-op.
+            nparts = _logical_rdd_partitions(jplan)
+            needs_floor = (
+                nparts is not None
+                and nparts * 2 <= cores
+                and not _plan_has_shuffle_node(jplan)
+            )
     except Exception:
         # streaming frames and exotic plans: leave untouched
         return df
@@ -134,6 +150,27 @@ _SHUFFLE_NODE_CLASSES = frozenset(
         "GlobalLimit",
     }
 )
+
+
+def _logical_rdd_partitions(jplan) -> int | None:
+    """Sum of RDD partition counts over the plan's LogicalRDD leaves —
+    metadata only, no job. None when the plan has no LogicalRDD leaf (the
+    files-based path is then authoritative) or a leaf is unreadable."""
+    total = 0
+    seen = False
+    stack = [jplan]
+    try:
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                total += node.rdd().getNumPartitions()
+                seen = True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+    except Exception:
+        return None
+    return total if seen else None
 
 
 def _plan_has_shuffle_node(jplan) -> bool:

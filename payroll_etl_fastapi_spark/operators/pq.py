@@ -123,6 +123,17 @@ def _book_lit(book: list[list[float]]) -> Column:
     )
 
 
+def _book_sql(book: list[list[float]]) -> str:
+    """The foldable codebook literal as raw SQL text (see _book_lit)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")" for c in book
+        )
+        + ")"
+    )
+
+
 def _block_dist_cells(vec_col: str, off: int, dsub: int, book: list[list[float]]) -> Column:
     """Array of (d, i) structs: squared L2 of the vector's block slice to
     EVERY centroid of one block, as zip_with/aggregate folds over the
@@ -130,22 +141,19 @@ def _block_dist_cells(vec_col: str, off: int, dsub: int, book: list[list[float]]
     0.0 in element order — bit-identical to the literal +-chain (IEEE:
     0.0 + x == x for the non-negative squared terms, same argument as the
     IVF coarse-assignment fold below) — but evaluates as a runtime loop,
-    keeping the codegen method size constant in k and dsub."""
-    sl = F.slice(F.col(vec_col), off + 1, dsub)
-    return F.transform(
-        _book_lit(book),
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    sl,
-                    c,
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            i.alias("i"),
-        ),
+    keeping the codegen method size constant in k and dsub.
+
+    SERVER-PARSED as one F.expr string (round 12, the band_signatures
+    lesson): the Column/HOF construction of m blocks cost ~5,700 py4j round
+    trips ≈ 1-2 s of driver wall per PLAN (cProfile on ivf_pq_topk); the
+    parsed AST — transform over the codebook literal with the identical
+    zip_with/aggregate fold — is node-for-node the Column form, so every
+    distance and tie-break stays bit-equal (pinned by test_pq)."""
+    return F.expr(
+        f"transform({_book_sql(book)}, (c, i) -> named_struct("
+        f"'d', aggregate(zip_with(slice(`{vec_col}`, {off + 1}, {dsub}), c, "
+        f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        f"0.0D, (acc, x) -> acc + x), 'i', i))"
     )
 
 
@@ -270,38 +278,24 @@ def _adc_entries(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     distances were the other 64 KB codegen blowup site)."""
     dsub = len(codebooks[0][0])
 
-    def _entry_fn(j: int):
-        # pyspark derives the HOF arity from the lambda's parameter count,
-        # so the block index binds via this closure, not a default arg
-        def fn(c, i):
-            return F.struct(
-                F.lit(j).alias("block"),
-                i.alias("code"),
-                F.floor(
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(F.col(vec_col), j * dsub + 1, dsub),
-                            c,
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    * F.lit(1e6)
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("du"),
-            )
+    # SERVER-PARSED (round 12, same rationale as _block_dist_cells): one
+    # F.expr for the whole m-block entry array instead of m HOF lambda
+    # constructions — the parsed AST is node-identical, values bit-equal.
+    def entry_sql(j: int, book: list[list[float]]) -> str:
+        return (
+            f"transform({_book_sql(book)}, (c, i) -> named_struct("
+            f"'block', {j}, 'code', i, 'du', "
+            f"CAST(floor(aggregate(zip_with(slice(`{vec_col}`, {j * dsub + 1}, {dsub}), c, "
+            f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            f"0.0D, (acc, x) -> acc + x) * 1000000.0D + 0.5D) AS BIGINT)))"
+        )
 
-        return fn
-
-    per_block = [
-        F.transform(_book_lit(book), _entry_fn(j))
-        for j, book in enumerate(codebooks)
-    ]
-    return per_block[0] if len(per_block) == 1 else F.concat(*per_block)
+    per_block = [entry_sql(j, book) for j, book in enumerate(codebooks)]
+    return F.expr(
+        per_block[0]
+        if len(per_block) == 1
+        else "concat(" + ", ".join(per_block) + ")"
+    )
 
 
 def pq_adc_topk(
@@ -446,16 +440,20 @@ def _coarse_assign(spark, centroids: list[list[float]], vec: Column):
     L2 keeps the stage inside janino's method limit (see ivf_pq_topk);
     array_sort pins _cents to cent_id order so element_at(list_id + 1)
     retrieves the assigned centroid."""
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cent_id int, cent_vec array<double>",
-    )
+    # one_row as a pure LITERAL select (round 12): the createDataFrame +
+    # collect_list/array_sort aggregate built the identical VALUE — an
+    # array of (cent_id, cent_vec) structs in cent_id order — but cost a
+    # createDataFrame round trip plus one broadcast-side aggregate job per
+    # call site. The literal is already in enumerate order; repr(float)
+    # round-trips the exact IEEE double through the SQL parser.
+    cents_sql = "array(" + ", ".join(
+        f"named_struct('cent_id', {i}, 'cent_vec', array("
+        + ",".join(f"{float(x)!r}D" for x in c)
+        + "))"
+        for i, c in enumerate(centroids)
+    ) + ")"
     one_row = F.broadcast(
-        cent_df.agg(
-            F.array_sort(
-                F.collect_list(F.struct("cent_id", "cent_vec"))
-            ).alias("_cents")
-        )
+        spark.range(1).select(F.expr(cents_sql).alias("_cents"))
     )
     mapped = F.transform(
         F.col("_cents"),

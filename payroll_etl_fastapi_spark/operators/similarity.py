@@ -192,23 +192,35 @@ def probe_band_signatures(
             f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
         )
 
+    # ROUND-12 RESHAPE (the expr.let discipline, applied in SQL): the r10
+    # form inlined every plane dot THREE times per band — in the base
+    # signature, in each |dot| margin struct, and again inside the flip
+    # lambda — so one probe column carried ~3·rpb 64-element folds as TEXT
+    # (driver analysis + codegen grow with it) and evaluated the base's rpb
+    # folds once per flip per ROW (HOF bodies are outside codegen CSE).
+    # Binding the rpb dots ONCE as a lambda variable (transform over a
+    # 1-struct array) makes base, margins and flips O(1) loads over the
+    # same doubles — values bit-identical (same fold, same sort, same XOR),
+    # expression text and per-row fold count cut ~3x. Measured on
+    # pipeline_facade_v3's semantic stage (45/5-f2 banding).
     out = []
     for b in range(bands):
-        terms = [
-            f"(CASE WHEN {dot_sql(planes[b * rpb + r])} >= 0 "
+        dots = ", ".join(dot_sql(planes[b * rpb + r]) for r in range(rpb))
+        base = " + ".join(
+            f"(CASE WHEN element_at(v.ds, {r + 1}) >= 0 "
             f"THEN {1 << r} ELSE 0 END)"
             for r in range(rpb)
-        ]
-        base = " + ".join(terms)
+        )
         margs = ", ".join(
-            f"struct(abs({dot_sql(planes[b * rpb + r])}) AS m, {r} AS i)"
+            f"struct(abs(element_at(v.ds, {r + 1})) AS m, {r} AS i)"
             for r in range(rpb)
         )
         out.append(
             F.expr(
-                f"concat(array({base}), "
+                f"element_at(transform(array(named_struct('ds', array({dots}))), "
+                f"v -> concat(array({base}), "
                 f"transform(slice(array_sort(array({margs})), 1, {n_flips}), "
-                f"s -> CAST(({base}) AS INT) ^ CAST(shiftleft(1, s.i) AS INT)))"
+                f"s -> CAST(({base}) AS INT) ^ CAST(shiftleft(1, s.i) AS INT)))), 1)"
             )
         )
     return out
@@ -936,16 +948,32 @@ def train_centroids_kmeans(
         # re-reading parquet + re-computing norms per iteration (A/B at
         # sf0.1, full ivf_kmeans gate: 5.5s -> 4.8s; unpersisted on return)
     )
+    def _py_norm(vec: list[float]) -> float:
+        # the engine fold bit-for-bit: sequential left fold of double
+        # products, then IEEE sqrt — Python float ops ARE IEEE doubles, so
+        # this equals sqrt(dot(v, v)) engine-side (the ivf_topk literal-path
+        # argument)
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
     for _ in range(n_iters):
-        cent_df = spark.createDataFrame(cents, "cent_id long, cent_vec array<double>")
+        # one_row as a pure LITERAL select (round 12): the per-iteration
+        # createDataFrame + collect_list aggregate built the identical
+        # VALUE (an array of (cent_id, cent_vec, cent_norm) structs; the
+        # consumer array_max is order-free) but cost a createDataFrame
+        # round trip and one broadcast-side aggregate job per iteration.
+        cents_sql = "array(" + ", ".join(
+            f"named_struct('cent_id', {cid}L, 'cent_vec', array("
+            + ",".join(f"{float(x)!r}D" for x in vec)
+            + f"), 'cent_norm', {_py_norm(vec)!r}D)"
+            for cid, vec in cents
+        ) + ")"
         one_row = F.broadcast(
-            cent_df.withColumn(
-                "cent_norm", F.sqrt(dot(F.col("cent_vec"), F.col("cent_vec")))
-            ).agg(
-                F.collect_list(F.struct("cent_id", "cent_vec", "cent_norm")).alias(
-                    "_cents"
-                )
-            )
+            spark.range(1).select(F.expr(cents_sql).alias("_cents"))
         )
         mapped = F.transform(
             F.col("_cents"),
@@ -1065,25 +1093,29 @@ def ivf_topk(
                 acc += float(x) * float(x)
             return math.sqrt(acc)
 
-    def _literal_structs(vec_alias: str, vnorm_alias: str) -> list[Column]:
-        """(cosine-to-centroid, -cent_id) structs: max ⇒ best centroid with
+    def _literal_structs_arr(vec_alias: str, vnorm_alias: str) -> Column:
+        """array<(cosine-to-centroid, -cent_id)>: max ⇒ best centroid with
         the smallest id on ties. The row's norm is read from a precomputed
         column and each centroid's norm is a Python-computed literal — both
         bit-identical to inline sqrt(dot()), evaluated once instead of once
-        per centroid."""
+        per centroid. SERVER-PARSED as one F.expr (round 12, the
+        band_signatures lesson): the Column form cost ~70 py4j round trips
+        per centroid per assignment side; the parsed zip_with/aggregate
+        fold is node-identical, values bit-equal (oracle + pytest pinned)."""
         structs = []
         for r in cent_rows:
-            cent_lit = F.array(*[F.lit(float(x)) for x in r.cent_vec])
-            cos = cosine_prenormed(
-                F.col(vec_alias),
-                cent_lit,
-                F.col(vnorm_alias),
-                F.lit(_py_norm(r.cent_vec)),
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in r.cent_vec) + ")"
+            dot_s = (
+                f"aggregate(zip_with(`{vec_alias}`, {arr}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"0.0D, (acc, x) -> acc + x)"
             )
             structs.append(
-                F.struct(cos.alias("cos"), F.lit(-int(r.cent_id)).alias("negid"))
+                f"named_struct('cos', ({dot_s}) / "
+                f"nullif(`{vnorm_alias}` * {_py_norm(r.cent_vec)!r}D, 0.0D), "
+                f"'negid', {-int(r.cent_id)})"
             )
-        return structs
+        return F.expr("array(" + ", ".join(structs) + ")")
 
     def _pick(base: DataFrame, id_alias: str, vec_alias: str, keep: int,
               structs_arr: Column) -> DataFrame:
@@ -1107,7 +1139,7 @@ def ivf_topk(
         )
         if assign_via == "literal":
             return _pick(
-                base, id_alias, vec_alias, keep, F.array(*_literal_structs(vec_alias, "_vnorm"))
+                base, id_alias, vec_alias, keep, _literal_structs_arr(vec_alias, "_vnorm")
             )
         # broadcast path: one row carrying all centroids as an array column;
         # norms computed engine-side with the same fold → bit-identical
