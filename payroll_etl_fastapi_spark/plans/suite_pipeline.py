@@ -542,8 +542,16 @@ def pipeline_facade_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = C.stage_semantic_dedup(
         emb_aug, V3_SEM_T, target_recall=V3_SEM_RECALL, dim=V3_DIM
     )
-    # pin the routed pick: the oracle replays the derived 45/5-f2 chain
-    assert "lsh_multiprobe" in sem.name, sem.name
+    # pin the routed pick: the oracle replays the derived 45/5-f2 chain.
+    # A hard raise, not a bare assert (ADVICE r11): `python -O` strips
+    # asserts, and an ANN_FRONTIER edit that moves the pick would then
+    # silently desynchronize gate and oracle instead of failing loudly.
+    if "lsh_multiprobe" not in sem.name:
+        raise RuntimeError(
+            f"pipeline_facade_v3 oracle replays the lsh_multiprobe 45/5-f2 "
+            f"chain but ann_plan routed to {sem.name!r} — update the oracle "
+            "and this pin together"
+        )
     pipe = C.Pipeline(
         [
             C.stage_language_gate(list(V3_LANGS)),

@@ -642,23 +642,37 @@ def test_weighted_sample_is_exchange_free_top_n(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_facade_pipeline_no_cartesian_no_python(spark):
-    """round 11: the driver-gated facade composition (pipeline_facade_v3)
-    — two banded dedup self-joins, chunking, shard layout — compiles with
-    NO CartesianProduct/BroadcastNestedLoopJoin anywhere (both dedup
-    stages are (band, sig) equality joins; the corpus is never broadcast
-    as a retrieval query side would be) and no Python evaluation in the
-    plan."""
+def test_facade_pipeline_no_cartesian_no_python(spark, monkeypatch):
+    """round 11 (fixed per ADVICE r11 medium): the driver-gated facade
+    composition (pipeline_facade_v3) — two banded dedup self-joins,
+    chunking, shard layout — compiles with NO CartesianProduct/
+    BroadcastNestedLoopJoin anywhere (both dedup stages are (band, sig)
+    equality joins; the corpus is never broadcast as a retrieval query
+    side would be) and no Python evaluation in the plan.
+
+    The boundary localCheckpoints are monkeypatched to identity for the
+    inspection (the test_similarity convention): a materialized checkpoint
+    rewrites upstream stages to `Scan ExistingRDD`, so the r11 assertion
+    only ever saw the post-chunk tail — a crossJoin upstream of a lazy
+    checkpoint was empirically invisible to it."""
     import io as _io
     from contextlib import redirect_stdout as _rs
 
+    from pyspark.sql import DataFrame
+
     import __spark_entry__ as entry_mod
 
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     df = entry_mod.queries()["pipeline_facade_v3"](spark, SF_ORACLE)
     buf = _io.StringIO()
     with _rs(buf):
         df.explain("formatted")
     plan = buf.getvalue()
+    # the full pre-checkpoint composition is now visible end to end — the
+    # banded self-joins must appear as real joins in the inspected text
+    assert _nodes(plan, r"\bSortMergeJoin|\bBroadcastHashJoin|\bShuffledHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
