@@ -97,6 +97,7 @@ def pagerank(
     damping_pct: int = PR_DAMPING_PCT,
     scale: int = PR_SCALE,
     broadcast_ranks: bool = False,
+    symmetric_input: bool = False,
 ) -> DataFrame:
     """(node, rank_micro) after ``iterations`` integer power iterations.
 
@@ -118,12 +119,24 @@ def pagerank(
     runs shuffle-keyed on src and a cluster reuses that partitioning
     across iterations."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if symmetric_input:
+        # SYMMETRIC fast path (round 12): on a symmetric edge set every
+        # node appears as src AND has at least one in-edge, so the node set
+        # IS deg's key column (no src∪dst union-distinct exchange) and
+        # every round's contribution covers every node (the nodes left-join
+        # per round is a no-op — coalesce(s, 0) can never fire). Ranks are
+        # identical; the caller asserts symmetry, exactly like
+        # `broadcast_ranks` asserts dimension scale.
+        nodes = deg.select(F.col("src").alias("node")).localCheckpoint(
+            eager=False
+        )
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
@@ -135,6 +148,15 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        if symmetric_input:
+            # contrib's dst key already covers the full node set
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.expr(f"{damping_pct} * s DIV 100"))
+                .cast("long")
+                .alias("r"),
+            )
+            continue
         ranks = nodes.join(
             bc(contrib), nodes["node"] == contrib["dst"], "left"
         ).select(
@@ -153,6 +175,7 @@ def label_propagation(
     edges: DataFrame,
     iterations: int = 4,
     broadcast_labels: bool = False,
+    symmetric_input: bool = False,
 ) -> DataFrame:
     """(node, community): synchronous label propagation (Raghavan et al.
     2007) over a SYMMETRIC edge set — each round every node adopts the
@@ -173,12 +196,22 @@ def label_propagation(
     the struct-max swap removed the per-partition sort and cut the 10×
     smoke from 26s to the grouped-count floor). Fixed K rounds: one
     chained plan, no driver loop of actions."""
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if symmetric_input:
+        # symmetric edge set ⇒ the src column alone carries every node
+        # (round 12; same contract note as pagerank's symmetric_input) —
+        # half the union-distinct input, identical node set
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     ed = edges.localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("label"))
     bc = F.broadcast if broadcast_labels else (lambda df: df)

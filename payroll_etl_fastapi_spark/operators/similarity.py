@@ -800,6 +800,11 @@ def embedding_near_dup_pairs(
         ),
         "id_b",
     )
+    # (Round-12 note: swapping this per-pair fold for the unrolled
+    # _dot_chain_sql — the semantic_dedup trick — was measured 2x SLOWER
+    # here (interleaved A/B, exec 4.3 s → 8.6 s): in this join shape the
+    # 64 element_at terms do not fuse into one tight codegen loop the way
+    # semantic_dedup's projection does. The fold stays.)
     cos = cosine_prenormed(
         F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")
     )

@@ -81,8 +81,13 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = G.copurchase_edges(li)
     # parts are a dimension-sized node set: broadcast the rank frame so
-    # the edge table is never shuffled per iteration (see pagerank docs)
-    ranks = G.pagerank(edges, iterations=_PR_ITERS, broadcast_ranks=True)
+    # the edge table is never shuffled per iteration (see pagerank docs);
+    # copurchase edges are symmetric by construction, so the symmetric
+    # fast path (round 12) skips the src∪dst node build and the per-round
+    # nodes left-join — identical ranks, one exchange less per round
+    ranks = G.pagerank(
+        edges, iterations=_PR_ITERS, broadcast_ranks=True, symmetric_input=True
+    )
     return (
         ranks.select(F.col("node").alias("partkey"), "rank_micro")
         .orderBy(F.desc("rank_micro"), "partkey")
@@ -197,7 +202,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = G.copurchase_edges(li)
     labels = G.label_propagation(
-        edges, iterations=_LP_ITERS, broadcast_labels=True
+        edges, iterations=_LP_ITERS, broadcast_labels=True, symmetric_input=True
     )
     return (
         labels.groupBy(F.col("community"))
