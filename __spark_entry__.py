@@ -120,22 +120,48 @@ from payroll_etl_fastapi_spark.plans import suite_graph  # noqa: E402,F401
 #
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
-    # ================= ROUND-12 WINDOW (rebuilt in one commit) ==============
+    # ============ ROUND-12 WINDOW (regenerated at round end) ============
     # Generated by the PURE rotation policy `_rotation_plan` (VERDICT r11
-    # #2) from (green-rows-before-r12, committed staleness snapshot):
-    #   mandatory = rotation debt (0) + span-stale out-of-window gates (0 at
-    #               curation) + hard age-outs (2: the r4 pair VERDICT r11 #1
-    #               ordered rotated in),
-    #   fill      = remaining slots, oldest newest-green-row first, ties by
-    #               name: the full r6 (5), r7 (13) and r8 (29) cohorts plus
-    #               the alphabetically-first r9 gate.
+    # #2) from (green-rows-before-r12, tools/staleness_snapshot.json
+    # re-emitted over ALL gates at end-of-round HEAD):
+    #   mandatory (24) = rotation debt (0)
+    #                  + span-stale gates (22: every gate whose referenced
+    #                    spans this round's OPTIMIZATION edits touched —
+    #                    the CC/containment reshapes, the server-parsed
+    #                    PQ/IVF/probe-LSH builders, the graph symmetric
+    #                    paths, the expr.py LogicalRDD floor)
+    #                  + hard age-outs (2: the r4 pair VERDICT r11 #1
+    #                    ordered rotated in),
+    #   fill (26)     = oldest newest-green-row first, ties by name: the
+    #                   full r6 (5) and r7 (13) cohorts + the 8
+    #                   alphabetically-first r8 gates.
     # tests/test_entry_contract.py asserts set(_WINDOW) ==
-    # set(_rotation_plan(...)) so the committed literal cannot drift from
-    # the policy. Re-run tools/staleness.py --all --emit after touching
-    # operator code, then regenerate this literal from the plan.
-    "embedding_dim_stats",
-    "similarity_edit_distance",
+    # set(_rotation_plan(...)) so this literal cannot drift from the
+    # policy.
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_sq8_topk",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_recall",
+    "ann_lsh_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_packed_search",
+    "ann_pq_recall",
+    "ann_pq_refine",
+    "ann_routed_topk",
+    "corpus_cluster_split",
+    "dedup_connected_components",
     "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_keep_best",
+    "embedding_dim_stats",
+    "graph_label_propagation",
+    "graph_pagerank_parts",
+    "pipeline_facade_v3",
+    "similarity_edit_distance",
+    "sketch_cms_token_counts",
+    "text_language_id",
     "dedup_prefix_filter_jaccard",
     "events_rolling_distinct",
     "quality_iqr_outliers",
@@ -153,21 +179,26 @@ _WINDOW: tuple[str, ...] = (
     "quality_observed_audit",
     "text_vocab_coverage",
     "unpivot_segment_balances",
-    "ann_lsh_multiprobe",
-    "ann_lsh_recall",
-    "ann_pq_packed_search",
     "bucketed_join_rollup",
     "corpus_semantic_decontamination",
     "corpus_shuffle_shards",
-    "dedup_keep_best",
     "dedup_semantic_scaledk",
     "dedup_span_removal",
     "events_rolling_hll",
     "graph_kcore_parts",
-    "graph_label_propagation",
-    "graph_pagerank_parts",
     "linkage_blocked_names",
     "multimodal_binary_stats",
+)
+
+# Registered past the driver's window: EVERY name here must hold a green
+# rows+schema+hash row in some CORRECTNESS_r*.json — enforced at import by
+# _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
+# oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
+_SECONDARY: tuple[str, ...] = (
+    # --- out-of-window members in prior registry order; every name holds
+    # a driver-green row (zero-debt) within the r12 age limit and a
+    # span-fresh implementation (end-of-round staleness snapshot: every
+    # stale gate sits in _WINDOW above). Rotation history: git log. ---
     "multimodal_cdc_neardup",
     "profile_hot_keys",
     "quality_constraint_audit",
@@ -182,26 +213,11 @@ _WINDOW: tuple[str, ...] = (
     "warclite_scan",
     "warclite_stream_rollup",
     "window_function_breadth",
-    "ann_ivf_sq8_topk",
-)
-
-# Registered past the driver's window: EVERY name here must hold a green
-# rows+schema+hash row in some CORRECTNESS_r*.json — enforced at import by
-# _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
-# oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
-_SECONDARY: tuple[str, ...] = (
-    # --- displaced in the ROUND-12 rebuild: the entire r11 window (50
-    # gates, all r11 driver-green, freshest possible rows) leads; the
-    # r9/r10 cohorts and the prior-round demotions follow in their r11
-    # order. Every name holds a driver-green row (zero-debt invariant)
-    # within the row-age limit of the r12 curation (oldest _SECONDARY row
-    # after this rebuild: r9). Per-gate rotation history: git log. ---
     "dedup_incremental",
     "dedup_incremental_stream",
     "dedup_semantic_incremental",
     "dedup_span_ingest_stream",
     "ann_sq8_ingest_stream",
-    "ann_routed_topk",
     "streaming_cdc_txtable",
     "streaming_sketch_cms",
     "streaming_sketch_hdr",
@@ -212,8 +228,6 @@ _SECONDARY: tuple[str, ...] = (
     "quality_ks_drift",
     "dedup_span_incremental",
     "streaming_hourly_rollup",
-    "pipeline_facade_v3",
-    "ann_ivf_kmeans_topk",
     "cdc_apply_orders",
     "compaction_stats",
     "dedupe_keep_first",
@@ -234,7 +248,6 @@ _SECONDARY: tuple[str, ...] = (
     "upsert_composite_key",
     "window_customer_running_totals",
     "zorder_values",
-    "ann_ivf_topk",
     "assoc_rules_parts",
     "corpus_distinctive_terms",
     "corpus_dsir_resample",
@@ -251,15 +264,10 @@ _SECONDARY: tuple[str, ...] = (
     "vocab_bpe_merges",
     "dedup_simhash",
     "ann_cosine_topk",
-    "dedup_connected_components",
-    "text_language_id",
     "corpus_passage_scrub",
-    "dedup_embedding_cosine",
     "dedup_minhash_verified_counts",
     "streaming_dedup",
     "streaming_session_rollup",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
     "dedup_ngram_jaccard",
     "dedup_semantic_clusters",
     "events_seasonal_decompose",
@@ -282,16 +290,12 @@ _SECONDARY: tuple[str, ...] = (
     "events_json_extract",
     "kpi_delta_months",
     "quality_psi_drift",
-    "corpus_cluster_split",
-    "ann_pq_recall",
     "dedup_lsh_pair_recall",
     "quality_t_closeness",
     "dedup_duplicate_spans",
     "events_resample_gapfill",
     "corpus_pack_sequences",
-    "ann_lsh_topk",
     "dedup_minhash_lsh",
-    "ann_pq_refine",
     "corpus_contamination",
     "multimodal_features",
     "corpus_chunk_overlap",
@@ -300,7 +304,6 @@ _SECONDARY: tuple[str, ...] = (
     "ann_sq8_topk",
     "sketch_hdr_quantiles",
     "sketch_hll_distinct",
-    "sketch_cms_token_counts",
     "vocab_unigram_apply",
     "text_pmi_collocations",
     "text_lm_score",
