@@ -62,6 +62,49 @@ PASSES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
 #            first_pass_total is NOT a cold-start number)
 METHODOLOGY = "v2-warm"
 
+# The driver captures only the LAST ~2000 characters of combined output and
+# parses the final stdout line (measured: every BENCH_r*.json "tail" is
+# exactly 2000 chars; round 2's 69-entry unrounded line overflowed it and
+# parsed null). The final line must therefore fit the capture with margin.
+_LINE_BUDGET = 1900
+
+
+def _build_payload(
+    base: dict, timings: dict[str, float | None], budget: int = _LINE_BUDGET
+) -> str:
+    """One-line JSON payload with REAL name→seconds entries in ``queries``
+    (VERDICT r12 #1: the r2-r12 compact form ``{"n": N, "detail": ...}`` fed
+    the driver a bogus query named "n" and starved its per-query PERF and
+    scaling computations). The full 164-gate map is ~5 KB — measured over
+    the driver's 2000-char tail capture — so the line carries the MOST
+    EXPENSIVE gates first, as many as fit the budget, rounded to 0.01 s;
+    ``n_queries``/``n_omitted`` disclose the truncation and the full map
+    stays in BENCH_DETAIL.json. Only real gate names ever appear as keys of
+    ``queries``."""
+    payload = dict(base)
+    ranked = sorted(
+        (n for n, t in timings.items() if t is not None),
+        key=lambda n: (-timings[n], n),
+    )
+    payload["queries"] = {n: round(timings[n], 2) for n in ranked}
+    payload["n_queries"] = len(timings)
+    payload["detail"] = "BENCH_DETAIL.json"
+    # reserve width for the n_omitted disclosure BEFORE trimming, so adding
+    # it afterwards cannot push the line back over budget
+    payload["n_omitted"] = len(ranked)
+    dumps = lambda p: json.dumps(p, separators=(",", ":"))  # noqa: E731
+    omitted = 0
+    for name in reversed(ranked):
+        if len(dumps(payload)) <= budget:
+            break
+        del payload["queries"][name]
+        omitted += 1
+    if omitted:
+        payload["n_omitted"] = omitted
+    else:
+        del payload["n_omitted"]
+    return dumps(payload)
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -183,7 +226,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(f"bench: per-query detail written to {detail_path}", file=sys.stderr)
-    payload = {
+    base = {
         "metric": "suite_seconds",
         "value": round(total, 4),
         "estimator": f"min_of_{PASSES}",
@@ -192,12 +235,11 @@ def main() -> None:
         "first_pass_total": round(first_pass_total, 4),
         "median_total": round(median_total, 4),
         "unit": "sec",
-        "queries": {"n": len(timings), "detail": "BENCH_DETAIL.json"},
         "sf": _sf_from_dir(SF_DIR),
     }
     if failed:
-        payload["failed"] = failed
-    print(json.dumps(payload))
+        base["failed"] = failed
+    print(_build_payload(base, timings))
 
 
 if __name__ == "__main__":

@@ -748,8 +748,6 @@ def stage_semantic_dedup(
         )
 
     def fn(docs: DataFrame) -> DataFrame:
-        from payroll_etl_fastapi_spark.operators.expr import floor_parallelism
-
         emb = embeddings.select(
             F.col(emb_id_col).alias("__sid"), F.col(vec_col).alias("__v")
         ).join(

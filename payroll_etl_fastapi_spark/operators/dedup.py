@@ -538,7 +538,6 @@ def connected_components(
     cost, so log beats linear exactly where it matters. Swap
     localCheckpoint for checkpoint() with a checkpoint dir on a real
     cluster."""
-    sess = pairs.sparkSession
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # Materialize the symmetric edge set ONCE, still under AQE (the upstream
     # pair pipeline — banded joins, df-capped shingles — wants AQE's skew

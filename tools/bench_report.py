@@ -7,8 +7,8 @@ notes paragraph is tool-emitted and can only describe the artifact).
 Usage:
     python tools/bench_report.py NEW_DETAIL.json [OLD_DETAIL.json]
 
-OLD defaults to `git show <ref>:BENCH_DETAIL.json` when passed as
-``--git <ref>`` (e.g. --git HEAD, --git a118170). Prints, markdown-ready:
+OLD may be a file path or ``git:<ref>`` (e.g. git:HEAD, git:a118170 —
+resolved via `git show <ref>:BENCH_DETAIL.json`). Prints, markdown-ready:
 total / first-pass / median, the common-subset ratio vs OLD, and every
 query that regressed >25% AND >1 s (the builder's own regression rule),
 plus the top improvements.
