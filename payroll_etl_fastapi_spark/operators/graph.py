@@ -119,7 +119,14 @@ def pagerank(
     runs shuffle-keyed on src and a cluster reuses that partitioning
     across iterations."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    if symmetric_input:
+    # The node set is only consumed by the iterations == 0 return and the
+    # non-symmetric per-round left join: round 1's ranks join is skipped
+    # below (r0 is the constant `scale`), so the symmetric path never
+    # touches nodes once it iterates.
+    need_nodes = iterations == 0 or not symmetric_input
+    if not need_nodes:
+        nodes = None
+    elif symmetric_input:
         # SYMMETRIC fast path (round 12): on a symmetric edge set every
         # node appears as src AND has at least one in-edge, so the node set
         # IS deg's key column (no src∪dst union-distinct exchange) and
@@ -139,15 +146,32 @@ def pagerank(
         )
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     base = (scale * (100 - damping_pct)) // 100
-    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    if iterations == 0:
+        ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    else:
+        ranks = None
     bc = F.broadcast if broadcast_ranks else (lambda df: df)
-    for _ in range(iterations):
-        contrib = (
-            edges_deg.join(bc(ranks), edges_deg["src"] == ranks["node"])
-            .select("dst", F.expr("r DIV d").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
+    for i in range(iterations):
+        if i == 0:
+            # ROUND-1 SKIP (round 13): r0 is the constant `scale` for every
+            # node, and the ranks join only ever matches src rows (dst-only
+            # nodes have no out-edges, so r0's extra keys never joined) —
+            # substituting the literal is the identical contribution with
+            # no join, no broadcast, and no r0 frame at all.
+            contrib = (
+                edges_deg.select(
+                    "dst", F.expr(f"CAST({int(scale)} AS BIGINT) DIV d").alias("c")
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+        else:
+            contrib = (
+                edges_deg.join(bc(ranks), edges_deg["src"] == ranks["node"])
+                .select("dst", F.expr("r DIV d").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
         if symmetric_input:
             # contrib's dst key already covers the full node set
             ranks = contrib.select(
@@ -188,46 +212,45 @@ def label_propagation(
 
     Scale shape (100 TB): per round, one src-keyed equality join
     (labels broadcast in dimension-graph mode, same contract as
-    `pagerank`), one (node, label) grouped count with map-side combine,
-    and the per-node argmax as a SECOND hash aggregate — max over the
-    struct (count, -label), whose lexicographic order IS "highest count,
-    then smallest label". Two map-side-combinable aggregates, no window,
-    no sort anywhere (the first cut used a row_number window per node;
-    the struct-max swap removed the per-partition sort and cut the 10×
-    smoke from 26s to the grouped-count floor). Fixed K rounds: one
-    chained plan, no driver loop of actions."""
-    if symmetric_input:
-        # symmetric edge set ⇒ the src column alone carries every node
-        # (round 12; same contract note as pagerank's symmetric_input) —
-        # half the union-distinct input, identical node set
-        nodes = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-    else:
-        nodes = (
-            edges.select(F.col("src").alias("node"))
-            .unionByName(edges.select(F.col("dst").alias("node")))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-    ed = edges.localCheckpoint(eager=False)
-    labels = nodes.select("node", F.col("node").alias("label"))
-    bc = F.broadcast if broadcast_labels else (lambda df: df)
-    for _ in range(iterations):
-        nbr = ed.join(bc(labels), ed["src"] == labels["node"]).select(
-            F.col("dst").alias("v"), "label"
-        )
-        cnt = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            cnt.groupBy(F.col("v").alias("node"))
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("best")
+    `pagerank`) and ONE map-side-combinable aggregate: `mode(label,
+    deterministic=true)` per node, whose documented tie-break — lowest
+    value among the most frequent — IS "highest count, then smallest
+    label". (Rounds 4-12 ran this as TWO hash aggregates, a (node, label)
+    grouped count plus a struct-max argmax; the mode() swap halves the
+    per-round exchanges for the same per-group state, bounded by the
+    node's distinct neighbor labels ≤ degree. No window, no sort.)
+    Round 1 never joins: l0 maps every node to itself, so the first
+    round's neighbor frame is just (dst, src) off the edge list — which
+    also means the node set is never materialized when iterating (a node
+    without in-edges drops out of round 1's output exactly as it did out
+    of the round-1 join). Fixed K rounds: one chained plan, no driver
+    loop of actions."""
+    if iterations <= 0:
+        if symmetric_input:
+            # symmetric edge set ⇒ the src column alone carries every node
+            # (round 12; same contract note as pagerank's symmetric_input)
+            nodes = edges.select(F.col("src").alias("node")).distinct()
+        else:
+            nodes = (
+                edges.select(F.col("src").alias("node"))
+                .unionByName(edges.select(F.col("dst").alias("node")))
+                .distinct()
             )
-            .select("node", (-F.col("best.nl")).alias("label"))
+        return nodes.select("node", F.col("node").alias("community"))
+    ed = edges.localCheckpoint(eager=False)
+    labels = None
+    bc = F.broadcast if broadcast_labels else (lambda df: df)
+    for i in range(iterations):
+        if i == 0:
+            # ROUND-1 SKIP (round 13): joining l0 = (node, node) against
+            # edge src is the identity — every edge row gets label = src.
+            nbr = ed.select(F.col("dst").alias("v"), F.col("src").alias("label"))
+        else:
+            nbr = ed.join(bc(labels), ed["src"] == labels["node"]).select(
+                F.col("dst").alias("v"), "label"
+            )
+        labels = nbr.groupBy(F.col("v").alias("node")).agg(
+            F.mode("label", True).alias("label")
         )
     return labels.select("node", F.col("label").alias("community"))
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for named gates to plans/r12/<gate>_<tag>.txt
+"""Dump .explain('formatted') for named gates to plans/r13/<gate>_<tag>.txt
 (the judge-facing plan evidence; guide §1 / §7.2).
 
 Usage: python tools/dump_plans.py <tag> <gate> [<gate> ...] [--sf DIR]
@@ -29,7 +29,7 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    outdir = os.path.join(REPO, "plans", "r12")
+    outdir = os.path.join(REPO, "plans", "r13")
     os.makedirs(outdir, exist_ok=True)
     for name in gates:
         df = qs[name](spark, sf_dir)
