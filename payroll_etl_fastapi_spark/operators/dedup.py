@@ -1245,9 +1245,14 @@ def incremental_minhash_decisions(
             F.col("id").alias("matched_id"),
             F.col("mh").alias("mh_i"),
         )
+        # NO per-pair dropDuplicates (round 13): a pair matching in k bands
+        # yields k rows with IDENTICAL est (est is a function of the two
+        # full signatures, which every band row carries), and the only
+        # consumer is `best`'s min(struct(matched_id, est)) — insensitive
+        # to multiplicity. The (id, matched_id) exchange was one full
+        # query stage per micro-batch for a provable no-op.
         matches.append(
             b.join(idx, ["band", "sig"])
-            .dropDuplicates(["id", "matched_id"])
             .select(
                 "id",
                 "matched_id",
@@ -1260,7 +1265,6 @@ def incremental_minhash_decisions(
     matches.append(
         b.join(lo, ["band", "sig"])
         .filter(F.col("matched_id") < F.col("id"))
-        .dropDuplicates(["id", "matched_id"])
         .select(
             "id",
             "matched_id",

@@ -130,11 +130,22 @@ def stream_ingest_dedup(
         num_hashes, bands = lsh_params_for(threshold)
         min_est = threshold
 
+    # committed epoch history scanned ONCE per drain, maintained in memory
+    # across batches (round 13 — the write_stream_txtable discipline):
+    # manifests are immutable and same-checkpoint concurrent writers are
+    # excluded by the streaming engine's checkpoint lock, so re-reading
+    # every manifest on every micro-batch was O(versions) driver IO per
+    # batch, quadratic per drain. A mid-drain optimize() retiring keys
+    # into floors only shrinks the on-disk encoding — the in-memory map
+    # keeps the individual keys, a correct superset.
+    corpus_seen = _table_epoch_versions(corpus)
+    index_seen = _table_epoch_versions(index)
+
     @_surface("stream_ingest_dedup")
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
-        corpus_done = epoch_key in _table_epoch_versions(corpus)
-        index_done = epoch_key in _table_epoch_versions(index)
+        corpus_done = epoch_key in corpus_seen
+        index_done = epoch_key in index_seen
         if corpus_done and index_done:
             return  # fully committed batch replayed
         decisions, accepted_bands = incremental_minhash_decisions(
@@ -153,9 +164,9 @@ def stream_ingest_dedup(
             id_col,
         )
         if not corpus_done:
-            _stream_append_commit(corpus, accepted_docs, epoch_key)
+            corpus_seen.add(epoch_key, _stream_append_commit(corpus, accepted_docs, epoch_key))
         if not index_done:
-            _stream_append_commit(index, accepted_bands, epoch_key)
+            index_seen.add(epoch_key, _stream_append_commit(index, accepted_bands, epoch_key))
         _maybe_compact(index, compact_every, checkpoint)
         _maybe_compact(corpus, compact_every, checkpoint)
 
@@ -195,11 +206,16 @@ def stream_ingest_span_dedup(
     replay harmless)."""
     from payroll_etl_fastapi_spark.operators.dedup import incremental_span_decisions
 
+    # once-per-drain history scan + in-memory maintenance — see
+    # stream_ingest_dedup's note (round 13)
+    corpus_seen = _table_epoch_versions(corpus)
+    index_seen = _table_epoch_versions(index)
+
     @_surface("stream_ingest_span_dedup")
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
-        corpus_done = epoch_key in _table_epoch_versions(corpus)
-        index_done = epoch_key in _table_epoch_versions(index)
+        corpus_done = epoch_key in corpus_seen
+        index_done = epoch_key in index_seen
         if corpus_done and index_done:
             return
         decisions, accepted_spans = incremental_span_decisions(
@@ -215,9 +231,9 @@ def stream_ingest_span_dedup(
             id_col,
         )
         if not corpus_done:
-            _stream_append_commit(corpus, accepted_docs, epoch_key)
+            corpus_seen.add(epoch_key, _stream_append_commit(corpus, accepted_docs, epoch_key))
         if not index_done:
-            _stream_append_commit(index, accepted_spans, epoch_key)
+            index_seen.add(epoch_key, _stream_append_commit(index, accepted_spans, epoch_key))
         _maybe_compact(index, compact_every, checkpoint)
         _maybe_compact(corpus, compact_every, checkpoint)
 
@@ -263,13 +279,17 @@ def stream_ingest_vectors(
     scans bytes, never the raw embeddings."""
     from payroll_etl_fastapi_spark.operators.pq import sq8_encode_packed
 
+    # once-per-drain history scan + in-memory maintenance — see
+    # stream_ingest_dedup's note (round 13)
+    index_seen = _table_epoch_versions(index)
+
     @_surface("stream_ingest_vectors")
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{os.path.abspath(checkpoint)}#{epoch_id}"
-        if epoch_key in _table_epoch_versions(index):
+        if epoch_key in index_seen:
             return  # fully committed batch replayed
         packed = sq8_encode_packed(batch_df, bounds, id_col, vec_col)
-        _stream_append_commit(index, packed, epoch_key)
+        index_seen.add(epoch_key, _stream_append_commit(index, packed, epoch_key))
         _maybe_compact(index, compact_every, checkpoint)
 
     q = (
