@@ -715,40 +715,37 @@ def embedding_near_dup_pairs(
         num_planes, bands = lsh_planes_for(threshold)
     df = floor_parallelism(df)
     planes = hyperplane_signs(num_planes, dim)
-    sigs = band_signatures(vec_col, planes, bands)
-    pairs = F.array(
-        *[F.struct(F.lit(b).alias("band"), s.alias("sig")) for b, s in enumerate(sigs)]
-    )
-    hashed_ids = (
-        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bs"))
-        .select("id", "bs.band", "bs.sig")
-        # both self-join sides read this frame; a LAZY local checkpoint
-        # materializes the 32-plane-dot hash pass once at first action and is
-        # freed by the context cleaner when the frame becomes unreachable —
-        # the r2 version cache()d (and never unpersisted) the frame WITH
-        # vectors and norms aboard
-        .localCheckpoint(eager=False)
-    )
     if n_probe_flips > 0:
+        # ONE plane-dot pass for BOTH join sides (round 13): the probe
+        # arrays carry the plain base signature as their FIRST element
+        # (probe_band_signatures' contract), so the corpus/index side is a
+        # filter over the same exploded rows instead of its own
+        # band_signatures pass — the r12 shape ran the 45-plane dot kernel
+        # twice over the corpus and checkpointed it twice. `is_base` tags
+        # the array position; values are bit-identical by construction.
         arrays = probe_band_signatures(vec_col, planes, bands, n_probe_flips)
 
-        # single-arg lambda via a factory (the lsh_topk gotcha: a two-arg
-        # lambda is transform's (element, index) form)
         def tag(b: int):
-            return lambda s: F.struct(F.lit(b).alias("band"), s.alias("sig"))
+            # two-arg lambda IS transform's (element, index) form — the
+            # index is exactly the base/flip discriminator here
+            return lambda s, i: F.struct(
+                F.lit(b).alias("band"), s.alias("sig"), (i == 0).alias("is_base")
+            )
 
         entries = F.flatten(
             F.array(*[F.transform(arr, tag(b)) for b, arr in enumerate(arrays)])
         )
         probe_ids = (
             df.select(F.col(id_col).alias("id"), F.explode(entries).alias("bs"))
-            .select("id", "bs.band", "bs.sig")
+            .select("id", "bs.band", "bs.sig", "bs.is_base")
             .localCheckpoint(eager=False)
         )
         cand = (
             probe_ids.select(F.col("id").alias("id_a"), "band", "sig")
             .join(
-                hashed_ids.select(F.col("id").alias("id_b"), "band", "sig"),
+                probe_ids.filter(F.col("is_base")).select(
+                    F.col("id").alias("id_b"), "band", "sig"
+                ),
                 ["band", "sig"],
             )
             .filter(F.col("id_a") != F.col("id_b"))
@@ -759,6 +756,23 @@ def embedding_near_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
+        sigs = band_signatures(vec_col, planes, bands)
+        pairs = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), s.alias("sig"))
+                for b, s in enumerate(sigs)
+            ]
+        )
+        hashed_ids = (
+            df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bs"))
+            .select("id", "bs.band", "bs.sig")
+            # both self-join sides read this frame; a LAZY local checkpoint
+            # materializes the 32-plane-dot hash pass once at first action
+            # and is freed by the context cleaner when the frame becomes
+            # unreachable — the r2 version cache()d (and never unpersisted)
+            # the frame WITH vectors and norms aboard
+            .localCheckpoint(eager=False)
+        )
         cand = (
             hashed_ids.select(F.col("id").alias("id_a"), "band", "sig")
             .join(
