@@ -752,9 +752,22 @@ def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     spl = assign.withColumn(
         "split", C.split_of(F.md5(F.col("cluster").cast("string")))
     )
+    # ONE pass over the corpus-sized frame (round 13): the leak audit and
+    # the per-split rollup both reduce to the tiny (cluster, split, n)
+    # grouped frame — (cluster, split) is unique there, so rows-per-cluster
+    # IS countDistinct(split) and rows-per-split IS countDistinct(cluster).
+    # The old shape ran the corpus scan + mutation union + component join
+    # once per consumer. Lazy checkpoint: both aggregates are separate
+    # actions on the same grouped frame. Values bit-identical (exact
+    # integer counts either way).
+    g = (
+        spl.groupBy("cluster", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     leak = (
-        spl.groupBy("cluster")
-        .agg(F.countDistinct("split").alias("ns"))
+        g.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("ns"))
         .agg(
             F.coalesce(
                 F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)), F.lit(0)
@@ -764,10 +777,10 @@ def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        spl.groupBy("split")
+        g.groupBy("split")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
         )
         .crossJoin(F.broadcast(leak))
         .orderBy("split")
