@@ -120,24 +120,84 @@ from payroll_etl_fastapi_spark.plans import suite_graph  # noqa: E402,F401
 #
 # The driver verifies exactly these 50 (first 50 registered), in this order.
 _WINDOW: tuple[str, ...] = (
-    # ============ ROUND-12 WINDOW (regenerated at round end) ============
-    # Generated by the PURE rotation policy `_rotation_plan` (VERDICT r11
-    # #2) from (green-rows-before-r12, tools/staleness_snapshot.json
-    # re-emitted over ALL gates at end-of-round HEAD):
-    #   mandatory (24) = rotation debt (0)
-    #                  + span-stale gates (22: every gate whose referenced
+    # ============ ROUND-13 WINDOW (regenerated at round end) ============
+    # Generated by the PURE rotation policy `_rotation_plan` from
+    # (green-rows-before-r13, tools/staleness_snapshot.json re-emitted with
+    # --all at end-of-round HEAD):
+    #   mandatory (11) = rotation debt (0) + hard age-outs (0)
+    #                  + span-stale gates (11: every gate whose referenced
     #                    spans this round's OPTIMIZATION edits touched —
-    #                    the CC/containment reshapes, the server-parsed
-    #                    PQ/IVF/probe-LSH builders, the graph symmetric
-    #                    paths, the expr.py LogicalRDD floor)
-    #                  + hard age-outs (2: the r4 pair VERDICT r11 #1
-    #                    ordered rotated in),
-    #   fill (26)     = oldest newest-green-row first, ties by name: the
-    #                   full r6 (5) and r7 (13) cohorts + the 8
-    #                   alphabetically-first r8 gates.
+    #                    the graph mode()/round-1-skip loops, the minhash
+    #                    decisions no-op-dedup removal + ingest epoch-scan
+    #                    hoist, the one-pass multiprobe banding, the
+    #                    cluster-split grouped rollup),
+    #   fill (39)     = oldest newest-green-row first, ties by name: the
+    #                   full r7 cohort + the oldest r8 gates.
     # tests/test_entry_contract.py asserts set(_WINDOW) ==
     # set(_rotation_plan(...)) so this literal cannot drift from the
-    # policy.
+    # policy. All 50 re-verified green at sf0.01 immediately before this
+    # swap (tools/check_oracle.py).
+    "ann_sq8_ingest_stream",
+    "corpus_cluster_split",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_incremental_stream",
+    "dedup_keep_best",
+    "dedup_span_ingest_stream",
+    "graph_label_propagation",
+    "graph_pagerank_parts",
+    "pipeline_facade_v3",
+    "multimodal_cdc_neardup",
+    "profile_hot_keys",
+    "quality_constraint_audit",
+    "quality_k_anonymity",
+    "quality_l_diversity",
+    "quality_linear_fit",
+    "search_bm25_known_item",
+    "skew_salted_rollup",
+    "sql_pricing_summary",
+    "vocab_bpe_apply",
+    "vocab_wordpiece_apply",
+    "warclite_scan",
+    "warclite_stream_rollup",
+    "window_function_breadth",
+    "ann_sq8_topk",
+    "corpus_chunk_overlap",
+    "corpus_contamination",
+    "corpus_pack_sequences",
+    "corpus_sample_stratified",
+    "corpus_train_val_test",
+    "dedup_duplicate_spans",
+    "dedup_lsh_pair_recall",
+    "dedup_minhash_lsh",
+    "events_resample_gapfill",
+    "multimodal_features",
+    "quality_t_closeness",
+    "sketch_hdr_quantiles",
+    "sketch_hll_distinct",
+    "text_fingerprint",
+    "text_lm_score",
+    "text_pmi_collocations",
+    "text_quality_stats",
+    "text_repetition_stats",
+    "text_scrub_stats",
+    "text_token_stats",
+    "vocab_top_tokens",
+    "vocab_unigram_apply",
+    "ann_cosine_topk",
+    "corpus_passage_scrub",
+)
+
+# Registered past the driver's window: EVERY name here must hold a green
+# rows+schema+hash row in some CORRECTNESS_r*.json — enforced at import by
+# _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
+# oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
+_SECONDARY: tuple[str, ...] = (
+    # --- out-of-window members in prior registry order; every name holds
+    # a driver-green row (zero-debt) within the r13 age limit and a
+    # span-fresh implementation (end-of-round staleness snapshot: every
+    # stale gate sits in _WINDOW above). Rotation history: git log. ---
     "ann_ivf_kmeans_topk",
     "ann_ivf_pq_topk",
     "ann_ivf_sq8_topk",
@@ -150,15 +210,8 @@ _WINDOW: tuple[str, ...] = (
     "ann_pq_recall",
     "ann_pq_refine",
     "ann_routed_topk",
-    "corpus_cluster_split",
-    "dedup_connected_components",
     "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_keep_best",
     "embedding_dim_stats",
-    "graph_label_propagation",
-    "graph_pagerank_parts",
-    "pipeline_facade_v3",
     "similarity_edit_distance",
     "sketch_cms_token_counts",
     "text_language_id",
@@ -188,36 +241,7 @@ _WINDOW: tuple[str, ...] = (
     "graph_kcore_parts",
     "linkage_blocked_names",
     "multimodal_binary_stats",
-)
-
-# Registered past the driver's window: EVERY name here must hold a green
-# rows+schema+hash row in some CORRECTNESS_r*.json — enforced at import by
-# _check_registry (zero rotation debt, VERDICT r4 #2). All stay in the local
-# oracle gate (tools/check_oracle.py, sf0.01 + sf0.1).
-_SECONDARY: tuple[str, ...] = (
-    # --- out-of-window members in prior registry order; every name holds
-    # a driver-green row (zero-debt) within the r12 age limit and a
-    # span-fresh implementation (end-of-round staleness snapshot: every
-    # stale gate sits in _WINDOW above). Rotation history: git log. ---
-    "multimodal_cdc_neardup",
-    "profile_hot_keys",
-    "quality_constraint_audit",
-    "quality_k_anonymity",
-    "quality_l_diversity",
-    "quality_linear_fit",
-    "search_bm25_known_item",
-    "skew_salted_rollup",
-    "sql_pricing_summary",
-    "vocab_bpe_apply",
-    "vocab_wordpiece_apply",
-    "warclite_scan",
-    "warclite_stream_rollup",
-    "window_function_breadth",
-    "dedup_incremental",
-    "dedup_incremental_stream",
     "dedup_semantic_incremental",
-    "dedup_span_ingest_stream",
-    "ann_sq8_ingest_stream",
     "streaming_cdc_txtable",
     "streaming_sketch_cms",
     "streaming_sketch_hdr",
@@ -263,8 +287,6 @@ _SECONDARY: tuple[str, ...] = (
     "kpi_anomalies_mad",
     "vocab_bpe_merges",
     "dedup_simhash",
-    "ann_cosine_topk",
-    "corpus_passage_scrub",
     "dedup_minhash_verified_counts",
     "streaming_dedup",
     "streaming_session_rollup",
@@ -290,29 +312,6 @@ _SECONDARY: tuple[str, ...] = (
     "events_json_extract",
     "kpi_delta_months",
     "quality_psi_drift",
-    "dedup_lsh_pair_recall",
-    "quality_t_closeness",
-    "dedup_duplicate_spans",
-    "events_resample_gapfill",
-    "corpus_pack_sequences",
-    "dedup_minhash_lsh",
-    "corpus_contamination",
-    "multimodal_features",
-    "corpus_chunk_overlap",
-    "corpus_sample_stratified",
-    "corpus_train_val_test",
-    "ann_sq8_topk",
-    "sketch_hdr_quantiles",
-    "sketch_hll_distinct",
-    "vocab_unigram_apply",
-    "text_pmi_collocations",
-    "text_lm_score",
-    "vocab_top_tokens",
-    "text_scrub_stats",
-    "text_repetition_stats",
-    "text_fingerprint",
-    "text_token_stats",
-    "text_quality_stats",
 )
 
 # Retired from the driver registry (see module docstring); still implemented,
@@ -407,7 +406,7 @@ _MAX_ROW_AGE = 6
 # threshold pinned the import can never fail from driver activity.
 # Builder-facing strictness (curation is current, ages within _MAX_ROW_AGE
 # exactly) lives in tests/test_entry_contract.py, not at import.
-_CURATED_AT_ROUND = 12
+_CURATED_AT_ROUND = 13
 
 
 def _rotation_plan(
